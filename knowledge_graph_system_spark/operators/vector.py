@@ -1,0 +1,162 @@
+"""Vector / similarity operators (SURVEY.md §2.5, V1–V8).
+
+Reference behavior being reproduced:
+- V1 concept vector search: full scan + Python cosine + threshold + top-k
+  (`/root/reference/api/app/lib/age_client/query.py:35-119`). Here: one
+  declarative plan — scan → codegen'd dot product → filter → top-k. At
+  100 TB the scan is partition-pruned parquet and the top-k is a
+  TakeOrderedAndProject (no full sort, no driver collect).
+- V3 batch cosine (`similarity_calculator.py:30-172`) → `cosine_expr`.
+- V5 smell test (`query.py:184-275`): evidence vs endpoint similarity
+  tiers LOW/MEDIUM/HIGH at 0.85/0.70.
+- V8 near-miss threshold hint (`routes/queries.py:720-746`): rescan at
+  0.3 and report counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import oracle_snippets as osql
+from ..functions.vectors import dot_expr, lit_vec, unit_vec_py
+from ..registry import Ctx, query
+
+DEFAULT_THRESHOLD = 0.3  # analog of the reference's 0.6 server default
+                         # (`search_config.py:20`), rescaled for 16-dim
+                         # synthetic vectors where cosine spreads wider.
+
+
+def vector_search(
+    nodes_emb: DataFrame,
+    query_vec: list[float],
+    threshold: float = DEFAULT_THRESHOLD,
+    k: int = 50,
+    sim_col: str = "score",
+) -> DataFrame:
+    """Top-k nodes by cosine similarity to `query_vec` (embeddings are unit
+    vectors, so cosine == dot). Deterministic: score rounded to 6 dp before
+    thresholding, ties broken by node_id."""
+    scored = nodes_emb.withColumn("_q", lit_vec(query_vec)).withColumn(
+        sim_col, F.round(dot_expr("embedding", "_q"), 6)
+    )
+    return (
+        scored.filter(F.col(sim_col) >= threshold)
+        .select("node_id", "label", sim_col)
+        .orderBy(F.col(sim_col).desc(), F.col("node_id"))
+        .limit(k)
+    )
+
+
+def smell_test(sim_a: Column, sim_b: Column) -> Column:
+    """Cognitive-leap tiers per `/root/reference/api/app/lib/age_client/
+    query.py:184-275`: avg similarity ≥0.85 LOW, ≥0.70 MEDIUM, else HIGH."""
+    avg = F.round((sim_a + sim_b) / 2.0, 6)
+    return F.when(avg >= 0.85, "LOW").when(avg >= 0.70, "MEDIUM").otherwise("HIGH")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+from ..sources.graph_view import graph_ctes  # noqa: E402
+
+_QV_SEED = "query:1"
+
+
+def _node_emb_sub() -> str:
+    """DuckDB subquery: (node_id, label, emb) with the engine's unit vectors."""
+    return osql.unit_vec_cte("node_id", "node_id, label", "nodes")
+
+
+@query(
+    "v1_vector_search",
+    oracle=graph_ctes()
+    + f""",
+q AS (SELECT list_transform(raw, x -> x / norm) AS qv FROM
+      (SELECT raw, {osql.l2_norm_sql('raw')} AS norm FROM
+       (SELECT {osql.raw_vec_sql("'" + _QV_SEED + "'")} AS raw) t1) t2),
+emb AS (SELECT node_id, label, emb FROM {_node_emb_sub()} e)
+SELECT node_id, label, round({osql.dot_sql('emb', 'qv')}, 6) AS score
+FROM emb, q
+WHERE round({osql.dot_sql('emb', 'qv')}, 6) >= {DEFAULT_THRESHOLD}
+ORDER BY score DESC, node_id
+LIMIT 50
+""",
+)
+def v1_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = Ctx.get(spark, sf_dir)
+    return vector_search(ctx.nodes_emb, unit_vec_py(_QV_SEED))
+
+
+@query(
+    "v8_threshold_hint",
+    oracle=graph_ctes()
+    + f""",
+q AS (SELECT list_transform(raw, x -> x / norm) AS qv FROM
+      (SELECT raw, {osql.l2_norm_sql('raw')} AS norm FROM
+       (SELECT {osql.raw_vec_sql("'query:hint'")} AS raw) t1) t2),
+emb AS (SELECT node_id, emb FROM {_node_emb_sub()} e),
+scored AS (SELECT node_id, round({osql.dot_sql('emb', 'qv')}, 6) AS score FROM emb, q)
+SELECT CAST(sum(CASE WHEN score >= 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS strict_hits,
+       CAST(sum(CASE WHEN score >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS relaxed_hits,
+       round(max(score), 6) AS best_score
+FROM scored
+""",
+)
+def v8_threshold_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-miss hint: counts at strict vs relaxed threshold + best score
+    (`routes/queries.py:720-746`). One pass over the scored scan."""
+    ctx = Ctx.get(spark, sf_dir)
+    scored = ctx.nodes_emb.withColumn("_q", lit_vec(unit_vec_py("query:hint"))).withColumn(
+        "score", F.round(dot_expr("embedding", "_q"), 6)
+    )
+    return scored.agg(
+        F.sum(F.when(F.col("score") >= 0.55, 1).otherwise(0)).alias("strict_hits"),
+        F.sum(F.when(F.col("score") >= 0.3, 1).otherwise(0)).alias("relaxed_hits"),
+        F.round(F.max("score"), 6).alias("best_score"),
+    )
+
+
+@query(
+    "v5_smell_test",
+    oracle=graph_ctes()
+    + f""",
+emb AS (SELECT node_id, emb FROM {_node_emb_sub()} e),
+pairs AS (
+  SELECT e.src, e.dst, e.rel_type,
+         round({osql.dot_sql('es.emb', 'ed.emb')}, 6) AS endpoint_sim
+  FROM edges e
+  JOIN emb es ON es.node_id = e.src
+  JOIN emb ed ON ed.node_id = e.dst
+  WHERE e.rel_type = 'PLACED'
+)
+SELECT src, dst, endpoint_sim,
+       CASE WHEN endpoint_sim >= 0.5 THEN 'LOW'
+            WHEN endpoint_sim >= 0.2 THEN 'MEDIUM'
+            ELSE 'HIGH' END AS cognitive_leap
+FROM pairs
+""",
+)
+def v5_smell_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-connection smell test over PLACED edges: endpoint embedding
+    similarity → leap tier (`query.py:184-275`; tiers rescaled to the
+    16-dim synthetic space). Self-join stays shuffle-based on node_id;
+    at 100 TB both sides are bucketed by node_id so this is co-located."""
+    ctx = Ctx.get(spark, sf_dir)
+    emb = ctx.nodes_emb.select("node_id", "embedding")
+    e = ctx.edges.filter(F.col("rel_type") == "PLACED").select("src", "dst")
+    pairs = (
+        e.join(emb.withColumnRenamed("node_id", "src").withColumnRenamed("embedding", "_es"), "src")
+        .join(emb.withColumnRenamed("node_id", "dst").withColumnRenamed("embedding", "_ed"), "dst")
+        .withColumn("endpoint_sim", F.round(dot_expr("_es", "_ed"), 6))
+    )
+    return pairs.select(
+        "src",
+        "dst",
+        "endpoint_sim",
+        F.when(F.col("endpoint_sim") >= 0.5, "LOW")
+        .when(F.col("endpoint_sim") >= 0.2, "MEDIUM")
+        .otherwise("HIGH")
+        .alias("cognitive_leap"),
+    )

@@ -1,0 +1,107 @@
+"""Query registry: the driver-facing inventory of implemented operators.
+
+Every operator from SURVEY.md §2 that is "done" has a named entry here:
+a Spark callable `(spark, sf_dir) -> DataFrame` plus (when SQL-expressible)
+a DuckDB oracle string over the same parquet tables. `__spark_entry__.py`
+re-exports this registry to the driver.
+
+Determinism rules every registered query follows:
+- float outputs rounded (6 dp scores, 2 dp money sums) on BOTH sides;
+- threshold filters compare the rounded value;
+- any LIMIT is preceded by a total order (tie-break on a unique key);
+- aggregate/computed columns aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.graph_view import edges_df, nodes_df, nodes_with_embeddings, vocabulary_df
+from .sources.tables import load_tables
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+class Ctx:
+    """Per-(session, sf_dir) context: lazily built base tables + graph views."""
+
+    _cache: dict[tuple[int, str], "Ctx"] = {}
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables = load_tables(spark, sf_dir)
+
+    @classmethod
+    def get(cls, spark: SparkSession, sf_dir: str) -> "Ctx":
+        key = (id(spark), sf_dir)
+        if key not in cls._cache:
+            cls._cache[key] = cls(spark, sf_dir)
+        return cls._cache[key]
+
+    # The cached edge/node DataFrames are this engine's analog of the
+    # reference's Rust in-memory graph accelerator (`graph-accel/core/src/
+    # graph.rs:77-260`): load once, traverse many times. On a cluster the
+    # cache is per-executor columnar blocks; embeddings would normally be
+    # precomputed in storage rather than derived per query.
+
+    @property
+    def nodes(self) -> DataFrame:
+        if not hasattr(self, "_nodes"):
+            self._nodes = nodes_df(self.tables).cache()
+        return self._nodes
+
+    @property
+    def edges(self) -> DataFrame:
+        if not hasattr(self, "_edges"):
+            self._edges = edges_df(self.tables).cache()
+        return self._edges
+
+    @property
+    def nodes_emb(self) -> DataFrame:
+        if not hasattr(self, "_nodes_emb"):
+            self._nodes_emb = nodes_with_embeddings(self.tables).cache()
+        return self._nodes_emb
+
+    @property
+    def vocab(self) -> DataFrame:
+        if not hasattr(self, "_vocab"):
+            self._vocab = vocabulary_df(self.spark)
+        return self._vocab
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so its @query registrations run."""
+    from .operators import (  # noqa: F401
+        aggregates,
+        ann,
+        dedup,
+        filters,
+        joins,
+        multimodal,
+        scores,
+        textstats,
+        traversal,
+        vector,
+    )
+    from .streaming import windows  # noqa: F401
+
+    return QUERIES

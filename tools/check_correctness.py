@@ -1,0 +1,104 @@
+"""Local correctness harness: mimics the driver's t2 check.
+
+Runs every registered query on Spark and its DuckDB oracle side-by-side
+at a given sf dir, compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by
+their string form). Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_sig(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return lines
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from knowledge_graph_system_spark.registry import load_all
+    from knowledge_graph_system_spark.session import get_spark
+
+    specs = load_all()
+    spark = get_spark("kg-spark-correctness")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failed, passed, skipped = [], [], []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        sdf = spec.fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if spec.oracle is None:
+            skipped.append(name)
+            print(f"~ {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failed.append(name)
+            print(f"✗ {name}: oracle error: {e}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            s_sig = table_sig(scols, [[r[c] for c in scols] for r in srows])
+            o_sig = table_sig(ocols, orows)
+            if s_sig != o_sig:
+                diffs = [
+                    (a, b) for a, b in zip(s_sig, o_sig) if a != b
+                ][:3]
+                problems.append(f"value mismatch, first diffs: {diffs}")
+        if problems:
+            failed.append(name)
+            print(f"✗ {name}: {'; '.join(problems)}")
+        else:
+            passed.append(name)
+            print(f"✓ {name} ({len(srows)} rows)")
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
+    if failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
