@@ -1,1 +1,320 @@
-"""Placeholder — filled in as operators land."""
+"""Join operators (SURVEY.md §2.3, J1–J9).
+
+Reference parity: the reference hand-builds *batching patterns* (N+1
+prevention, IN-list chunks of 25) because every join crosses into
+Postgres row-at-a-time (`/root/reference/api/app/lib/graph_facade.py:
+890-967`, `api/app/routes/queries.py:199-220,673-701`). In Spark each
+J# is one declarative join; Catalyst picks broadcast vs shuffle per
+side-size, and AQE re-plans at runtime. The hand-batching disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import dot_expr, with_unit_vec
+from ..functions import oracle_snippets as osql
+from ..registry import Ctx, query
+from ..sources.graph_view import graph_ctes
+
+
+def evidence_join(tables: dict[str, DataFrame]) -> DataFrame:
+    """J1: the Concept→Instance→Source evidence chain, modeled as
+    customer→orders→lineitem→part (3-way). Catalyst broadcast-joins the
+    dim sides; lineitem (the 100 TB side) is scanned once with pushed
+    filters."""
+    c, o, l, p = (tables["customer"], tables["orders"], tables["lineitem"], tables["part"])
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+    )
+
+
+def concepts_for_sources(tables: dict[str, DataFrame]) -> DataFrame:
+    """J2: one query for N sources → {source: [concepts]} — the
+    reference's N+1 prevention (`graph_facade.py:890-924`). Here:
+    join + groupBy + sorted collect_set."""
+    o, l, p = tables["orders"], tables["lineitem"], tables["part"]
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("o_orderkey")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("p_name"))).alias("part_names"))
+    )
+
+
+def hydrate_ids(nodes: DataFrame, ids: DataFrame) -> DataFrame:
+    """J4: batch label/name hydration for an ID set; unresolved ids keep
+    NULLs (reference IN-list fetch, `graph_facade.py:930-967`)."""
+    return ids.join(F.broadcast(nodes), "node_id", "left").select(
+        ids["node_id"], "label", "name", "ontology"
+    )
+
+
+@query(
+    "j1_evidence_join",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, p.p_name, l.l_linenumber,
+       round(l.l_quantity, 2) AS quantity,
+       round(l.l_extendedprice * (1 - l.l_discount), 4) AS net_price
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'
+""",
+)
+def j1_evidence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = Ctx.get(spark, sf_dir)
+    joined = evidence_join(ctx.tables)
+    return joined.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("o_orderstatus") == "F")
+    ).select(
+        "c_name",
+        "o_orderkey",
+        "p_name",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("quantity"),
+        # 4 dp, NOT 2: the product of two 2-dp values is an exact 4-decimal
+        # rational, so rounding at 2 dp hits exact .005 midpoints where
+        # Spark (BigDecimal HALF_UP) and DuckDB (raw double) disagree.
+        # Rounding at (or above) the exact precision never straddles.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@query(
+    "j2_concepts_for_sources",
+    oracle="""
+SELECT o.o_orderkey,
+       list_aggregate(list_sort(list(DISTINCT p.p_name)), 'string_agg', ',') AS part_names
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY o.o_orderkey
+""",
+)
+def j2_concepts_for_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = Ctx.get(spark, sf_dir)
+    return concepts_for_sources(ctx.tables)
+
+
+@query(
+    "j3_left_outer_enrich",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def j3_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: OPTIONAL MATCH analog — customers keep a row even with zero
+    orders (`routes/queries.py:675-678`)."""
+    ctx = Ctx.get(spark, sf_dir)
+    c, o = ctx.tables["customer"], ctx.tables["orders"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+_HYDRATE_IDS = ["C1", "C5", "P10", "S3", "O42", "ZZ-missing"]
+
+
+@query(
+    "j4_hydrate_ids",
+    oracle=graph_ctes()
+    + f"""
+SELECT ids.node_id, n.label, n.name, n.ontology
+FROM (VALUES {', '.join("('" + i + "')" for i in _HYDRATE_IDS)}) AS ids(node_id)
+LEFT JOIN nodes n ON n.node_id = ids.node_id
+""",
+)
+def j4_hydrate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = Ctx.get(spark, sf_dir)
+    ids = spark.createDataFrame([(i,) for i in _HYDRATE_IDS], "node_id string")
+    return hydrate_ids(ctx.nodes, ids)
+
+
+@query(
+    "j5_cross_ontology_affinity",
+    oracle="""
+WITH membership AS (
+  SELECT DISTINCT c.c_mktsegment AS seg, l.l_partkey AS pk
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+totals AS (SELECT seg, CAST(count(*) AS BIGINT) AS total FROM membership GROUP BY seg),
+shared AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b, CAST(count(*) AS BIGINT) AS shared
+  FROM membership a JOIN membership b ON a.pk = b.pk AND a.seg < b.seg
+  GROUP BY a.seg, b.seg
+)
+SELECT s.seg_a, s.seg_b, s.shared,
+       round(s.shared / CAST(least(ta.total, tb.total) AS DOUBLE), 6) AS affinity
+FROM shared s
+JOIN totals ta ON ta.seg = s.seg_a
+JOIN totals tb ON tb.seg = s.seg_b
+""",
+)
+def j5_cross_ontology_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: concepts shared between ontologies → shared/total affinity
+    (`ontology_scoring.py:213-266`), as segment-pairs sharing parts.
+    Self-join on the concept key; at 100 TB the membership set is
+    pre-deduplicated (distinct pushes partial aggregation map-side)."""
+    ctx = Ctx.get(spark, sf_dir)
+    c, o, l = ctx.tables["customer"], ctx.tables["orders"], ctx.tables["lineitem"]
+    membership = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    totals = membership.groupBy("seg").agg(F.count("*").alias("total"))
+    a = membership.alias("a")
+    b = membership.alias("b")
+    shared = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.seg") < F.col("b.seg")))
+        .groupBy(F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    ta = totals.alias("ta")
+    tb = totals.alias("tb")
+    return (
+        shared.join(F.broadcast(ta), F.col("seg_a") == F.col("ta.seg"))
+        .join(F.broadcast(tb), F.col("seg_b") == F.col("tb.seg"))
+        .select(
+            "seg_a",
+            "seg_b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("ta.total"), F.col("tb.total")).cast("double"),
+                6,
+            ).alias("affinity"),
+        )
+    )
+
+
+@query(
+    "j8_stale_anti_join",
+    oracle="""
+WITH building_parts AS (
+  SELECT DISTINCT l.l_partkey
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 5000.0
+)
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS missing
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM building_parts b WHERE b.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+""",
+)
+def j8_stale_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: stale/missing-derivation detection as a left-anti join
+    (`schema/00_baseline.sql:3414-3540`): parts with no evidence in the
+    BUILDING scope (non-empty at every sf, unlike never-ordered parts)."""
+    ctx = Ctx.get(spark, sf_dir)
+    c, o, l, p = (
+        ctx.tables["customer"],
+        ctx.tables["orders"],
+        ctx.tables["lineitem"],
+        ctx.tables["part"],
+    )
+    building_parts = (
+        c.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000.0))
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        p.join(building_parts, p.p_partkey == building_parts.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("missing"))
+    )
+
+
+_INCOMING_N = 24
+
+
+@query(
+    "j9_two_tier_matcher",
+    oracle=graph_ctes()
+    + f""",
+incoming AS (
+  SELECT i AS incoming_id, 'inc:' || i AS seed,
+         CASE WHEN i % 5 = 0 THEN 'HOUSEHOLD' WHEN i % 5 = 1 THEN 'BUILDING'
+              WHEN i % 5 = 2 THEN 'AUTOMOBILE' WHEN i % 5 = 3 THEN 'FURNITURE'
+              ELSE 'MACHINERY' END AS ontology
+  FROM generate_series(0, {_INCOMING_N - 1}) AS g(i)
+),
+inc_emb AS (
+  SELECT incoming_id, ontology, list_transform(raw, x -> x / norm) AS emb FROM
+  (SELECT incoming_id, ontology, raw, {osql.l2_norm_sql('raw')} AS norm FROM
+   (SELECT incoming_id, ontology, {osql.raw_vec_sql('seed')} AS raw FROM incoming) t1) t2
+),
+cand AS (SELECT node_id, ontology, emb FROM {osql.unit_vec_cte('node_id', 'node_id, ontology', "(SELECT * FROM nodes WHERE label = 'Customer')")} c),
+scored AS (
+  SELECT i.incoming_id, c.node_id, round({osql.dot_sql('i.emb', 'c.emb')}, 6) AS sim,
+         (i.ontology = c.ontology) AS label_match
+  FROM inc_emb i CROSS JOIN cand c
+),
+tiered AS (
+  SELECT *, CASE WHEN sim >= 0.5 THEN 'strict'
+                 WHEN sim >= 0.3 AND label_match THEN 'label_boost' END AS tier
+  FROM scored
+  WHERE sim >= 0.5 OR (sim >= 0.3 AND label_match)
+)
+SELECT incoming_id, node_id, sim, tier
+FROM (SELECT *, row_number() OVER (PARTITION BY incoming_id ORDER BY sim DESC, node_id) AS rn FROM tiered)
+WHERE rn = 1
+""",
+)
+def j9_two_tier_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/V4: the concept dedup-merge matcher — accept a candidate at
+    strict similarity ≥0.5, or ≥0.3 with matching label/ontology; best
+    match per incoming (`/root/reference/api/app/lib/concept_matcher.py:
+    135-228`, thresholds rescaled to the 16-dim space). Incoming batch is
+    tiny → broadcast; candidates scanned once. At 100 TB the cross score
+    would be LSH-blocked (see operators/dedup.py) — same contract."""
+    ctx = Ctx.get(spark, sf_dir)
+    segs = ["HOUSEHOLD", "BUILDING", "AUTOMOBILE", "FURNITURE", "MACHINERY"]
+    inc = spark.createDataFrame(
+        [(i, f"inc:{i}", segs[i % 5]) for i in range(_INCOMING_N)],
+        "incoming_id long, seed string, ontology string",
+    )
+    inc = with_unit_vec(inc, "seed", out_col="emb").drop("seed")
+    cand = ctx.nodes_emb.filter(F.col("label") == "Customer").select(
+        "node_id", F.col("ontology").alias("c_ontology"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(inc))
+        .withColumn("sim", F.round(dot_expr("emb", "c_emb"), 6))
+        .withColumn("label_match", F.col("ontology") == F.col("c_ontology"))
+    )
+    tiered = scored.filter(
+        (F.col("sim") >= 0.5) | ((F.col("sim") >= 0.3) & F.col("label_match"))
+    ).withColumn(
+        "tier",
+        F.when(F.col("sim") >= 0.5, "strict").otherwise(
+            F.when((F.col("sim") >= 0.3) & F.col("label_match"), "label_boost")
+        ),
+    )
+    w = Window.partitionBy("incoming_id").orderBy(F.col("sim").desc(), F.col("node_id"))
+    return (
+        tiered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("incoming_id", "node_id", "sim", "tier")
+    )

@@ -170,4 +170,5 @@ def graph_ctes(*extra: str) -> str:
         f"vocab AS ({VOCAB_CTE})",
         *extra,
     ]
-    return "WITH " + ",\n".join(parts)
+    # RECURSIVE is harmless when unused and required when a later CTE recurses
+    return "WITH RECURSIVE " + ",\n".join(parts)
