@@ -14,9 +14,16 @@ import time
 sys.path.insert(0, "/root/repo")
 
 HEADLINE = [
-    "v1_vector_search",
-    "v5_smell_test",
-    "v8_threshold_hint",
+    "q1_pricing_summary",      # scan-heavy aggregation
+    "j1_evidence_join",        # 4-way join
+    "j5_cross_ontology_affinity",  # self-join aggregation
+    "v1_vector_search",        # vector scan + top-k
+    "g1_bfs_out_depth3",       # iterative traversal
+    "a2a3_confidence_score",   # per-node signal aggregation
+    "a4_grounding",            # broadcast-join weighted aggregation
+    "d_minhash_lsh",           # shuffle-heavy near-dup pipeline
+    "ann_ivf_topk",            # pruned similarity search
+    "st_session_window",       # stateful session windowing
 ]
 
 

@@ -1,1 +1,162 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over embedding columns (training-data pipeline ops).
+
+- Brute-force cosine top-k: the exact baseline — one codegen'd scan +
+  per-query TakeOrdered. This is also the reference's own search shape
+  (`/root/reference/api/app/lib/age_client/query.py:35-119`), minus the
+  Python loop.
+- IVF (inverted-file) variant: the 100 TB path — coarse-quantize every
+  vector to its nearest centroid ONCE (write-time in a real pipeline),
+  then probe only the nprobe closest centroid buckets per query. Recall
+  < 1 by design; the oracle reproduces the same algorithm so the
+  correctness check pins the semantics, not just the happy numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import Ctx, query
+
+_QUERY_IDS = [0, 1, 2]
+_TOPK = 10
+_NPROBE = 2
+
+_COS = (
+    "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    " / nullif(sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+    " * sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)), 0D), 6)"
+)
+
+
+def _vectors(ctx: Ctx) -> DataFrame:
+    return ctx.tables["embeddings"].select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+
+
+def brute_topk(vectors: DataFrame, queries: DataFrame, k: int = _TOPK) -> DataFrame:
+    """Exact top-k per query: broadcast the query set, score every vector
+    once, per-query window top-k (tie-break vec_id)."""
+    scored = (
+        vectors.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+@query(
+    "ann_brute_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(qv, v)
+               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)), 0), 6) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOPK}
+""",
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = Ctx.get(spark, sf_dir)
+    vecs = _vectors(ctx)
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return brute_topk(vecs.drop("label"), queries)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cdim AS (
+  SELECT label, d, avg(v[d]) AS cv
+  FROM e, generate_series(1, 64) AS g(d) GROUP BY label, d
+),
+cent AS (SELECT label, list(cv ORDER BY d) AS cv FROM cdim GROUP BY label),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, c.label,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(qv, cv)
+               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0), 6) DESC,
+             c.label) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(qv, v)
+               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)), 0), 6) AS cos
+  FROM e
+  JOIN probe p ON p.label = e.label
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOPK}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: label-centroid coarse quantizer, probe the 2 nearest
+    buckets, exact rerank inside. At 100 TB the bucket assignment is a
+    write-time column and each probe is a partition-pruned scan —
+    cost ~ nprobe/nlist of brute force."""
+    ctx = Ctx.get(spark, sf_dir)
+    vecs = _vectors(ctx)
+    # centroids: elementwise mean per label (posexplode → avg → reassemble)
+    cdim = (
+        vecs.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("cv"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, cv))), s -> s.cv)").alias("cv")
+    )
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_scored = cent.join(F.broadcast(queries)).withColumn(
+        "ccos",
+        F.expr(
+            "round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            " / nullif(sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+            " * sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x)), 0D), 6)"
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probe = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("query_id", "label")
+    )
+    scored = (
+        vecs.join(F.broadcast(probe), "label")
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -1,0 +1,247 @@
+"""GraphProgram DSL: set algebra over working subgraphs (SURVEY.md §2.7).
+
+Reference semantics (ADR-500) reproduced operator-for-operator:
+- SO1 `+` union-merge (W wins on key collision), SO2 `-` difference with
+  dangling-link cascade, SO3 `&` intersect, SO4 `?` optional union,
+  SO5 `!` assert-union (abort on empty)
+  (`/root/reference/api/app/services/program_operators.py:42-137`).
+- SO6 conditionals has_results/empty/count_gte/count_lte with then/else
+  branches, nesting ≤ 3 (`program_executor.py:198-221`,
+  `models/program.py:107,126-154`).
+- SO7 sequential executor with per-step log (op, rows affected, working
+  size, ms) and timeout (60 s default, `program_executor.py:43`).
+- SO8 validator: structural + safety (op whitelist, op count ≤ 50,
+  nesting depth) (`program_validator.py:92-676`).
+- SO9 dispatch ops: each statement's result set R comes from an engine
+  operator (vector search, BFS neighborhood, node match) instead of the
+  reference's guarded Cypher (`program_dispatch.py:193-394`).
+
+The working graph W is a pair of DataFrames (nodes keyed by node_id,
+links keyed by (src, rel_type, dst)); every operator is a distributed
+set op (unionByName/left_semi/left_anti + dropDuplicates), so a program
+over a 100 TB graph never materializes W on the driver — only counts.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_OPS = 50
+MAX_NESTING = 3
+DEFAULT_TIMEOUT_S = 60.0
+_OPS = ("+", "-", "&", "?", "!")
+_CONDS = ("has_results", "empty", "count_gte", "count_lte")
+
+
+class ProgramValidationError(ValueError):
+    pass
+
+
+class ProgramAborted(RuntimeError):
+    """SO5 `!` assert produced an empty result set."""
+
+
+@dataclass
+class WorkingGraph:
+    """W: nodes(node_id, ...) + links(src, dst, rel_type, ...)."""
+
+    nodes: DataFrame
+    links: DataFrame
+
+    def _prune_dangling(self) -> "WorkingGraph":
+        """Dangling-link invariant: every link endpoint must exist in the
+        node set (`program_operators.py:42-53`)."""
+        ids = self.nodes.select("node_id")
+        links = self.links.join(
+            F.broadcast(ids.withColumnRenamed("node_id", "src")), "src", "left_semi"
+        ).join(F.broadcast(ids.withColumnRenamed("node_id", "dst")), "dst", "left_semi")
+        return WorkingGraph(self.nodes, links)
+
+
+@dataclass
+class Result:
+    """R: one statement's result set."""
+
+    nodes: DataFrame
+    links: DataFrame | None = None
+
+
+def op_union(w: WorkingGraph, r: Result) -> WorkingGraph:
+    """SO1 `+`: merge R into W, dedup by key, W wins (union keeps the
+    first occurrence → W's rows listed first)."""
+    nodes = w.nodes.unionByName(
+        r.nodes.join(w.nodes.select("node_id"), "node_id", "left_anti"),
+        allowMissingColumns=True,
+    )
+    links = w.links
+    if r.links is not None:
+        links = w.links.unionByName(
+            r.links.join(
+                w.links.select("src", "dst", "rel_type"),
+                ["src", "dst", "rel_type"],
+                "left_anti",
+            ),
+            allowMissingColumns=True,
+        )
+    return WorkingGraph(nodes, links)._prune_dangling()
+
+
+def op_difference(w: WorkingGraph, r: Result) -> WorkingGraph:
+    """SO2 `-`: remove R's nodes from W; dangling links cascade."""
+    nodes = w.nodes.join(r.nodes.select("node_id"), "node_id", "left_anti")
+    return WorkingGraph(nodes, w.links)._prune_dangling()
+
+
+def op_intersect(w: WorkingGraph, r: Result) -> WorkingGraph:
+    """SO3 `&`: keep only W nodes present in R."""
+    nodes = w.nodes.join(r.nodes.select("node_id"), "node_id", "left_semi")
+    return WorkingGraph(nodes, w.links)._prune_dangling()
+
+
+def op_optional(w: WorkingGraph, r: Result) -> WorkingGraph:
+    """SO4 `?`: union iff R non-empty, else no-op."""
+    if r.nodes.isEmpty():
+        return w
+    return op_union(w, r)
+
+
+def op_assert(w: WorkingGraph, r: Result) -> WorkingGraph:
+    """SO5 `!`: union iff R non-empty, else abort the program."""
+    if r.nodes.isEmpty():
+        raise ProgramAborted("assert operator received an empty result set")
+    return op_union(w, r)
+
+
+_APPLY = {
+    "+": op_union,
+    "-": op_difference,
+    "&": op_intersect,
+    "?": op_optional,
+    "!": op_assert,
+}
+
+
+# ---------------------------------------------------------------------------
+# Validator (SO8)
+# ---------------------------------------------------------------------------
+
+def validate_program(statements: list[dict[str, Any]]) -> None:
+    """Structural + safety validation before any execution (3-layer model
+    of `program_validator.py:92-676`, minus pydantic)."""
+    count = _validate_block(statements, depth=0)
+    if count > MAX_OPS:
+        raise ProgramValidationError(f"program has {count} ops (max {MAX_OPS})")
+
+
+def _validate_block(statements: Any, depth: int) -> int:
+    if depth > MAX_NESTING:
+        raise ProgramValidationError(f"conditional nesting exceeds {MAX_NESTING}")
+    if not isinstance(statements, list) or not statements:
+        raise ProgramValidationError("program block must be a non-empty list")
+    n = 0
+    for st in statements:
+        if not isinstance(st, dict):
+            raise ProgramValidationError("statement must be a dict")
+        if "if" in st:
+            cond = st["if"]
+            if not isinstance(cond, dict) or cond.get("cond") not in _CONDS:
+                raise ProgramValidationError(f"unknown condition {cond!r}")
+            if cond["cond"] in ("count_gte", "count_lte") and "value" not in cond:
+                raise ProgramValidationError(f"{cond['cond']} requires a value")
+            if "source" not in st:
+                raise ProgramValidationError("conditional needs a source")
+            n += 1 + _validate_block(st.get("then", []), depth + 1)
+            if "else" in st:
+                n += _validate_block(st["else"], depth + 1)
+        else:
+            if st.get("op") not in _OPS:
+                raise ProgramValidationError(f"unknown operator {st.get('op')!r}")
+            if "source" not in st:
+                raise ProgramValidationError("statement needs a source")
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Executor (SO6/SO7)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StepLog:
+    op: str
+    result_rows: int
+    working_nodes: int
+    ms: float
+
+
+@dataclass
+class ProgramResult:
+    working: WorkingGraph
+    log: list[StepLog] = field(default_factory=list)
+    aborted: bool = False
+    abort_reason: str | None = None
+
+
+def execute_program(
+    statements: list[dict[str, Any]],
+    dispatch,
+    initial: WorkingGraph,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+) -> ProgramResult:
+    """Run validated statements sequentially. `dispatch(source) -> Result`
+    supplies each statement's R from an engine operator (SO9)."""
+    validate_program(statements)
+    res = ProgramResult(working=initial)
+    deadline = time.monotonic() + timeout_s
+    try:
+        _run_block(statements, dispatch, res, deadline)
+    except ProgramAborted as exc:
+        res.aborted = True
+        res.abort_reason = str(exc)
+    return res
+
+
+def _run_block(statements, dispatch, res: ProgramResult, deadline: float) -> None:
+    for st in statements:
+        if time.monotonic() > deadline:
+            raise ProgramAborted("program timeout exceeded")
+        t0 = time.perf_counter()
+        r = dispatch(st["source"])
+        if "if" in st:
+            cond = st["if"]
+            n = r.nodes.count()
+            ok = {
+                "has_results": n > 0,
+                "empty": n == 0,
+                "count_gte": n >= cond.get("value", 0),
+                "count_lte": n <= cond.get("value", 0),
+            }[cond["cond"]]
+            branch = st.get("then", []) if ok else st.get("else", [])
+            res.log.append(
+                StepLog(f"if:{cond['cond']}", n, res.working.nodes.count(), _ms(t0))
+            )
+            if branch:
+                _run_block(branch, dispatch, res, deadline)
+        else:
+            res.working = _APPLY[st["op"]](res.working, r)
+            # localCheckpoint: cut lineage so long programs don't build
+            # mile-deep plans (the engine analog of the reference's
+            # per-statement materialized WorkingGraph)
+            res.working = WorkingGraph(
+                res.working.nodes.localCheckpoint(eager=True),
+                res.working.links.localCheckpoint(eager=True),
+            )
+            res.log.append(
+                StepLog(
+                    st["op"], r.nodes.count(), res.working.nodes.count(), _ms(t0)
+                )
+            )
+
+
+def _ms(t0: float) -> float:
+    return round((time.perf_counter() - t0) * 1000, 1)

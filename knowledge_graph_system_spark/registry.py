@@ -98,6 +98,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         multimodal,
         scores,
+        setops,
         textstats,
         traversal,
         vector,

@@ -1,0 +1,61 @@
+"""Dedup primitives + multimodal decode plumbing unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.operators.dedup import (
+    doc_shingles,
+    lsh_candidates,
+    minhash_signatures,
+    verify_jaccard,
+)
+from knowledge_graph_system_spark.operators.multimodal import decode_features
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the quiet river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the quiet river bend"),  # near-dup of 0
+        (2, "completely different words about spark catalyst optimizer and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(doc_shingles(docs)).collect()
+    s0 = [r for r in sigs if r["doc_id"] == 0][0]
+    s1 = [r for r in sigs if r["doc_id"] == 1][0]
+    assert [s0[f"h{i}"] for i in range(8)] == [s1[f"h{i}"] for i in range(8)]
+
+
+def test_lsh_finds_near_dup_and_jaccard_verifies(spark):
+    docs = _docs(spark)
+    sh = doc_shingles(docs)
+    cand = lsh_candidates(minhash_signatures(sh))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (0, 1) in pairs
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in verify_jaccard(cand, sh).collect()
+    }
+    assert verified[(0, 1)] > 0.5
+    assert all(j <= 1.0 for j in verified.values())
+
+
+def test_decode_features_checksum_matches_python(spark):
+    docs = _docs(spark)
+    feats = {r["doc_id"]: r for r in decode_features(docs).collect()}
+    for row in docs.collect():
+        b = row["text"].encode()
+        f = feats[row["doc_id"]]
+        assert f["n_bytes"] == len(b)
+        assert f["checksum"] == sum(b) % 65521
+        assert f["feature"] == [
+            float(sum(b[0::4]) % 997),
+            float(sum(b[1::4]) % 997),
+            float(sum(b[2::4]) % 997),
+            float(sum(b[3::4]) % 997),
+        ]

@@ -1,0 +1,76 @@
+"""Structured Streaming: watermark + late-data handling (ST4).
+
+Drives `stream_hourly_counts` end-to-end: two parquet micro-batches
+through a file stream with maxFilesPerTrigger=1. APPEND mode is used
+because that is where the watermark actually FILTERS late input — in
+update mode Spark only evicts state at end-of-batch and still folds a
+late row into restored state (verified empirically on 4.1: the
+numRowsDroppedByWatermark counter stays 0 in update mode)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.streaming.windows import stream_hourly_counts
+
+T0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # batch 0: three on-time events in hour T0, one at T0+10h (advances
+    # the watermark to T0+9h once the batch commits). The filter for
+    # batch N uses batch N−1's committed watermark — one batch of lag —
+    # so an intermediate batch 1 lets the advanced watermark take effect
+    # before the late row arrives in batch 2.
+    _mk_events(
+        spark, [T0, T0 + dt.timedelta(minutes=5), T0 + dt.timedelta(minutes=10), T0 + dt.timedelta(hours=10)]
+    ).coalesce(1).write.parquet(src + "/b=0")
+    time.sleep(1.1)
+    _mk_events(spark, [T0 + dt.timedelta(hours=10, minutes=2)], ).coalesce(1).write.parquet(src + "/b=1")
+    time.sleep(1.1)
+    # batch 2: one event 9h LATE back in hour T0 (far behind the T0+9h
+    # watermark → filtered) and one fresh event at T0+10h05
+    _mk_events(spark, [T0 + dt.timedelta(minutes=20), T0 + dt.timedelta(hours=10, minutes=5)]).coalesce(
+        1
+    ).write.parquet(src + "/b=2")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_hourly_counts(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        r["window_start"]: r["n_events"] for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    # append mode: the hour-T0 window finalized when the watermark passed
+    # its end, with exactly the 3 on-time events — the late 4th dropped
+    assert out.get("2024-06-01 00:00:00") == 3, out
+    # the hour-10 window is still open (watermark < its end) → not emitted
+    assert "2024-06-01 10:00:00" not in out, out

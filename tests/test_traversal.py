@@ -1,0 +1,89 @@
+"""Traversal invariants from FIXTURES.md's cheatsheet (the rules the
+reference itself enforces, `graph-accel/docs/DESIGN.md:279-283`,
+`benchmark-findings.md:171-208`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.operators.traversal import (
+    bfs,
+    degrees,
+    directed_edges,
+    enumerate_paths,
+    shortest_path_length,
+    subgraph,
+)
+
+START = "C1"
+
+
+def test_depth1_equals_single_join(ctx):
+    via_bfs = {
+        r["node_id"]
+        for r in bfs(ctx.edges, [START], 1).filter(F.col("dist") == 1).collect()
+    }
+    via_join = {
+        r["dst"] for r in ctx.edges.filter(F.col("src") == START).select("dst").collect()
+    }
+    assert via_bfs == via_join
+
+
+def test_out_union_in_equals_both(ctx):
+    out_n = {r["node_id"] for r in bfs(ctx.edges, [START], 2, "out").collect()}
+    in_n = {r["node_id"] for r in bfs(ctx.edges, [START], 2, "in").collect()}
+    both = {r["node_id"] for r in bfs(ctx.edges, [START], 2, "both").collect()}
+    # both-direction BFS can reach more (mixed-direction paths), never less
+    assert (out_n | in_n) <= both
+
+
+def test_confidence_filter_monotonic(ctx):
+    lo = {r["node_id"] for r in bfs(ctx.edges, [START], 2, min_confidence=0.3).collect()}
+    hi = {r["node_id"] for r in bfs(ctx.edges, [START], 2, min_confidence=0.9).collect()}
+    assert hi <= lo
+
+
+def test_null_confidence_passes(ctx):
+    kept = directed_edges(ctx.edges, "out", min_confidence=0.99)
+    assert kept.filter(F.col("src").isNull()).count() == 0
+    nulls_before = ctx.edges.filter(F.col("confidence").isNull()).count()
+    nulls_after = (
+        ctx.edges.filter((F.col("confidence") >= 0.99) | F.col("confidence").isNull())
+        .filter(F.col("confidence").isNull())
+        .count()
+    )
+    assert nulls_before == nulls_after > 0
+
+
+def test_shortest_path_matches_bfs_dist(ctx):
+    sp = shortest_path_length(ctx.edges, START, "S1", max_hops=6).collect()
+    via_bfs = (
+        bfs(ctx.edges, [START], 6).filter(F.col("node_id") == "S1").collect()
+    )
+    assert sp and via_bfs and sp[0]["dist"] == via_bfs[0]["dist"]
+
+
+def test_k_shortest_sorted_and_simple(ctx):
+    paths = enumerate_paths(ctx.edges, START, "S1", max_hops=4, k=5).collect()
+    assert paths
+    hops = [p["hops"] for p in paths]
+    assert hops == sorted(hops)
+    for p in paths:
+        seq = p["path"].split(">")
+        assert len(seq) == len(set(seq)), "path must be simple (no repeated node)"
+        assert seq[0] == START and seq[-1] == "S1"
+
+
+def test_subgraph_endpoints_inside_node_set(ctx, spark):
+    nset = bfs(ctx.edges, [START], 2)
+    sub = subgraph(ctx.edges, nset)
+    ids = {r["node_id"] for r in nset.collect()}
+    for e in sub.collect():
+        assert e["src"] in ids and e["dst"] in ids
+
+
+def test_degrees_sum_to_edge_count(ctx):
+    d = degrees(ctx.edges)
+    total = d.agg(F.sum("out_degree").alias("o"), F.sum("in_degree").alias("i")).collect()[0]
+    n_edges = ctx.edges.count()
+    assert total["o"] == n_edges == total["i"]
