@@ -63,22 +63,33 @@ class Ctx:
     # cache is per-executor columnar blocks; embeddings would normally be
     # precomputed in storage rather than derived per query.
 
+    def _nparts(self) -> int:
+        return self.spark.sparkContext.defaultParallelism
+
     @property
     def nodes(self) -> DataFrame:
         if not hasattr(self, "_nodes"):
-            self._nodes = nodes_df(self.tables).cache()
+            # repartition by key before caching: the single-file parquet
+            # scan yields few splits, which would serialize every
+            # downstream op on the cached data; hash-partitioning by
+            # node_id is also the layout the iterative BFS joins want
+            self._nodes = nodes_df(self.tables).repartition(self._nparts(), "node_id").cache()
         return self._nodes
 
     @property
     def edges(self) -> DataFrame:
         if not hasattr(self, "_edges"):
-            self._edges = edges_df(self.tables).cache()
+            self._edges = edges_df(self.tables).repartition(self._nparts(), "src").cache()
         return self._edges
 
     @property
     def nodes_emb(self) -> DataFrame:
         if not hasattr(self, "_nodes_emb"):
-            self._nodes_emb = nodes_with_embeddings(self.tables).cache()
+            self._nodes_emb = (
+                nodes_with_embeddings(self.tables)
+                .repartition(self._nparts(), "node_id")
+                .cache()
+            )
         return self._nodes_emb
 
     @property
