@@ -160,3 +160,116 @@ def v5_smell_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("HIGH")
         .alias("cognitive_leap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V2 — source-chunk search (chunk → embed → score → best-chunk-per-doc,
+#      with stale-hash detection) and V6 — synonym detection
+# ---------------------------------------------------------------------------
+
+from ..functions.text import chunk_sql  # noqa: E402
+from ..functions.vectors import with_unit_vec  # noqa: E402
+
+_V2_SEED = "query:chunks"
+
+
+@query(
+    "v2_chunk_search",
+    oracle="WITH "
+    + chunk_sql(20).strip().lstrip()
+    + f""",
+cemb AS (
+  SELECT doc_id, chunk_index, emb FROM
+  (SELECT doc_id, chunk_index, list_transform(raw, x -> x / norm) AS emb FROM
+   (SELECT doc_id, chunk_index, raw, {osql.l2_norm_sql('raw')} AS norm FROM
+    (SELECT doc_id, chunk_index, {osql.raw_vec_sql("doc_id || ':' || chunk_index")} AS raw
+     FROM chunks) t1) t2) t3
+),
+q AS (SELECT list_transform(raw, x -> x / norm) AS qv FROM
+      (SELECT raw, {osql.l2_norm_sql('raw')} AS norm FROM
+       (SELECT {osql.raw_vec_sql("'" + _V2_SEED + "'")} AS raw) t1) t2),
+scored AS (
+  SELECT doc_id, chunk_index, round({osql.dot_sql('emb', 'qv')}, 6) AS sim
+  FROM cemb, q
+),
+best AS (
+  SELECT doc_id, chunk_index, sim,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, chunk_index) AS rn
+  FROM scored
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(b.chunk_index AS INT) AS chunk_index, b.sim,
+       (substr(md5(b.doc_id || ':stale'), 1, 1) IN ('0', '1')) AS stale
+FROM best b
+WHERE b.rn = 1 AND b.sim >= 0.3
+""",
+)
+def v2_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 source-chunk search (`/root/reference/api/app/routes/queries.py:
+    350-460`): chunk documents (F3, 20-word windows), deterministic chunk
+    embeddings, cosine vs query, threshold, best-chunk-per-source window,
+    and the stale-content-hash flag (~12.5% pseudo-stale mirrors the
+    reference's source_hash mismatch detection)."""
+    from ..functions.text import chunk_by_count
+
+    ctx = Ctx.get(spark, sf_dir)
+    chunks = chunk_by_count(ctx.tables["documents"])
+    cemb = with_unit_vec(
+        chunks.withColumn(
+            "_seed", F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_index").cast("string"))
+        ),
+        "_seed",
+        out_col="emb",
+    )
+    scored = cemb.withColumn("_q", lit_vec(unit_vec_py(_V2_SEED))).withColumn(
+        "sim", F.round(dot_expr("emb", "_q"), 6)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), "chunk_index")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("sim") >= 0.3))
+        .select(
+            "doc_id",
+            "chunk_index",
+            "sim",
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":stale"))), 1, 1)
+            .isin("0", "1")
+            .alias("stale"),
+        )
+    )
+
+
+@query(
+    "v6_synonym_detection",
+    oracle=graph_ctes()
+    + f""",
+vemb AS (SELECT rel_type, emb FROM {osql.unit_vec_cte("'vocab:' || rel_type", 'rel_type', 'vocab')} v)
+SELECT a.rel_type AS rel_a, b.rel_type AS rel_b,
+       round({osql.dot_sql('a.emb', 'b.emb')}, 6) AS sim,
+       CASE WHEN round({osql.dot_sql('a.emb', 'b.emb')}, 6) >= 0.35 THEN 'strong'
+            WHEN round({osql.dot_sql('a.emb', 'b.emb')}, 6) >= 0.1 THEN 'moderate'
+            ELSE 'weak' END AS strength
+FROM vemb a JOIN vemb b ON a.rel_type < b.rel_type
+""",
+)
+def v6_synonym_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 synonym detection (`/root/reference/api/app/lib/
+    synonym_detector.py:196-700`): pairwise rel-type embedding similarity
+    with strength tiers; vocabulary-sized crossJoin (36 pairs)."""
+    ctx = Ctx.get(spark, sf_dir)
+    v = ctx.vocab.select("rel_type", "embedding")
+    a = v.select(F.col("rel_type").alias("rel_a"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("rel_type").alias("rel_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("rel_a") < F.col("rel_b")).withColumn(
+        "sim", F.round(dot_expr("ea", "eb"), 6)
+    )
+    return pairs.select(
+        "rel_a",
+        "rel_b",
+        "sim",
+        F.when(F.col("sim") >= 0.35, "strong")
+        .when(F.col("sim") >= 0.1, "moderate")
+        .otherwise("weak")
+        .alias("strength"),
+    )

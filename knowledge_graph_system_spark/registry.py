@@ -104,16 +104,18 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         aggregates,
         ann,
+        catalog,
         dedup,
         filters,
         joins,
         multimodal,
+        projection,
         scores,
         setops,
         textstats,
         traversal,
         vector,
     )
-    from .streaming import windows  # noqa: F401
+    from .streaming import epochs, windows  # noqa: F401
 
     return QUERIES

@@ -1,0 +1,110 @@
+"""Full-graph export / import / GEXF (SURVEY.md §2.1 S4/S5/S6).
+
+Reference parity:
+- S4 kg_backup v2: versioned JSON export of nodes/edges/vocab with a
+  manifest (`/root/reference/api/lib/serialization/exporter.py:57-974`,
+  `build_kg_backup_v2:779`).
+- S5 import/restore with ID remap
+  (`api/lib/serialization/importer.py`, `api/lib/id_remap.py`).
+- S6 GEXF export with per-ontology coloring
+  (`api/app/lib/gexf_exporter.py:219-427`).
+
+Spark-first: export is `df.write.json` per entity (distributed, no
+driver bottleneck); the manifest is the only driver-side artifact.
+Import is `spark.read.json` + dedup + remap joins. GEXF is inherently a
+single-document format → collect a BOUNDED subgraph only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMAT_VERSION = 2
+
+
+def export_graph(
+    nodes: DataFrame, edges: DataFrame, vocab: DataFrame, out_dir: str, epoch: int = 0
+) -> dict:
+    """kg_backup-v2-shaped export: one JSON dataset per entity + manifest."""
+    nodes.write.mode("overwrite").json(os.path.join(out_dir, "nodes"))
+    edges.write.mode("overwrite").json(os.path.join(out_dir, "edges"))
+    vocab.drop("embedding").write.mode("overwrite").json(os.path.join(out_dir, "vocabulary"))
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "epoch": epoch,
+        "counts": {
+            "nodes": nodes.count(),
+            "edges": edges.count(),
+            "vocabulary": vocab.count(),
+        },
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def import_graph(
+    spark: SparkSession, in_dir: str, id_prefix: str | None = None
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Restore nodes/edges from an export; `id_prefix` is the ID-remap
+    hook (the reference remaps colliding ids on restore,
+    `api/lib/id_remap.py`) — here a deterministic prefix rewrite applied
+    consistently to node ids and both edge endpoints."""
+    with open(os.path.join(in_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    if manifest.get("format_version") != FORMAT_VERSION:
+        raise ValueError(f"unsupported backup version {manifest.get('format_version')}")
+    nodes = spark.read.json(os.path.join(in_dir, "nodes"))
+    edges = spark.read.json(os.path.join(in_dir, "edges"))
+    if id_prefix:
+        nodes = nodes.withColumn("node_id", F.concat(F.lit(id_prefix), F.col("node_id")))
+        edges = edges.withColumn("src", F.concat(F.lit(id_prefix), F.col("src"))).withColumn(
+            "dst", F.concat(F.lit(id_prefix), F.col("dst"))
+        )
+    nodes = nodes.dropDuplicates(["node_id"])
+    return nodes, edges, manifest
+
+
+_PALETTE = [
+    (228, 26, 28), (55, 126, 184), (77, 175, 74), (152, 78, 163),
+    (255, 127, 0), (255, 255, 51), (166, 86, 40), (247, 129, 191),
+]
+
+
+def to_gexf(nodes: DataFrame, edges: DataFrame, max_nodes: int = 1000) -> str:
+    """Bounded GEXF document with per-ontology coloring (S6). Collects at
+    most max_nodes (deterministic order) — GEXF is a visualization
+    hand-off, never a bulk path."""
+    nrows = nodes.orderBy("node_id").limit(max_nodes).collect()
+    ids = {r["node_id"] for r in nrows}
+    erows = [
+        e
+        for e in edges.select("src", "dst", "rel_type").collect()
+        if e["src"] in ids and e["dst"] in ids
+    ]
+    onts = sorted({r["ontology"] for r in nrows})
+    color = {o: _PALETTE[i % len(_PALETTE)] for i, o in enumerate(onts)}
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gexf xmlns="http://gexf.net/1.3" xmlns:viz="http://gexf.net/1.3/viz" version="1.3">',
+        '<graph defaultedgetype="directed">',
+        "<nodes>",
+    ]
+    for r in nrows:
+        c = color[r["ontology"]]
+        out.append(
+            f'<node id="{escape(r["node_id"])}" label="{escape(str(r["name"]))}">'
+            f'<viz:color r="{c[0]}" g="{c[1]}" b="{c[2]}"/></node>'
+        )
+    out.append("</nodes>\n<edges>")
+    for i, e in enumerate(erows):
+        out.append(
+            f'<edge id="{i}" source="{escape(e["src"])}" target="{escape(e["dst"])}" label="{escape(e["rel_type"])}"/>'
+        )
+    out.append("</edges>\n</graph>\n</gexf>")
+    return "\n".join(out)

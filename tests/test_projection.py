@@ -1,0 +1,76 @@
+"""Projection + DBSCAN invariants (reference's seeded-numpy test model,
+`/root/reference/tests/test_clustering.py`)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.operators.projection import dbscan, project_embeddings
+
+
+def _clustered(spark):
+    """Two tight clusters + one outlier per group, deterministic."""
+    rows = []
+    for g in ("g1", "g2"):
+        base = 1.0 if g == "g1" else -1.0
+        for i in range(6):
+            rows.append((g, f"{g}-a{i}", [base + 0.01 * i, 0.0, 0.0]))
+        for i in range(6):
+            rows.append((g, f"{g}-b{i}", [0.0, base + 0.01 * i, 0.0]))
+        rows.append((g, f"{g}-noise", [50.0 * base, -40.0, 30.0]))
+    return spark.createDataFrame(
+        rows, "ontology string, node_id string, embedding array<double>"
+    )
+
+
+def test_dbscan_partitions_all_points(spark):
+    df = _clustered(spark)
+    out = dbscan(df, min_pts=3).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["ontology"], []).append(r["cluster"])
+    for g, labels in by_group.items():
+        n = len(labels)
+        noise = sum(1 for c in labels if c == -1)
+        sizes = {}
+        for c in labels:
+            if c != -1:
+                sizes[c] = sizes.get(c, 0) + 1
+        # FIXTURES invariant: noise + Σ cluster sizes == N
+        assert noise + sum(sizes.values()) == n == 13
+        assert len(sizes) == 2, f"{g}: expected 2 clusters, got {sizes}"
+        assert noise == 1
+
+
+def test_dbscan_deterministic(spark):
+    df = _clustered(spark)
+    a = sorted(map(tuple, dbscan(df, min_pts=3).collect()))
+    b = sorted(map(tuple, dbscan(df, min_pts=3).collect()))
+    assert a == b
+
+
+def test_projection_shape_and_determinism(spark):
+    df = _clustered(spark)
+    out = project_embeddings(df).collect()
+    assert len(out) == 26
+    for r in out:
+        assert math.isfinite(r["x"]) and math.isfinite(r["y"])
+    again = project_embeddings(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_projection_separates_clusters(spark):
+    df = _clustered(spark).filter(F.col("ontology") == "g1").filter(
+        ~F.col("node_id").contains("noise")
+    )
+    pts = {r["node_id"]: (r["x"], r["y"]) for r in project_embeddings(df).collect()}
+    a = [v for k, v in pts.items() if "-a" in k]
+    b = [v for k, v in pts.items() if "-b" in k]
+    ca = (sum(x for x, _ in a) / len(a), sum(y for _, y in a) / len(a))
+    cb = (sum(x for x, _ in b) / len(b), sum(y for _, y in b) / len(b))
+    spread_a = max(abs(x - ca[0]) + abs(y - ca[1]) for x, y in a)
+    spread_b = max(abs(x - cb[0]) + abs(y - cb[1]) for x, y in b)
+    dist = abs(ca[0] - cb[0]) + abs(ca[1] - cb[1])
+    assert dist > 3 * max(spread_a, spread_b)
