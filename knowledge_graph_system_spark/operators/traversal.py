@@ -29,6 +29,14 @@ from ..sources.graph_view import graph_ctes
 # a mile-long plan (replaces the reference's generation bookkeeping)
 _CHECKPOINT_EVERY = 4
 
+# above this frontier size, stop broadcasting and let the planner shuffle:
+# a 100 TB graph can saturate a hub-heavy frontier past driver memory
+_BROADCAST_FRONTIER_MAX = 2_000_000
+
+
+def _frontier_side(frontier: DataFrame, n: int | None) -> DataFrame:
+    return F.broadcast(frontier) if n is None or n <= _BROADCAST_FRONTIER_MAX else frontier
+
 
 def directed_edges(
     edges: DataFrame,
@@ -76,16 +84,20 @@ def bfs(
         [(s, 0) for s in start_ids], "node_id string, dist int"
     )
     frontier = visited.select("node_id")
+    n_frontier: int | None = len(start_ids)
     for depth in range(1, max_depth + 1):
         nxt = (
-            adj.join(F.broadcast(frontier.withColumnRenamed("node_id", "src")), "src")
+            adj.join(_frontier_side(frontier.withColumnRenamed("node_id", "src"), n_frontier), "src")
             .select(F.col("dst").alias("node_id"))
             .distinct()
             .join(visited.select("node_id"), "node_id", "left_anti")
             .withColumn("dist", F.lit(depth).cast("int"))
         )
-        nxt = nxt.localCheckpoint(eager=True)  # materialize: reused 3×
-        if nxt.isEmpty():
+        # one materialization per hop: the checkpoint job doubles as the
+        # emptiness check and frontier-size probe (no separate isEmpty job)
+        nxt = nxt.localCheckpoint(eager=True)
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         visited = visited.unionByName(nxt)
         if depth % _CHECKPOINT_EVERY == 0:
@@ -122,9 +134,9 @@ def shortest_path_length(
             .join(visited.select("node_id"), "node_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        if not nxt.filter(F.col("node_id") == dst_id).isEmpty():
+        if nxt.filter(F.col("node_id") == dst_id).count() > 0:
             found = depth
             break
         visited = visited.unionByName(nxt.withColumn("dist", F.lit(depth).cast("int")))

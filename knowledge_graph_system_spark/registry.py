@@ -110,12 +110,14 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         multimodal,
         projection,
+        pruning,
         scores,
         setops,
         textstats,
         traversal,
         vector,
     )
+    from .plans import guard  # noqa: F401
     from .streaming import epochs, windows  # noqa: F401
 
     return QUERIES

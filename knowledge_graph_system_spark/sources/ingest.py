@@ -108,3 +108,22 @@ def ingest_documents(docs: DataFrame, existing: DataFrame | None = None) -> Data
     if existing is None:
         existing = concepts.limit(0)
     return two_tier_upsert(concepts, existing)
+
+
+def batch_create(
+    existing: DataFrame,
+    new_concepts: DataFrame,
+    mode: str = "auto",
+) -> DataFrame:
+    """S7 batch-create API semantics (`/root/reference/api/app/routes/
+    graph.py:27-120`, `api/app/services/batch_service.py`): bulk concept
+    upsert with label→ID resolution — `auto` reuses an existing concept
+    on exact term match or embedding match (two-tier), `force_create`
+    always inserts."""
+    if mode == "force_create":
+        return new_concepts.withColumn("resolved_id", F.col("concept_id")).withColumn(
+            "action", F.lit("insert")
+        )
+    if mode != "auto":
+        raise ValueError(f"mode must be auto|force_create, got {mode!r}")
+    return two_tier_upsert(new_concepts, existing)

@@ -1,0 +1,54 @@
+"""Guard-surface tests (P7 rejection rules, the reference's cypher_guard
+suite analog)."""
+
+from __future__ import annotations
+
+import pytest
+
+from knowledge_graph_system_spark.plans.guard import GuardError, guard_query
+
+
+def test_appends_auto_limit():
+    out = guard_query("SELECT * FROM nodes")
+    assert out.endswith("LIMIT 1000")
+
+
+def test_respects_existing_limit():
+    out = guard_query("SELECT * FROM nodes LIMIT 5")
+    assert out.count("LIMIT") == 1
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "DROP TABLE nodes",
+        "INSERT INTO nodes VALUES (1)",
+        "SELECT * FROM nodes; DROP TABLE nodes",
+        "WITH x AS (SELECT 1) DELETE FROM nodes",
+        "UPDATE nodes SET label = 'x'",
+        "CREATE TABLE t AS SELECT 1",
+        "SET spark.sql.ansi.enabled=false",
+        "EXPLAIN SELECT 1",
+    ],
+)
+def test_rejects_writes_and_nonselect(bad):
+    with pytest.raises(GuardError):
+        guard_query(bad)
+
+
+def test_comments_cannot_hide_keywords():
+    with pytest.raises(GuardError):
+        guard_query("SELECT 1 /* harmless */ ; DROP TABLE nodes")
+    # comment stripped, then valid
+    out = guard_query("SELECT 1 -- DROP TABLE nodes")
+    assert "DROP" not in out
+
+
+def test_guarded_execution(spark, ctx):
+    from knowledge_graph_system_spark.plans.guard import run_guarded
+    from tests.conftest import SF_DIR
+
+    rows = run_guarded(spark, SF_DIR, "SELECT count(*) AS n FROM edges").collect()
+    assert rows[0]["n"] == ctx.edges.count()
+    with pytest.raises(GuardError):
+        run_guarded(spark, SF_DIR, "DROP TABLE edges")
