@@ -43,6 +43,12 @@ _NANO_TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may hand us a session built without this flag; it's a
+    # runtime-settable conf, and without it TIMESTAMP(NANOS) parquet
+    # columns abort the scan with PARQUET_TYPE_ILLEGAL
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp rendering must be tz-stable vs the tz-naive DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
