@@ -145,6 +145,49 @@ def shortest_path_length(
     return spark.createDataFrame(rows, "src string, dst string, dist int")
 
 
+def shortest_path(
+    edges: DataFrame,
+    src_id: str,
+    dst_id: str,
+    max_hops: int = 6,
+    direction: str = "out",
+) -> list[str]:
+    """G2 with path reconstruction: BFS recording parent pointers, then a
+    driver-side walk back over the (tiny) parent maps — the exact shape
+    of the reference's Rust reconstruction (`traversal.rs:207-305`) with
+    the per-level parent tables staying distributed until the end."""
+    spark = edges.sparkSession
+    adj = directed_edges(edges, direction)
+    visited = spark.createDataFrame([(src_id,)], "node_id string")
+    frontier = visited
+    levels: list[DataFrame] = []  # checkpointed (node_id, parent) per depth
+    for _ in range(max_hops):
+        step = (
+            adj.join(F.broadcast(frontier.withColumnRenamed("node_id", "src")), "src")
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.min("src").alias("parent"))  # deterministic parent choice
+            .join(visited, "node_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if step.count() == 0:
+            return []
+        levels.append(step)
+        hit = step.filter(F.col("node_id") == dst_id).take(1)
+        if hit:
+            # walk back through the per-level parent tables: one 1-row
+            # lookup per depth — the tables themselves stay distributed
+            path = [dst_id]
+            for level in reversed(levels):
+                row = level.filter(F.col("node_id") == path[-1]).take(1)
+                if not row:
+                    break
+                path.append(row[0]["parent"])
+            return list(reversed(path))
+        frontier = step.select("node_id")
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return []
+
+
 def enumerate_paths(
     edges: DataFrame,
     src_id: str,

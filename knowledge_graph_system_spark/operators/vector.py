@@ -273,3 +273,37 @@ def v6_synonym_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("weak")
         .alias("strength"),
     )
+
+
+_V3_SEEDS = ["q:a", "q:b", "q:c", "q:d", "q:e"]
+
+
+@query(
+    "v3_batch_cosine",
+    oracle=graph_ctes()
+    + f""",
+queries AS (
+  SELECT seed, emb FROM {osql.unit_vec_cte('seed', 'seed', "(SELECT unnest(['q:a','q:b','q:c','q:d','q:e']) AS seed)")} q
+),
+targets AS (SELECT node_id, emb FROM {osql.unit_vec_cte('node_id', 'node_id', "(SELECT * FROM nodes WHERE label = 'Supplier')")} t)
+SELECT q.seed AS query_seed, t.node_id,
+       round({osql.dot_sql('q.emb', 't.emb')}, 6) AS sim
+FROM queries q CROSS JOIN targets t
+""",
+)
+def v3_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 batch cosine (`/root/reference/api/app/lib/similarity_calculator.py:
+    30-172`): a query batch scored against a target set in one
+    broadcast-join pass — the matrix-product shape, as columns."""
+    from ..functions.vectors import with_unit_vec
+
+    ctx = Ctx.get(spark, sf_dir)
+    q = with_unit_vec(
+        spark.createDataFrame([(s,) for s in _V3_SEEDS], "seed string"), "seed", out_col="qemb"
+    ).withColumnRenamed("seed", "query_seed")
+    t = ctx.nodes_emb.filter(F.col("label") == "Supplier").select("node_id", "embedding")
+    return (
+        t.join(F.broadcast(q))
+        .withColumn("sim", F.round(dot_expr("qemb", "embedding"), 6))
+        .select("query_seed", "node_id", "sim")
+    )

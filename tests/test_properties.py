@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) over the pure layers — the engine's
+determinism contracts hold for ALL inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from knowledge_graph_system_spark.functions.vectors import unit_vec_py
+from knowledge_graph_system_spark.plans.guard import GuardError, guard_query
+from knowledge_graph_system_spark.plans.program import (
+    ProgramValidationError,
+    validate_program,
+)
+
+_seed = st.text(min_size=0, max_size=40)
+
+
+@given(_seed)
+@settings(max_examples=200, deadline=None)
+def test_unit_vec_always_unit_and_stable(seed):
+    v = unit_vec_py(seed)
+    assert len(v) == 16
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+    assert v == unit_vec_py(seed)
+
+
+@given(_seed, _seed)
+@settings(max_examples=100, deadline=None)
+def test_unit_vec_distinct_seeds_differ(a, b):
+    if a != b:
+        assert unit_vec_py(a) != unit_vec_py(b)
+
+
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@given(_ident, _ident)
+@settings(max_examples=100, deadline=None)
+def test_guard_never_accepts_write_keywords(table, col):
+    for kw in ("insert into", "delete from", "drop table", "update"):
+        try:
+            out = guard_query(f"SELECT {col} FROM {table} WHERE 1=1; {kw} {table}")
+            raise AssertionError(f"guard accepted {out!r}")
+        except GuardError:
+            pass
+
+
+@given(_ident)
+@settings(max_examples=100, deadline=None)
+def test_guard_output_always_limited_select(table):
+    out = guard_query(f"SELECT * FROM {table}")
+    assert re.match(r"(?is)^\s*select\b", out)
+    assert re.search(r"\bLIMIT \d+\s*$", out)
+
+
+_op = st.sampled_from(["+", "-", "&", "?", "!"])
+_stmt = st.fixed_dictionaries({"op": _op, "source": st.just({"kind": "x"})})
+
+
+@given(st.lists(_stmt, min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_validator_accepts_all_flat_programs(program):
+    validate_program(program)  # must not raise
+
+
+@given(st.lists(_stmt, min_size=1, max_size=3), st.integers(min_value=4, max_value=6))
+@settings(max_examples=50, deadline=None)
+def test_validator_rejects_deep_nesting(body, depth):
+    prog = body
+    for _ in range(depth):
+        prog = [{"if": {"cond": "has_results"}, "source": {}, "then": prog}]
+    try:
+        validate_program(prog)
+        raise AssertionError("deep nesting accepted")
+    except ProgramValidationError:
+        pass

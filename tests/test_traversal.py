@@ -87,3 +87,19 @@ def test_degrees_sum_to_edge_count(ctx):
     total = d.agg(F.sum("out_degree").alias("o"), F.sum("in_degree").alias("i")).collect()[0]
     n_edges = ctx.edges.count()
     assert total["o"] == n_edges == total["i"]
+
+
+def test_shortest_path_reconstruction(ctx):
+    from knowledge_graph_system_spark.operators.traversal import shortest_path
+
+    path = shortest_path(ctx.edges, START, "S1", max_hops=6)
+    assert path and path[0] == START and path[-1] == "S1"
+    # every consecutive pair must be a real edge
+    edge_set = {(r["src"], r["dst"]) for r in ctx.edges.select("src", "dst").collect()}
+    for a, b in zip(path, path[1:]):
+        assert (a, b) in edge_set
+    # length consistent with the BFS distance
+    dist = shortest_path_length(ctx.edges, START, "S1", max_hops=6).collect()[0]["dist"]
+    assert len(path) == dist + 1
+    # unreachable / nonexistent target → empty
+    assert shortest_path(ctx.edges, START, "ZZ-missing", max_hops=3) == []
