@@ -179,6 +179,8 @@ def j5_cross_ontology_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o.o_orderkey == l.l_orderkey)
         .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk"))
         .distinct()
+        # reused by totals + both self-join sides: materialize once
+        .localCheckpoint(eager=True)
     )
     totals = membership.groupBy("seg").agg(F.count("*").alias("total"))
     a = membership.alias("a")

@@ -280,7 +280,7 @@ def a9_ontology_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
     affinity-weighted neighbor activity (`ontology_scorer.py:125-220`).
     Composes A7 + A8 + J5 outputs with pure column math."""
     ctx = Ctx.get(spark, sf_dir)
-    mass = ontology_mass(ctx.tables)
+    mass = ontology_mass(ctx.tables).localCheckpoint(eager=True)  # used 3×
     coher = ontology_coherence(ctx.nodes_emb)
     c, o, l = ctx.tables["customer"], ctx.tables["orders"], ctx.tables["lineitem"]
     membership = (
@@ -288,6 +288,7 @@ def a9_ontology_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o.o_orderkey == l.l_orderkey)
         .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk"))
         .distinct()
+        .localCheckpoint(eager=True)  # both self-join sides
     )
     totals = membership.groupBy("seg").agg(F.count("*").alias("total"))
     a = membership.alias("a")

@@ -122,7 +122,6 @@ def shortest_path_length(
     """
     spark = edges.sparkSession
     found = None
-    visited = bfs_iter = None
     adj = directed_edges(edges, direction)
     visited = spark.createDataFrame([(src_id, 0)], "node_id string, dist int")
     frontier = visited.select("node_id")
