@@ -233,6 +233,59 @@ def enumerate_paths(
     return out
 
 
+def yen_k_shortest(
+    edges: DataFrame,
+    src_id: str,
+    dst_id: str,
+    k: int = 5,
+    max_hops: int = 6,
+    direction: str = "out",
+) -> list[list[str]]:
+    """G3 as the reference actually implements it: Yen's algorithm —
+    spur-node deviation with edge+node exclusion, dedup by node sequence
+    (`/root/reference/graph-accel/core/src/traversal.rs:306-487`).
+    Exclusions are anti-join filters on the edge DataFrame; each spur
+    search is a bounded BFS (K ≤ 5, hops ≤ 10 like the reference).
+    `enumerate_paths(k=...)` returns the same result set for unweighted
+    graphs (asserted in tests); this form exists for semantic parity and
+    for graphs where exhaustive enumeration would explode.
+    """
+    first = shortest_path(edges, src_id, dst_id, max_hops, direction)
+    if not first:
+        return []
+    accepted: list[list[str]] = [first]
+    candidates: list[list[str]] = []
+    for _ in range(1, k):
+        prev = accepted[-1]
+        for i in range(len(prev) - 1):
+            spur, root = prev[i], prev[: i + 1]
+            # exclude edges that previous accepted paths take out of this root
+            banned_edges = [
+                (p[i], p[i + 1]) for p in accepted if len(p) > i + 1 and p[: i + 1] == root
+            ]
+            cond = F.lit(False)
+            for a, b in banned_edges:
+                cond = cond | ((F.col("src") == a) & (F.col("dst") == b))
+            filtered = edges.filter(~cond)
+            # exclude root nodes except the spur itself (no loops back)
+            for node in root[:-1]:
+                filtered = filtered.filter(
+                    (F.col("src") != node) & (F.col("dst") != node)
+                )
+            spur_path = shortest_path(
+                filtered, spur, dst_id, max_hops - i, direction
+            )
+            if spur_path:
+                cand = root[:-1] + spur_path
+                if cand not in accepted and cand not in candidates:
+                    candidates.append(cand)
+        if not candidates:
+            break
+        candidates.sort(key=lambda p: (len(p), p))
+        accepted.append(candidates.pop(0))
+    return accepted
+
+
 def subgraph(edges: DataFrame, node_set: DataFrame) -> DataFrame:
     """Edges whose BOTH endpoints are in node_set (G4) — double semi-join,
     node_set broadcast twice; edge table untouched by shuffle."""
