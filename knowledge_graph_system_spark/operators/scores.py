@@ -432,3 +432,93 @@ def a11_semantic_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.avg(dot_expr("emb_a", "emb_b")), 6).alias("diversity"),
         F.count("*").alias("n_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ontology↔Ontology derived edges (SURVEY §1.1: OVERLAPS / SPECIALIZES /
+# GENERALIZES with score + shared_concept_count,
+# `/root/reference/api/app/lib/age_client/ontology_edges.py:152`,
+# `schema/init.cypher:159-169`)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_T = 0.10   # symmetric-affinity floor for OVERLAPS
+_CONTAIN_T = 0.60   # containment ratio for SPECIALIZES/GENERALIZES
+
+
+@query(
+    "o1_ontology_edges",
+    oracle="""
+WITH membership AS (
+  SELECT DISTINCT c.c_mktsegment AS seg, l.l_partkey AS pk
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+totals AS (SELECT seg, CAST(count(*) AS BIGINT) AS total FROM membership GROUP BY seg),
+pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b, CAST(count(*) AS BIGINT) AS shared
+  FROM membership a JOIN membership b ON a.pk = b.pk AND a.seg <> b.seg
+  GROUP BY a.seg, b.seg
+),
+scored AS (
+  SELECT p.seg_a, p.seg_b, p.shared,
+         round(p.shared / CAST(ta.total AS DOUBLE), 6) AS containment_a,
+         round(p.shared / CAST(least(ta.total, tb.total) AS DOUBLE), 6) AS score
+  FROM pairs p
+  JOIN totals ta ON ta.seg = p.seg_a
+  JOIN totals tb ON tb.seg = p.seg_b
+)
+SELECT seg_a, seg_b,
+       CASE WHEN containment_a >= 0.6 THEN 'SPECIALIZES'
+            WHEN score >= 0.1 THEN 'OVERLAPS' END AS rel_type,
+       score, shared AS shared_concept_count
+FROM scored
+WHERE containment_a >= 0.6 OR score >= 0.1
+""",
+)
+def o1_ontology_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the ontology-level edge set: A SPECIALIZES B when most of
+    A's concepts are shared with B (containment ≥ 0.6 — the reverse
+    direction is GENERALIZES by symmetry); otherwise OVERLAPS above the
+    affinity floor. Same membership self-join as J5, classified."""
+    ctx = Ctx.get(spark, sf_dir)
+    c, o, l = ctx.tables["customer"], ctx.tables["orders"], ctx.tables["lineitem"]
+    membership = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    totals = membership.groupBy("seg").agg(F.count("*").alias("total"))
+    a = membership.alias("a")
+    b = membership.alias("b")
+    ta = totals.alias("ta")
+    tb = totals.alias("tb")
+    scored = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.seg") != F.col("b.seg")))
+        .groupBy(F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"))
+        .agg(F.count("*").alias("shared"))
+        .join(F.broadcast(ta), F.col("seg_a") == F.col("ta.seg"))
+        .join(F.broadcast(tb), F.col("seg_b") == F.col("tb.seg"))
+        .select(
+            "seg_a",
+            "seg_b",
+            "shared",
+            F.round(F.col("shared") / F.col("ta.total").cast("double"), 6).alias("containment_a"),
+            F.round(
+                F.col("shared") / F.least(F.col("ta.total"), F.col("tb.total")).cast("double"), 6
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.filter((F.col("containment_a") >= _CONTAIN_T) | (F.col("score") >= _OVERLAP_T))
+        .select(
+            "seg_a",
+            "seg_b",
+            F.when(F.col("containment_a") >= _CONTAIN_T, "SPECIALIZES")
+            .when(F.col("score") >= _OVERLAP_T, "OVERLAPS")
+            .alias("rel_type"),
+            "score",
+            F.col("shared").alias("shared_concept_count"),
+        )
+    )
