@@ -142,3 +142,35 @@ def stream_hourly_counts(events_stream: DataFrame, watermark: str = "1 hour") ->
             "total_value",
         )
     )
+
+
+@query(
+    "st_rollup",
+    oracle="""
+SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type), (date_trunc('day', ts)), ())
+""",
+)
+def st_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE pass: (day ×
+    type), (day), and grand total via ROLLUP — the partial aggregates
+    are shared across levels, so the 100 TB feed is scanned once for
+    every granularity a dashboard needs."""
+    ctx = Ctx.get(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ctx.tables["events"]
+        .select(day.alias("_day"), "event_type", "value")
+        .rollup("_day", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("_day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+    )
