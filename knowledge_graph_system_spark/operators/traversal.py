@@ -77,6 +77,11 @@ def bfs(
     Each hop: edges ⋈ broadcast(frontier) → new frontier minus visited.
     The edge table is never shuffled; per-hop cost is one broadcast of
     the frontier id set (bounded like the reference bounds everything).
+
+    (A fully-fused single-plan variant — level_k = adj ⋈ level_{k-1}
+    chained without checkpoints, the reference's fixed-chain idea — was
+    measured SLOWER at depth 3: without materialization each level
+    branch re-derives its predecessors, O(d²) edge scans vs O(d) here.)
     """
     spark = edges.sparkSession
     adj = directed_edges(edges, direction, min_confidence, rel_types)
