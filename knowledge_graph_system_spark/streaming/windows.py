@@ -174,3 +174,35 @@ def st_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "st_json_props",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+""",
+)
+def st_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON property access — the agtype/JSON property-map
+    pattern of the reference's graph (`api/app/lib/age_client/base.py:
+    291-316`) applied to the events feed: `get_json_object` stays inside
+    codegen, so schema-on-read costs one string parse per row, no UDF."""
+    ctx = Ctx.get(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ctx.tables["events"]
+        .withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+        )
+    )

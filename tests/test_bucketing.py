@@ -38,3 +38,13 @@ def test_bucketed_join_skips_exchange(spark, ctx, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {edges_t}")
         spark.sql(f"DROP TABLE IF EXISTS {nodes_t}")
+
+
+def test_salted_join_equals_plain_join(ctx, spark):
+    from knowledge_graph_system_spark.functions.skew import salted_join
+
+    left = ctx.edges.select("src", "rel_type")  # skewed: hubs have many edges
+    right = ctx.nodes.select(F.col("node_id").alias("src"), "label")
+    plain = left.join(right, "src").groupBy("label").count().collect()
+    salted = salted_join(left, right, "src", n_salts=4).groupBy("label").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
