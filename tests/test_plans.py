@@ -1,0 +1,96 @@
+"""Plan-quality regression tests: the physical plans ARE the scale
+contract, so assert their shape — pushdown reaching the scan, dims
+broadcast, top-k without global sort, no cartesian products anywhere."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def specs():
+    from knowledge_graph_system_spark.registry import load_all
+
+    return load_all()
+
+
+def test_q1_pushdown_and_partial_agg(spark, specs):
+    plan = _plan(specs["q1_pricing_summary"].fn(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_v1_uses_takeordered_not_sort(spark, specs):
+    plan = _plan(specs["v1_vector_search"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort for a top-k
+
+
+def test_j1_broadcasts_all_dims(spark, specs):
+    plan = _plan(specs["j1_evidence_join"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_p8_prunes_embedding_column(spark, ctx):
+    # embedding must not be computed when projected away (P8): on the
+    # UNCACHED view, Catalyst prunes the whole 16-md5 derivation (the
+    # registered query reads the cached view, where the cache-build
+    # subtree legitimately shows the md5 exprs without recomputing them)
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.sources.graph_view import nodes_with_embeddings
+
+    df = (
+        nodes_with_embeddings(ctx.tables)
+        .filter(F.col("label") == "Supplier")
+        .drop("embedding", "name", "weight")
+    )
+    assert "md5" not in _plan(df)
+
+
+def test_no_cartesian_products_anywhere(spark, specs):
+    """Every registered query must plan without CartesianProduct /
+    BroadcastNestedLoopJoin except the intentional small crossJoins
+    (query-vector attach, vocab pairs, incoming-batch scoring)."""
+    allowed_nested_loop = {
+        # tiny literal side intentionally cross-joined (≤ vocab-size)
+        "j9_two_tier_matcher",
+        "v3_batch_cosine",
+        "v6_synonym_detection",
+        "u4_pruning_recommendations",
+        "d_embedding_neardup",  # a<b inequality pair join, bounded 2k vectors
+        "a8_ontology_coherence",  # capped 100-sample pair join
+        "a11_semantic_diversity",
+        "ann_brute_topk",
+        "ann_ivf_topk",
+        "a14_tfidf_naming",  # broadcast scalar total attach
+        "a15_lifetime_page",  # single-partition page window
+        "j5_cross_ontology_affinity",  # scalar totals attach
+        "a9_ontology_protection",
+        "a7_ontology_mass",
+        "v2_chunk_search",  # query-vector literal attach
+        "v8_threshold_hint",
+        "v1_vector_search",
+        "f7_centroids",
+        "o1_ontology_edges",
+    }
+    bad = []
+    for name, spec in sorted(specs.items()):
+        if name in allowed_nested_loop:
+            continue
+        try:
+            plan = _plan(spec.fn(spark, SF_DIR))
+        except Exception:
+            continue  # execution-level queries covered elsewhere
+        if re.search(r"CartesianProduct", plan):
+            bad.append(name)
+    assert not bad, f"unexpected cartesian products in: {bad}"
