@@ -51,9 +51,9 @@ def main() -> None:
     for name in names:
         run(name)
 
-    # best-of-2: the host shows multi-second background-load jitter;
+    # best-of-3: the host shows multi-second background-load jitter;
     # min-of-N measures the engine, not the neighbors
-    timings = {name: round(min(run(name) for _ in range(2)), 3) for name in names}
+    timings = {name: round(min(run(name) for _ in range(3)), 3) for name in names}
 
     total = round(sum(timings.values()), 3)
     print(
