@@ -81,3 +81,40 @@ def test_first_seen_dedup_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     out = {r["key"]: r["event_id"] for r in spark.sql(f"SELECT * FROM {sink}").collect()}
     assert out == {"alpha": 1, "beta": 2, "gamma": 4}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from knowledge_graph_system_spark.streaming.joins import stream_interval_join
+
+    t = dt.datetime(2024, 6, 1)
+    src = str(tmp_path / "s3")
+    os.makedirs(src)
+    rows = [
+        (1, t, 7, "click", 0.0, "{}"),                                  # click u7
+        (2, t + dt.timedelta(minutes=10), 7, "purchase", 42.0, "{}"),   # within 30m → joins to 1
+        (3, t + dt.timedelta(hours=2), 7, "purchase", 9.0, "{}"),       # outside window → no join
+        (4, t + dt.timedelta(minutes=5), 8, "purchase", 5.0, "{}"),     # other user, no click
+        (5, t + dt.timedelta(minutes=20), 7, "click", 0.0, "{}"),
+        (6, t + dt.timedelta(minutes=25), 7, "purchase", 11.0, "{}"),   # joins clicks 1 AND 5
+    ]
+    _write_batch(spark, src + "/b=0", rows)
+
+    stream = _stream(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_interval_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"]) for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    assert got == {(1, 2), (1, 6), (5, 6)}
