@@ -1,0 +1,105 @@
+"""As-of join — the classic time-series operator Spark lacks natively.
+
+Named in the engine mandate alongside range joins: every event matched
+to the most recent right-side row at-or-before its timestamp, per key.
+
+Scale-first formulation: NOT a join at all. A naive
+`events ⋈ orders ON key AND r.ts <= l.ts` explodes to |events|×|prior
+orders| before the per-event max. Instead: tag both sides, UNION, and
+carry the latest right-row payload forward with `last(..., ignorenulls)`
+over a (key, ts)-ordered window — one shuffle + one sort, O(n log n),
+the standard distributed as-of plan. Right rows sort BEFORE queries at
+equal timestamps (inclusive <= semantics); ties among right rows at the
+same timestamp resolve deterministically by the tiebreak column (last
+= max wins).
+
+Oracle: DuckDB's native ASOF JOIN — an independent engine's
+implementation of the same semantics (date-only output, since ASOF's
+choice among tied right rows is unspecified there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import Ctx, query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_key: tuple[str, str],
+    on_time: tuple[str, str],
+    payload: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Left as-of join: each left row + the payload of the latest right
+    row with right.time <= left.time for the same key (NULLs when no
+    prior right row exists)."""
+    lk, rk = on_key
+    lt, rt = on_time
+    lhs = left.select(
+        F.col(lk).alias("_k"),
+        F.col(lt).alias("_ts"),
+        F.lit(1).alias("_is_q"),
+        F.lit(None).cast(dict(right.dtypes)[tiebreak]).alias("_tb"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}") for c in payload],
+        F.struct(*left.columns).alias("_row"),
+    )
+    rhs = right.select(
+        F.col(rk).alias("_k"),
+        F.col(rt).alias("_ts"),
+        F.lit(0).alias("_is_q"),
+        F.col(tiebreak).alias("_tb"),  # native type: numeric keys order numerically
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+        ).alias("_row"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_q", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = rhs.unionByName(lhs).select(
+        "_is_q",
+        "_row",
+        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return carried.filter(F.col("_is_q") == 1).select("_row.*", *payload)
+
+
+@query(
+    "x1_asof_join",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_at
+FROM events e
+ASOF LEFT JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+""",
+)
+def x1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event joined to the user's most recent at-or-before order.
+    Output is the matched ORDER DATE only: the testdata contains tied
+    (custkey, orderdate) pairs, and DuckDB's ASOF leaves the choice
+    among ties unspecified — the date itself is unambiguous. The library
+    function returns full payloads with a deterministic tiebreak
+    (tests/test_asof.py)."""
+    ctx = Ctx.get(spark, sf_dir)
+    ev = ctx.tables["events"].select("event_id", "user_id", "ts")
+    joined = asof_join(
+        ev,
+        ctx.tables["orders"],
+        on_key=("user_id", "o_custkey"),
+        on_time=("ts", "o_orderdate"),
+        payload=["o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("last_order_at"),
+    )

@@ -104,6 +104,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         aggregates,
         ann,
+        asof,
         catalog,
         dedup,
         filters,
