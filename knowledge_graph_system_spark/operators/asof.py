@@ -103,3 +103,75 @@ def x1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("last_order_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (the other named custom operator): value-in-interval matching
+# with the bucket-replication trick so Catalyst gets an EQUI join.
+# ---------------------------------------------------------------------------
+
+_BANDS = [  # (band, lo, hi) — deterministic value bands over events.value
+    ("tiny", 0.0, 25.0),
+    ("small", 25.0, 75.0),
+    ("medium", 75.0, 150.0),
+    ("large", 150.0, 400.0),
+    # closed upper bound: an open-ended 1e9 band would replicate across
+    # 40M buckets (sequence explosion) — cap at the domain max (~490)
+    ("huge", 400.0, 1000.0),
+]
+_BUCKET_W = 25.0
+
+
+def range_join(
+    left: DataFrame,
+    val_col: str,
+    bands: DataFrame,
+    bucket_width: float = _BUCKET_W,
+) -> DataFrame:
+    """Join rows to the interval [lo, hi) containing `val_col`.
+
+    A naive theta-join plans as BroadcastNestedLoop (O(n·m) compares).
+    Bucketizing makes it an equi-join: each row hashes to
+    floor(value/W); each band replicates across the buckets it spans;
+    join on bucket + residual range filter. Compares per row ≈ bands
+    overlapping its bucket, not all bands — the standard range-join
+    optimization, and it stays a hash join at 100 TB.
+    """
+    lhs = left.withColumn("_bucket", F.floor(F.col(val_col) / bucket_width))
+    rhs = bands.withColumn(
+        "_bucket",
+        F.explode(
+            F.expr(
+                f"sequence(cast(floor(lo / {bucket_width}) as long),"
+                f" cast(floor((hi - 1e-9) / {bucket_width}) as long))"
+            )
+        ),
+    )
+    return (
+        lhs.join(F.broadcast(rhs), "_bucket")
+        .filter((F.col(val_col) >= F.col("lo")) & (F.col(val_col) < F.col("hi")))
+        .drop("_bucket")
+    )
+
+
+@query(
+    "x2_range_join",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+SELECT b.band, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""",
+)
+def x2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events matched to value bands via the bucketized range join,
+    aggregated per band. Oracle uses the plain inequality join — same
+    semantics, independently planned."""
+    ctx = Ctx.get(spark, sf_dir)
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        range_join(ctx.tables["events"], "value", bands)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
