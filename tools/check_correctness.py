@@ -10,6 +10,7 @@ their string form). Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -45,10 +46,19 @@ def main():
     import duckdb
 
     from knowledge_graph_system_spark.registry import load_all
-    from knowledge_graph_system_spark.session import get_spark
 
     specs = load_all()
-    spark = get_spark("kg-spark-correctness")
+    if os.environ.get("KG_PLAIN_SESSION"):
+        # driver-fidelity mode: a bare session, no factory confs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").appName(
+            "kg-spark-correctness-plain"
+        ).getOrCreate()
+    else:
+        from knowledge_graph_system_spark.session import get_spark
+
+        spark = get_spark("kg-spark-correctness")
 
     con = duckdb.connect()
     for t in (
