@@ -109,6 +109,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         filters,
         joins,
+        lifecycle,
         multimodal,
         projection,
         pruning,
