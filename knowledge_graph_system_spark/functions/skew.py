@@ -31,6 +31,11 @@ def salted_join(
     `spark_partition_id`-free `rand`-free construction: each left row
     gets salt = pmod(hash(all left columns), n).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # Replicating the right side n× breaks outer/semi/anti semantics:
+        # unmatched right rows would emit n_salts times, and semi/anti
+        # would test against replicated rows. Only inner/left are sound.
+        raise ValueError(f"salted_join supports how='inner'/'left', got {how!r}")
     salt_l = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lhs = left.withColumn("_salt", salt_l)
     rhs = right.withColumn("_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})")))

@@ -40,12 +40,19 @@ def asof_join(
     prior right row exists)."""
     lk, rk = on_key
     lt, rt = on_time
+    rtypes = dict(right.dtypes)
+    # ONE struct per right row, carried atomically: carrying columns
+    # independently would back-fill a NULL field from an OLDER row (torn
+    # rows). last(struct, ignorenulls) skips only all-NULL (left) markers,
+    # so every payload field comes from the same matched row and genuine
+    # NULL fields stay NULL.
+    payload_t = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in payload) + ">"
     lhs = left.select(
         F.col(lk).alias("_k"),
         F.col(lt).alias("_ts"),
         F.lit(1).alias("_is_q"),
-        F.lit(None).cast(dict(right.dtypes)[tiebreak]).alias("_tb"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(rtypes[tiebreak]).alias("_tb"),
+        F.lit(None).cast(payload_t).alias("_p"),
         F.struct(*left.columns).alias("_row"),
     )
     rhs = right.select(
@@ -53,7 +60,7 @@ def asof_join(
         F.col(rt).alias("_ts"),
         F.lit(0).alias("_is_q"),
         F.col(tiebreak).alias("_tb"),  # native type: numeric keys order numerically
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("_p"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("_row"),
@@ -66,9 +73,11 @@ def asof_join(
     carried = rhs.unionByName(lhs).select(
         "_is_q",
         "_row",
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
-    return carried.filter(F.col("_is_q") == 1).select("_row.*", *payload)
+    return carried.filter(F.col("_is_q") == 1).select(
+        "_row.*", *[F.col(f"_p.{c}").alias(c) for c in payload]
+    )
 
 
 @query(

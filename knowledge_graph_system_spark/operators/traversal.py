@@ -126,6 +126,11 @@ def shortest_path_length(
     broadcast join, not a DB round-trip.
     """
     spark = edges.sparkSession
+    if src_id == dst_id:
+        # the start node is reachable at distance 0 (reference BFS rule)
+        return spark.createDataFrame(
+            [(src_id, dst_id, 0)], "src string, dst string, dist int"
+        )
     found = None
     adj = directed_edges(edges, direction)
     visited = spark.createDataFrame([(src_id, 0)], "node_id string, dist int")
@@ -160,6 +165,8 @@ def shortest_path(
     driver-side walk back over the (tiny) parent maps — the exact shape
     of the reference's Rust reconstruction (`traversal.rs:207-305`) with
     the per-level parent tables staying distributed until the end."""
+    if src_id == dst_id:
+        return [src_id]
     spark = edges.sparkSession
     adj = directed_edges(edges, direction)
     visited = spark.createDataFrame([(src_id,)], "node_id string")

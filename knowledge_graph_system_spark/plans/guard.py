@@ -26,6 +26,10 @@ _FORBIDDEN = re.compile(
     re.IGNORECASE,
 )
 _COMMENT = re.compile(r"(--[^\n]*|/\*.*?\*/)", re.DOTALL)
+# single-quoted SQL literal, '' as the escaped quote
+_STRING = re.compile(r"'(?:[^']|'')*'")
+# a caller-bounded tail: LIMIT n [OFFSET m] — OFFSET alone doesn't bound
+_BOUNDED = re.compile(r"\blimit\s+\d+(\s+offset\s+\d+)?\s*$", re.IGNORECASE)
 DEFAULT_LIMIT = 1000
 
 
@@ -37,14 +41,20 @@ def guard_query(sql: str, auto_limit: int | None = DEFAULT_LIMIT) -> str:
     """Validate a read-only single-statement SELECT; append a LIMIT when
     the caller didn't bound the result (the reference's auto-LIMIT)."""
     stripped = _COMMENT.sub(" ", sql).strip().rstrip(";")
-    if ";" in stripped:
+    # keyword/semicolon scanning must not see string literal CONTENT:
+    # WHERE name = 'insert; drop' is a legitimate read. Blank literals out
+    # for scanning; the executed text keeps them.
+    scannable = _STRING.sub("''", stripped)
+    if "'" in scannable.replace("''", ""):
+        raise GuardError("unterminated string literal")
+    if ";" in scannable:
         raise GuardError("multi-statement queries are not allowed")
-    if not re.match(r"^\s*(select|with)\b", stripped, re.IGNORECASE):
+    if not re.match(r"^\s*(select|with)\b", scannable, re.IGNORECASE):
         raise GuardError("only SELECT/WITH queries are allowed")
-    hit = _FORBIDDEN.search(stripped)
+    hit = _FORBIDDEN.search(scannable)
     if hit:
         raise GuardError(f"forbidden keyword: {hit.group(0)!r}")
-    if auto_limit is not None and not re.search(r"\blimit\s+\d+\s*$", stripped, re.IGNORECASE):
+    if auto_limit is not None and not _BOUNDED.search(scannable):
         stripped = f"{stripped}\nLIMIT {auto_limit}"
     return stripped
 

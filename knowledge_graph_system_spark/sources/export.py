@@ -80,13 +80,20 @@ def to_gexf(nodes: DataFrame, edges: DataFrame, max_nodes: int = 1000) -> str:
     """Bounded GEXF document with per-ontology coloring (S6). Collects at
     most max_nodes (deterministic order) — GEXF is a visualization
     hand-off, never a bulk path."""
-    nrows = nodes.orderBy("node_id").limit(max_nodes).collect()
+    limited = nodes.orderBy("node_id").limit(max_nodes).localCheckpoint(eager=True)
+    nrows = limited.collect()
     ids = {r["node_id"] for r in nrows}
-    erows = [
-        e
-        for e in edges.select("src", "dst", "rel_type").collect()
-        if e["src"] in ids and e["dst"] in ids
-    ]
+    # Bound the collect BEFORE it reaches the driver: semi-join the edge
+    # table against the (broadcast, <= max_nodes) id set so only the
+    # induced subgraph's edges cross the py4j boundary.
+    keep = F.broadcast(limited.select("node_id"))
+    erows = (
+        edges.select("src", "dst", "rel_type")
+        .join(keep.withColumnRenamed("node_id", "src"), "src", "left_semi")
+        .join(keep.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+        .collect()
+    )
+    assert all(e["src"] in ids and e["dst"] in ids for e in erows)
     onts = sorted({r["ontology"] for r in nrows})
     color = {o: _PALETTE[i % len(_PALETTE)] for i, o in enumerate(onts)}
     out = [

@@ -51,3 +51,25 @@ def test_asof_semantics(spark):
     assert out[4] == (12, 120.0)
     assert out[5] == (None, None)
     assert out[6] == (None, None)
+
+
+def test_asof_null_payload_not_torn(spark):
+    """A NULL field in the matched (latest) right row must stay NULL — not
+    back-fill from an older row (payload carried as one struct)."""
+    quotes = spark.createDataFrame(
+        [
+            ("A", _m(0), 10, 100.0),
+            ("A", _m(10), 11, None),  # latest row has NULL px
+        ],
+        "sym string, qts timestamp, qid long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", _m(20), 1)], "sym string, tts timestamp, tid long"
+    )
+    row = asof_join(
+        trades, quotes,
+        on_key=("sym", "sym"), on_time=("tts", "qts"),
+        payload=["qid", "px"], tiebreak="qid",
+    ).collect()[0]
+    assert row["qid"] == 11
+    assert row["px"] is None  # genuine NULL, not 100.0 from the older row

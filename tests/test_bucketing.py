@@ -48,3 +48,14 @@ def test_salted_join_equals_plain_join(ctx, spark):
     plain = left.join(right, "src").groupBy("label").count().collect()
     salted = salted_join(left, right, "src", n_salts=4).groupBy("label").count().collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_salted_join_rejects_unsupported_how(ctx):
+    import pytest
+    from knowledge_graph_system_spark.functions.skew import salted_join
+
+    left = ctx.edges.select("src")
+    right = ctx.nodes.select(F.col("node_id").alias("src"))
+    for bad in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "src", n_salts=4, how=bad)

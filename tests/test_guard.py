@@ -52,3 +52,31 @@ def test_guarded_execution(spark, ctx):
     assert rows[0]["n"] == ctx.edges.count()
     with pytest.raises(GuardError):
         run_guarded(spark, SF_DIR, "DROP TABLE edges")
+
+
+def test_limit_offset_counts_as_bounded():
+    out = guard_query("SELECT * FROM nodes LIMIT 5 OFFSET 10")
+    assert out.count("LIMIT") == 1
+
+
+def test_string_literals_do_not_trip_keyword_scan():
+    out = guard_query("SELECT * FROM nodes WHERE name = 'insert; drop'")
+    assert "LIMIT 1000" in out
+    assert "'insert; drop'" in out  # literal preserved in executed text
+
+
+def test_escaped_quote_in_literal():
+    out = guard_query("SELECT * FROM nodes WHERE name = 'O''Brien; delete'")
+    assert "'O''Brien; delete'" in out
+
+
+def test_keywords_outside_literals_still_rejected():
+    with pytest.raises(GuardError):
+        guard_query("SELECT * FROM nodes WHERE name = 'x'; DROP TABLE nodes")
+    with pytest.raises(GuardError):
+        guard_query("SELECT 'ok' FROM nodes WHERE 1=1 AND 2=2 UNION ALL SELECT 'y'; DELETE FROM nodes")
+
+
+def test_unterminated_literal_rejected():
+    with pytest.raises(GuardError):
+        guard_query("SELECT * FROM nodes WHERE name = 'oops")

@@ -126,3 +126,14 @@ def test_yen_matches_bounded_enumeration(ctx):
             assert (a, b) in edge_set
     # the shortest path (unique length class of size guaranteed) agrees
     assert len(yen[0]) == len(enum[0])
+
+
+def test_shortest_path_same_node_is_distance_zero(ctx):
+    from knowledge_graph_system_spark.operators.traversal import (
+        shortest_path,
+        shortest_path_length,
+    )
+
+    rows = shortest_path_length(ctx.edges, "C1", "C1").collect()
+    assert [(r["src"], r["dst"], r["dist"]) for r in rows] == [("C1", "C1", 0)]
+    assert shortest_path(ctx.edges, "C1", "C1") == ["C1"]
