@@ -99,6 +99,37 @@ class Ctx:
         return self._vocab
 
 
+# Driver-facing enumeration order. Round 1's CORRECTNESS file recorded
+# exactly the first 50 registered queries — a prefix cutoff. Promote the
+# queries that round 1 did NOT record (plus this round's new work) to the
+# head so the union of per-round driver files covers the whole inventory.
+_RECORD_FIRST = [
+    # cheap text ops first: the Ctx warm-up lands on whichever runs first
+    "t_token_counts",
+    "t_quality_score",
+    "t_langid_confusion",
+    "t_fingerprint",
+    "v1_vector_search",
+    "v8_threshold_hint",
+    "v5_smell_test",
+    "v2_chunk_search",
+    "v6_synonym_detection",
+    "v3_batch_cosine",
+    "p7_guarded_query",
+    "f7_centroids",
+    "f5_projection",
+    "f6_dbscan",
+    "u4_pruning_recommendations",
+    "so_program_demo",
+    "st_epoch_snapshot",
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
+    "st_rollup",
+    "st_json_props",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its @query registrations run."""
     from .operators import (  # noqa: F401
@@ -122,4 +153,6 @@ def load_all() -> dict[str, QuerySpec]:
     from .plans import guard  # noqa: F401
     from .streaming import epochs, windows  # noqa: F401
 
-    return QUERIES
+    ordered = {n: QUERIES[n] for n in _RECORD_FIRST if n in QUERIES}
+    ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
+    return ordered

@@ -59,3 +59,26 @@ def test_decode_features_checksum_matches_python(spark):
             float(sum(b[2::4]) % 997),
             float(sum(b[3::4]) % 997),
         ]
+
+
+def test_embedding_neardup_two_stage_recall(spark, ctx):
+    """The IVF-bucketed near-dup path must be a subset of the brute
+    result with recall ≥ 0.95 on the fixture (66/66 at sf0.001)."""
+    from knowledge_graph_system_spark.operators.dedup import (
+        d_embedding_neardup,
+        embedding_neardup_brute,
+    )
+    from tests.conftest import SF_DIR
+
+    e = ctx.tables["embeddings"].select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    brute = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_neardup_brute(e).collect()
+    }
+    two_stage = {
+        (r["vec_a"], r["vec_b"])
+        for r in d_embedding_neardup(spark, SF_DIR).collect()
+    }
+    assert two_stage <= brute  # exact verify: no false positives
+    assert len(two_stage) >= 0.95 * len(brute)

@@ -66,16 +66,23 @@ def main():
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    import time
+
+    # registration order (the driver's enumeration order), not sorted:
+    # a prefix cutoff in the driver maps directly onto this sequence
     failed, passed, skipped = [], [], []
-    for name, spec in sorted(specs.items()):
+    t_start = time.perf_counter()
+    for name, spec in specs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         sdf = spec.fn(spark, sf_dir)
         srows = sdf.collect()
+        t_spark = time.perf_counter() - t0
         scols = sdf.columns
         if spec.oracle is None:
             skipped.append(name)
-            print(f"~ {name}: rows-only ({len(srows)} rows)")
+            print(f"~ {name}: rows-only ({len(srows)} rows) [{t_spark:.2f}s]")
             continue
         try:
             res = con.execute(spec.oracle)
@@ -103,9 +110,13 @@ def main():
             print(f"✗ {name}: {'; '.join(problems)}")
         else:
             passed.append(name)
-            print(f"✓ {name} ({len(srows)} rows)")
+            print(f"✓ {name} ({len(srows)} rows) [{t_spark:.2f}s]")
 
-    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
+    total = time.perf_counter() - t_start
+    print(
+        f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only"
+        f" [{total:.1f}s total]"
+    )
     if failed:
         sys.exit(1)
 
