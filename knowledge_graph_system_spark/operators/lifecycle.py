@@ -19,23 +19,19 @@ from ..functions.vectors import dot_expr, lit_vec, unit_vec_py
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
 from .scores import _PROJ_ORACLE, grounding
-from .traversal import bfs
+from .traversal import _paths_cte, bfs_paths
 
 _START = "C7"
 
 
 @query(
     "lc_related",
-    oracle=graph_ctes()
+    oracle=graph_ctes("dedges AS (SELECT src, dst, rel_type, 'O' AS dir FROM edges)")
     + ","
     + _PROJ_ORACLE
-    + f""",
-walk(node_id, dist) AS (
-  SELECT '{_START}', 0
-  UNION
-  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node_id WHERE w.dist < 3
-),
-neigh AS (SELECT node_id, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node_id),
+    + ","
+    + _paths_cte(_START, 3)
+    + """,
 ground AS (
   SELECT e.dst AS node_id,
          round(sum(coalesce(e.confidence, 0.5) * p.proj)
@@ -44,25 +40,27 @@ ground AS (
   WHERE e.rel_type LIKE 'L%'
   GROUP BY e.dst
 )
-SELECT nb.node_id, nb.dist, n.label, n.name, n.ontology, g.grounding
-FROM neigh nb
+SELECT nb.node_id, nb.dist, nb.path_types, n.label, n.name, n.ontology, g.grounding
+FROM chosen nb
 JOIN nodes n ON n.node_id = nb.node_id
 LEFT JOIN ground g ON g.node_id = nb.node_id
 WHERE nb.dist > 0
 """,
 )
 def lc_related(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.2 `/query/related` end-to-end: depth-3 BFS neighborhood,
-    hydrated with node properties and per-concept grounding — three
-    engine operators in one lazy DAG (the reference needs an accelerator
-    call + 2 hydration query rounds + a grounding cache)."""
+    """§3.2 `/query/related` end-to-end: depth-3 BFS neighborhood with
+    rel-type path reconstruction, hydrated with node properties and
+    per-concept grounding — the reference's full `/query/related`
+    response shape (`graph_facade.py:258-310`) in one lazy DAG (the
+    reference needs an accelerator call + 2 hydration query rounds + a
+    grounding cache)."""
     ctx = Ctx.get(spark, sf_dir)
-    neigh = bfs(ctx.edges, [_START], 3).filter(F.col("dist") > 0)
+    neigh = bfs_paths(ctx.edges, [_START], 3).filter(F.col("dist") > 0)
     return (
-        F.broadcast(neigh)
+        F.broadcast(neigh.drop("path_dirs"))
         .join(ctx.nodes, "node_id")
         .join(grounding(ctx.edges).select("node_id", "grounding"), "node_id", "left")
-        .select("node_id", "dist", "label", "name", "ontology", "grounding")
+        .select("node_id", "dist", "path_types", "label", "name", "ontology", "grounding")
     )
 
 

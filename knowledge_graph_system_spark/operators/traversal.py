@@ -111,6 +111,121 @@ def bfs(
     return visited
 
 
+def directed_edges_tagged(
+    edges: DataFrame,
+    direction: str = "out",
+    min_confidence: float | None = None,
+    rel_types: list[str] | None = None,
+) -> DataFrame:
+    """Like `directed_edges` but keeps rel_type and tags each pair with
+    the traversal direction ('O' followed forward / 'I' reversed) — the
+    reference records this per hop (`traversal.rs:143`)."""
+    e = edges
+    if rel_types is not None:
+        e = e.filter(F.col("rel_type").isin(list(rel_types)))
+    if min_confidence is not None:
+        e = e.filter(
+            (F.col("confidence") >= min_confidence) | F.col("confidence").isNull()
+        )
+    out = e.select("src", "dst", "rel_type", F.lit("O").alias("dir"))
+    if direction == "out":
+        return out
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "rel_type", F.lit("I").alias("dir")
+    )
+    if direction == "in":
+        return rev
+    if direction == "both":
+        return out.unionByName(rev)
+    raise ValueError(f"direction must be out|in|both, got {direction!r}")
+
+
+def bfs_paths(
+    edges: DataFrame,
+    start_ids: list[str],
+    max_depth: int,
+    direction: str = "out",
+    min_confidence: float | None = None,
+    rel_types: list[str] | None = None,
+) -> DataFrame:
+    """BFS neighborhood with per-node path reconstruction (G1's full
+    response shape): (node_id, dist, path_types, path_dirs), where
+    path_types is the '>'-joined rel-type sequence of ONE BFS-tree path
+    from the start, as the reference returns from parent-pointer
+    reconstruction (`graph-accel/core/src/traversal.rs:113-197`).
+
+    The reference's parent choice is HashMap-iteration-order
+    (nondeterministic); here the choice is pinned: the path minimizing
+    the interleaved [node, rel|dir, node, ...] key under element-wise
+    array comparison. Array (not string-concat) comparison makes the
+    greedy per-level choice equal the global minimum — a shorter id that
+    is a prefix of a longer one ("C1" vs "C10") would invert under
+    string concatenation.
+
+    Same scale posture as `bfs`: per-hop broadcast of the frontier, edge
+    table never shuffled; the frontier rows now carry O(depth) arrays,
+    still bounded by the same frontier cap.
+    """
+    spark = edges.sparkSession
+    adj = directed_edges_tagged(edges, direction, min_confidence, rel_types)
+    empty_arr = F.array().cast("array<string>")
+    visited = spark.createDataFrame([(s,) for s in start_ids], "node_id string").select(
+        "node_id",
+        F.lit(0).cast("int").alias("dist"),
+        F.array("node_id").alias("key"),
+        empty_arr.alias("ptypes"),
+        empty_arr.alias("pdirs"),
+    )
+    frontier = visited
+    n_frontier: int | None = len(start_ids)
+    for depth in range(1, max_depth + 1):
+        cand = (
+            adj.join(
+                _frontier_side(
+                    frontier.select(
+                        F.col("node_id").alias("src"), "key", "ptypes", "pdirs"
+                    ),
+                    n_frontier,
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node_id"),
+                F.concat(
+                    "key", F.array(F.concat_ws("|", "rel_type", "dir"), F.col("dst"))
+                ).alias("key"),
+                F.concat("ptypes", F.array("rel_type")).alias("ptypes"),
+                F.concat("pdirs", F.array("dir")).alias("pdirs"),
+            )
+            .join(visited.select("node_id"), "node_id", "left_anti")
+        )
+        chosen = (
+            cand.groupBy("node_id")
+            .agg(F.min(F.struct("key", "ptypes", "pdirs")).alias("m"))
+            .select(
+                "node_id",
+                F.lit(depth).cast("int").alias("dist"),
+                "m.key",
+                "m.ptypes",
+                "m.pdirs",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = chosen.count()
+        if n_frontier == 0:
+            break
+        visited = visited.unionByName(chosen)
+        if depth % _CHECKPOINT_EVERY == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = chosen
+    return visited.select(
+        "node_id",
+        "dist",
+        F.array_join("ptypes", ">").alias("path_types"),
+        F.array_join("pdirs", "").alias("path_dirs"),
+    )
+
+
 def shortest_path_length(
     edges: DataFrame,
     src_id: str,
@@ -344,39 +459,82 @@ walk(node_id, dist) AS (
 )"""
 
 
+def _paths_cte(start: str, depth: int, edge_src: str = "dedges") -> str:
+    """DuckDB twin of `bfs_paths`: enumerate BFS-tree paths (every node
+    entered at its min distance), pick the min interleaved key per node.
+    `edge_src` must provide (src, dst, rel_type, dir)."""
+    return f"""
+walk(node_id, dist) AS (
+  SELECT '{start}', 0
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN {edge_src} e ON e.src = w.node_id
+  WHERE w.dist < {depth}
+),
+mindist AS (SELECT node_id, min(dist) AS dist FROM walk GROUP BY node_id),
+paths(node_id, key, ptypes, pdirs, hops) AS (
+  SELECT '{start}', ['{start}'], CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]), 0
+  UNION ALL
+  SELECT e.dst, p.key || [e.rel_type || '|' || e.dir, e.dst],
+         p.ptypes || [e.rel_type], p.pdirs || [e.dir], p.hops + 1
+  FROM paths p
+  JOIN {edge_src} e ON e.src = p.node_id
+  JOIN mindist dn ON dn.node_id = e.dst AND dn.dist = p.hops + 1
+  WHERE p.hops < {depth}
+),
+chosen AS (
+  SELECT node_id, CAST(hops AS INT) AS dist,
+         array_to_string(ptypes, '>') AS path_types,
+         array_to_string(pdirs, '') AS path_dirs
+  FROM (
+    SELECT node_id, hops, ptypes, pdirs,
+           row_number() OVER (PARTITION BY node_id ORDER BY key) AS rn
+    FROM paths WHERE hops > 0
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT '{start}', 0, '', ''
+)"""
+
+
 @query(
     "g1_bfs_out_depth3",
-    oracle=graph_ctes()
+    oracle=graph_ctes("dedges AS (SELECT src, dst, rel_type, 'O' AS dir FROM edges)")
     + ","
-    + _walk_cte(_START, 3)
+    + _paths_cte(_START, 3)
     + """
-SELECT node_id, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node_id
+SELECT node_id, dist, path_types, path_dirs FROM chosen
 """,
 )
 def g1_bfs_out_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 with the reference's full response shape: distance plus the
+    rel-type path and per-hop directions of one (deterministically
+    chosen) BFS-tree path per node."""
     ctx = Ctx.get(spark, sf_dir)
-    return bfs(ctx.edges, [_START], 3, direction="out")
+    return bfs_paths(ctx.edges, [_START], 3, direction="out")
 
 
 @query(
     "g1_bfs_both_depth2_conf",
     oracle=graph_ctes(
-        """uedges AS (
-  SELECT src, dst FROM edges WHERE confidence >= 0.5 OR confidence IS NULL
+        """dedges AS (
+  SELECT src, dst, rel_type, 'O' AS dir FROM edges
+  WHERE confidence >= 0.5 OR confidence IS NULL
   UNION ALL
-  SELECT dst, src FROM edges WHERE confidence >= 0.5 OR confidence IS NULL
+  SELECT dst, src, rel_type, 'I' AS dir FROM edges
+  WHERE confidence >= 0.5 OR confidence IS NULL
 )"""
     )
     + ","
-    + _walk_cte("S1", 2, "uedges")
+    + _paths_cte("S1", 2)
     + """
-SELECT node_id, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node_id
+SELECT node_id, dist, path_types, path_dirs FROM chosen
 """,
 )
 def g1_bfs_both_depth2_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected BFS with min-confidence filter (NULL passes)."""
+    """Undirected BFS with min-confidence filter (NULL passes), with
+    path_types/path_dirs reconstruction."""
     ctx = Ctx.get(spark, sf_dir)
-    return bfs(ctx.edges, ["S1"], 2, direction="both", min_confidence=0.5)
+    return bfs_paths(ctx.edges, ["S1"], 2, direction="both", min_confidence=0.5)
 
 
 @query(

@@ -137,3 +137,41 @@ def test_shortest_path_same_node_is_distance_zero(ctx):
     rows = shortest_path_length(ctx.edges, "C1", "C1").collect()
     assert [(r["src"], r["dst"], r["dist"]) for r in rows] == [("C1", "C1", 0)]
     assert shortest_path(ctx.edges, "C1", "C1") == ["C1"]
+
+
+def test_bfs_paths_deterministic_choice(spark):
+    from knowledge_graph_system_spark.operators.traversal import bfs_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("A", "B", "r1", 0.9),
+            ("A", "B", "r0", 0.5),   # parallel edge: r0 < r1 wins
+            ("A", "C", "r2", 0.8),
+            ("B", "D", "r3", 0.7),
+            ("C", "D", "r4", 0.6),   # D reachable two ways: via-B key wins (r0 < r2)
+            ("D", "E", "r5", 0.4),
+            ("E", "A", "r9", 0.1),   # cycle back — must not revisit
+        ],
+        "src string, dst string, rel_type string, confidence double",
+    )
+    out = {
+        r["node_id"]: (r["dist"], r["path_types"], r["path_dirs"])
+        for r in bfs_paths(edges, ["A"], 4).collect()
+    }
+    assert out == {
+        "A": (0, "", ""),
+        "B": (1, "r0", "O"),
+        "C": (1, "r2", "O"),
+        "D": (2, "r0>r3", "OO"),
+        "E": (3, "r0>r3>r5", "OOO"),
+    }
+
+
+def test_bfs_paths_dist_matches_bfs(ctx):
+    from knowledge_graph_system_spark.operators.traversal import bfs, bfs_paths
+
+    plain = {(r["node_id"], r["dist"]) for r in bfs(ctx.edges, [START], 3).collect()}
+    with_paths = {
+        (r["node_id"], r["dist"]) for r in bfs_paths(ctx.edges, [START], 3).collect()
+    }
+    assert plain == with_paths
