@@ -314,6 +314,9 @@ def shortest_path(
     return []
 
 
+_PATH_BEAM_CAP = 10_000
+
+
 def enumerate_paths(
     edges: DataFrame,
     src_id: str,
@@ -321,13 +324,24 @@ def enumerate_paths(
     max_hops: int = 4,
     k: int | None = None,
     direction: str = "out",
+    per_level_cap: int = _PATH_BEAM_CAP,
+    level_counts: list[int] | None = None,
 ) -> DataFrame:
-    """All simple paths src→dst ≤ max_hops as (path, hops), optionally
-    top-k by (hops, path) — deterministic k-shortest-paths semantics
-    (G3). The reference's Yen's algorithm returns the same result set
-    for unweighted graphs with dedup-by-node-sequence
-    (`traversal.rs:306-487`); bounded enumeration is the join-friendly
-    formulation (K ≤ 5, hops ≤ 10, as the reference bounds it).
+    """Simple paths src→dst ≤ max_hops as (path, hops), optionally top-k
+    by (hops, path) — deterministic k-shortest-paths semantics (G3).
+    The reference's Yen's algorithm returns the same result set for
+    unweighted graphs with dedup-by-node-sequence (`traversal.rs:306-487`);
+    `yen_k_shortest` below is the literal form.
+
+    Scale guard: the alive frontier is BEAM-CAPPED per level at the
+    lexicographically smallest `per_level_cap` paths (element-wise array
+    order — prefix-stable, so the kept prefixes are exactly the ones the
+    smallest full paths extend). On a hub-heavy graph uncapped per-level
+    growth is exponential; with the cap each level is a TakeOrdered of at
+    most cap rows. Exact whenever no level hits the cap (every fixture
+    level is <300 rows; `level_counts` instrumentation + plan test pin
+    this), best-effort beam beyond it — the same bounded-everything
+    policy the reference applies (K ≤ 5, hops ≤ 10).
     """
     adj = directed_edges(edges, direction).select(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
@@ -336,9 +350,11 @@ def enumerate_paths(
     paths = spark.createDataFrame([(src_id, [src_id], 0)], "head string, path array<string>, hops int")
     done = paths.filter(F.lit(False))
     for _ in range(max_hops):
-        alive = paths.filter(F.col("head") != dst_id)
-        if alive.isEmpty():
-            break
+        alive = (
+            paths.filter(F.col("head") != dst_id)
+            .orderBy("path")
+            .limit(per_level_cap)
+        )
         step = (
             adj.join(F.broadcast(alive.withColumnRenamed("head", "_s")), "_s")
             .filter(~F.array_contains(F.col("path"), F.col("_d")))
@@ -350,6 +366,11 @@ def enumerate_paths(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        n_step = step.count()
+        if level_counts is not None:
+            level_counts.append(n_step)
+        if n_step == 0:
+            break
         done = done.unionByName(step.filter(F.col("head") == dst_id))
         paths = step
     out = done.select(

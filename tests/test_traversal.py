@@ -175,3 +175,31 @@ def test_bfs_paths_dist_matches_bfs(ctx):
         (r["node_id"], r["dist"]) for r in bfs_paths(ctx.edges, [START], 3).collect()
     }
     assert plain == with_paths
+
+
+def test_enumerate_paths_beam_bounded(ctx):
+    from knowledge_graph_system_spark.operators.traversal import (
+        _PATH_BEAM_CAP,
+        enumerate_paths,
+    )
+
+    # fixture never hits the cap → registered g3 is exact vs its oracle
+    counts = []
+    full = enumerate_paths(
+        ctx.edges, START, "S1", max_hops=4, k=5, level_counts=counts
+    ).collect()
+    assert counts and all(c < _PATH_BEAM_CAP for c in counts)
+
+    # with a deliberately tiny cap, per-level growth is bounded by
+    # cap × max-out-degree (no exponential blowup), and top-k still comes
+    # back ordered
+    tiny_counts = []
+    tiny = enumerate_paths(
+        ctx.edges, START, "S1", max_hops=4, k=5, per_level_cap=5,
+        level_counts=tiny_counts,
+    ).collect()
+    maxdeg = (
+        ctx.edges.groupBy("src").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert all(c <= 5 * maxdeg for c in tiny_counts)
+    assert [r["hops"] for r in tiny] == sorted(r["hops"] for r in tiny)
