@@ -56,7 +56,12 @@ def _pca2(x: np.ndarray, iters: int = 50) -> np.ndarray:
 
 
 def project_embeddings(nodes_emb: DataFrame, group_col: str = "ontology") -> DataFrame:
-    """F5: per-group 2-D projection via applyInPandas (Arrow batches)."""
+    """F5: per-group 2-D projection via applyInPandas (Arrow batches).
+
+    Rounding happens Spark-side (F.round, HALF_UP) not in numpy
+    (np.round is half-to-even) so the output matches the DuckDB oracle's
+    round() rule like every other registered float column.
+    """
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
@@ -65,8 +70,8 @@ def project_embeddings(nodes_emb: DataFrame, group_col: str = "ontology") -> Dat
             {
                 group_col: pdf[group_col],
                 "node_id": pdf["node_id"],
-                "x": np.round(xy[:, 0], 6),
-                "y": np.round(xy[:, 1], 6),
+                "x": xy[:, 0],
+                "y": xy[:, 1],
             }
         )
 
@@ -74,6 +79,8 @@ def project_embeddings(nodes_emb: DataFrame, group_col: str = "ontology") -> Dat
         nodes_emb.select(group_col, "node_id", "embedding")
         .groupBy(group_col)
         .applyInPandas(fit, schema=f"{group_col} string, node_id string, x double, y double")
+        .withColumn("x", F.round("x", 6))
+        .withColumn("y", F.round("y", 6))
     )
 
 
@@ -81,34 +88,64 @@ def dbscan(
     nodes_emb: DataFrame, group_col: str = "ontology", min_pts: int = 4
 ) -> DataFrame:
     """F6: per-group DBSCAN with eps = 40th-percentile kNN distance
-    (floors mirrored from the reference). Returns (group, node_id,
-    cluster) with cluster = -1 for noise."""
+    (floors mirrored from the reference,
+    `embedding_projection_service.py:753-816`). Returns (group, node_id,
+    cluster) with cluster = -1 for noise.
+
+    This is the ORDER-FREE formulation of DBSCAN, chosen so the result
+    is a pure function of the point set and SQL-expressible (the DuckDB
+    oracle replays it exactly):
+    - core points: ≥ min_pts neighbors within eps (self included);
+    - clusters = connected components of the core-core proximity graph,
+      numbered 0,1,... by each component's minimal member node_id;
+    - border points join the cluster of their minimal-node_id core
+      neighbor (classic DBSCAN leaves border assignment to visit order —
+      this pins it);
+    - everything else is noise (-1).
+    """
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         n = len(pdf)
+        ids = list(pdf["node_id"])
         d = np.sqrt(np.maximum(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1), 0.0))
         k = min(min_pts, n - 1) if n > 1 else 1
         knn = np.sort(d, axis=1)[:, k] if n > 1 else np.zeros(n)
         eps = max(float(np.percentile(knn, 40)), 1e-3)
+        within = d <= eps
+        is_core = within.sum(axis=1) >= min_pts
+
+        # union-find over core points (exact integer work, no FP order)
+        parent = list(range(n))
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        core_idx = np.where(is_core)[0]
+        for i in core_idx:
+            for j in np.where(within[i] & is_core)[0]:
+                ri, rj = find(int(i)), find(int(j))
+                if ri != rj:
+                    parent[rj] = ri
+
+        comp_min: dict[int, str] = {}
+        for i in core_idx:
+            r = find(int(i))
+            m = comp_min.get(r)
+            if m is None or ids[i] < m:
+                comp_min[r] = ids[i]
+        cluster_of_min = {m: c for c, m in enumerate(sorted(comp_min.values()))}
+
         labels = np.full(n, -1)
-        cluster = 0
-        for i in np.argsort(pdf["node_id"].values):  # deterministic seed order
-            if labels[i] != -1:
-                continue
-            neigh = np.where(d[i] <= eps)[0]
-            if len(neigh) < min_pts:
-                continue
-            labels[i] = cluster
-            queue = list(neigh)
-            while queue:
-                j = queue.pop()
-                if labels[j] == -1:
-                    labels[j] = cluster
-                    jn = np.where(d[j] <= eps)[0]
-                    if len(jn) >= min_pts:
-                        queue.extend(jj for jj in jn if labels[jj] == -1)
-            cluster += 1
+        for i in core_idx:
+            labels[i] = cluster_of_min[comp_min[find(int(i))]]
+        for i in np.where(~is_core)[0]:
+            nbrs = [int(j) for j in np.where(within[i] & is_core)[0]]
+            if nbrs:
+                labels[i] = labels[min(nbrs, key=lambda j: ids[j])]
         return pd.DataFrame(
             {group_col: pdf[group_col], "node_id": pdf["node_id"], "cluster": labels}
         )
@@ -120,20 +157,155 @@ def dbscan(
     )
 
 
-@query("f5_projection", oracle=None)
+def _emb_long_ctes() -> list[str]:
+    """Shared oracle prelude: Customer unit embeddings exploded to long
+    form (node_id, g, d, v) plus per-group sizes — the exact twin of
+    `ctx.nodes_emb.filter(label = 'Customer')`."""
+    from ..functions.vectors import DEFAULT_DIM
+
+    uv = osql.unit_vec_cte(
+        "node_id", "node_id, ontology",
+        "(SELECT node_id, ontology FROM nodes WHERE label = 'Customer')",
+    )
+    # MATERIALIZED everywhere: DuckDB would otherwise inline each CTE at
+    # every reference, and the unrolled power-iteration chain then expands
+    # exponentially (observed as a file-handle explosion on the base scan)
+    return [
+        f"memb AS MATERIALIZED (SELECT node_id, ontology, emb FROM {uv} m)",
+        f"pt AS MATERIALIZED (SELECT node_id, ontology AS g, gs.d AS d, emb[gs.d] AS v"
+        f" FROM memb, generate_series(1, {DEFAULT_DIM}) AS gs(d))",
+        "gn AS MATERIALIZED (SELECT ontology AS g, count(*) AS n FROM memb GROUP BY ontology)",
+    ]
+
+
+def _f5_oracle(iters: int = 50) -> str:
+    """DuckDB replay of `_pca2`: center → row-normalize → covariance →
+    two power-iteration components (fixed 1/sqrt(dim) init, `iters`
+    normalized iterations, deflation between components) → project.
+    The iteration is generated as an unrolled CTE chain; power iteration
+    is contractive, so cross-engine FP summation-order differences stay
+    at machine epsilon and vanish under round(·, 6)."""
+    from ..functions.vectors import DEFAULT_DIM
+
+    init = 1.0 / DEFAULT_DIM**0.5
+    parts = _emb_long_ctes() + [
+        "ctr AS MATERIALIZED (SELECT g, d, avg(v) AS mu FROM pt GROUP BY g, d)",
+        "xc AS MATERIALIZED (SELECT p.node_id, p.g, p.d, p.v - c.mu AS v"
+        " FROM pt p JOIN ctr c ON c.g = p.g AND c.d = p.d)",
+        "rnorm AS MATERIALIZED (SELECT node_id, g, sqrt(sum(v*v)) AS nrm FROM xc GROUP BY node_id, g)",
+        "x AS MATERIALIZED (SELECT xc.node_id, xc.g, xc.d,"
+        " xc.v / (CASE WHEN r.nrm = 0 THEN 1.0 ELSE r.nrm END) AS v"
+        " FROM xc JOIN rnorm r ON r.node_id = xc.node_id AND r.g = xc.g)",
+        "cov0 AS MATERIALIZED (SELECT a.g, a.d AS i, b.d AS j, sum(a.v * b.v) AS c"
+        " FROM x a JOIN x b ON b.g = a.g AND b.node_id = a.node_id"
+        " GROUP BY a.g, a.d, b.d)",
+    ]
+    for comp, cov in ((1, "cov0"), (2, "cov1")):
+        parts.append(f"v{comp}_0 AS MATERIALIZED (SELECT DISTINCT g, d, {init!r} AS v FROM pt)")
+        for t in range(1, iters + 1):
+            parts.append(
+                f"w{comp}_{t} AS MATERIALIZED (SELECT c.g, c.i AS d, sum(c.c * v.v) AS w"
+                f" FROM {cov} c JOIN v{comp}_{t-1} v ON v.g = c.g AND v.d = c.j"
+                f" GROUP BY c.g, c.i)"
+            )
+            parts.append(
+                f"v{comp}_{t} AS MATERIALIZED (SELECT g, d,"
+                f" w / nullif(sqrt(sum(w*w) OVER (PARTITION BY g)), 0) AS v"
+                f" FROM w{comp}_{t})"
+            )
+        if comp == 1:
+            parts.append(
+                f"u1 AS MATERIALIZED (SELECT c.g, c.i AS d, sum(c.c * v.v) AS u"
+                f" FROM cov0 c JOIN v1_{iters} v ON v.g = c.g AND v.d = c.j"
+                f" GROUP BY c.g, c.i)"
+            )
+            parts.append(
+                f"cov1 AS MATERIALIZED (SELECT c.g, c.i, c.j, c.c - v.v * u.u AS c"
+                f" FROM cov0 c JOIN v1_{iters} v ON v.g = c.g AND v.d = c.i"
+                f" JOIN u1 u ON u.g = c.g AND u.d = c.j)"
+            )
+    parts.append(
+        f"proj AS MATERIALIZED (SELECT x.node_id, x.g, sum(x.v * a.v) AS px, sum(x.v * b.v) AS py"
+        f" FROM x JOIN v1_{iters} a ON a.g = x.g AND a.d = x.d"
+        f" JOIN v2_{iters} b ON b.g = x.g AND b.d = x.d"
+        f" GROUP BY x.node_id, x.g)"
+    )
+    return graph_ctes(*parts) + """
+SELECT p.g AS ontology, p.node_id,
+       CASE WHEN gn.n < 3 THEN 0.0 ELSE round(p.px, 6) END AS x,
+       CASE WHEN gn.n < 3 THEN 0.0 ELSE round(p.py, 6) END AS y
+FROM proj p JOIN gn ON gn.g = p.g
+"""
+
+
+def _f6_oracle(min_pts: int = 4) -> str:
+    """DuckDB replay of the order-free DBSCAN: kNN-percentile eps, core
+    points, recursive min-label connected components over the core-core
+    proximity graph, min-core border assignment, -1 noise."""
+    parts = _emb_long_ctes() + [
+        "dist AS MATERIALIZED (SELECT a.g, a.node_id AS i, b.node_id AS j,"
+        " sqrt(sum((a.v - b.v)*(a.v - b.v))) AS dd"
+        " FROM pt a JOIN pt b ON b.g = a.g AND b.d = a.d"
+        " GROUP BY a.g, a.node_id, b.node_id)",
+        f"knn AS MATERIALIZED (SELECT d.g, d.i, d.dd FROM"
+        f" (SELECT dist.*, row_number() OVER (PARTITION BY g, i ORDER BY dd, j) AS rn"
+        f"  FROM dist) d JOIN gn ON gn.g = d.g"
+        f" WHERE d.rn = least({min_pts}, gn.n - 1) + 1)",
+        "epst AS MATERIALIZED (SELECT g, greatest(quantile_cont(dd, 0.4), 0.001) AS eps"
+        " FROM knn GROUP BY g)",
+        "ncnt AS MATERIALIZED (SELECT d.g, d.i, count(*) AS nc FROM dist d"
+        " JOIN epst e ON e.g = d.g WHERE d.dd <= e.eps GROUP BY d.g, d.i)",
+        f"core AS MATERIALIZED (SELECT g, i FROM ncnt WHERE nc >= {min_pts})",
+        "core_edge AS MATERIALIZED (SELECT d.g, d.i AS a, d.j AS b FROM dist d"
+        " JOIN epst e ON e.g = d.g"
+        " JOIN core c1 ON c1.g = d.g AND c1.i = d.i"
+        " JOIN core c2 ON c2.g = d.g AND c2.i = d.j"
+        " WHERE d.dd <= e.eps)",
+        "reach(g, node, comp) AS ("
+        " SELECT g, i, i FROM core"
+        " UNION"
+        " SELECT e.g, e.b, r.comp FROM reach r"
+        " JOIN core_edge e ON e.g = r.g AND e.a = r.node)",
+        "comp AS MATERIALIZED (SELECT g, node, min(comp) AS root FROM reach GROUP BY g, node)",
+        "rootz AS MATERIALIZED (SELECT g, root,"
+        " dense_rank() OVER (PARTITION BY g ORDER BY root) - 1 AS cluster"
+        " FROM (SELECT DISTINCT g, root FROM comp))",
+        "core_lab AS MATERIALIZED (SELECT c.g, c.node, r.cluster FROM comp c"
+        " JOIN rootz r ON r.g = c.g AND r.root = c.root)",
+        "border AS MATERIALIZED (SELECT d.g, d.i AS node, min(d.j) AS core_nbr FROM dist d"
+        " JOIN epst e ON e.g = d.g"
+        " JOIN core c ON c.g = d.g AND c.i = d.j"
+        " LEFT JOIN core s ON s.g = d.g AND s.i = d.i"
+        " WHERE d.dd <= e.eps AND s.i IS NULL GROUP BY d.g, d.i)",
+        "border_lab AS MATERIALIZED (SELECT b.g, b.node, cl.cluster FROM border b"
+        " JOIN core_lab cl ON cl.g = b.g AND cl.node = b.core_nbr)",
+        "lab AS MATERIALIZED (SELECT m.ontology AS g, m.node_id AS node,"
+        " coalesce(cl.cluster, bl.cluster, -1) AS cluster FROM memb m"
+        " LEFT JOIN core_lab cl ON cl.g = m.ontology AND cl.node = m.node_id"
+        " LEFT JOIN border_lab bl ON bl.g = m.ontology AND bl.node = m.node_id)",
+    ]
+    return graph_ctes(*parts) + """
+SELECT g AS ontology, cluster, count(*) AS n FROM lab GROUP BY g, cluster
+"""
+
+
+@query("f5_projection", oracle=_f5_oracle())
 def f5_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: 2-D coordinates per Customer node (projection has
-    no SQL oracle; determinism is pinned by tests/test_projection.py)."""
+    """F5: 2-D coordinates per Customer node, per market segment. The
+    oracle replays the seeded power-iteration PCA in unrolled DuckDB SQL
+    (semantics per `embedding_projection_service.py:641-751`: center →
+    normalize → deterministic projection)."""
     ctx = Ctx.get(spark, sf_dir)
     return project_embeddings(
         ctx.nodes_emb.filter(F.col("label") == "Customer")
     )
 
 
-@query("f6_dbscan", oracle=None)
+@query("f6_dbscan", oracle=_f6_oracle())
 def f6_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: DBSCAN cluster sizes per segment (invariants —
-    noise + Σ sizes == N — are asserted in tests)."""
+    """F6: DBSCAN cluster sizes per segment, order-free formulation —
+    the oracle replays eps derivation, core detection, and the
+    connected-component labeling in recursive SQL."""
     ctx = Ctx.get(spark, sf_dir)
     labels = dbscan(ctx.nodes_emb.filter(F.col("label") == "Customer"))
     return (

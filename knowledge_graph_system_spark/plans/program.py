@@ -192,21 +192,32 @@ def execute_program(
     dispatch,
     initial: WorkingGraph,
     timeout_s: float = DEFAULT_TIMEOUT_S,
+    collect_counts: bool = True,
 ) -> ProgramResult:
     """Run validated statements sequentially. `dispatch(source) -> Result`
-    supplies each statement's R from an engine operator (SO9)."""
+    supplies each statement's R from an engine operator (SO9).
+
+    `collect_counts=False` skips the per-step result/working `.count()`
+    actions (logged as -1): a long program then costs one Spark job per
+    statement (the nodes checkpoint) instead of three-plus, which is what
+    keeps a 50-statement program inside the reference's 60 s envelope
+    (`program_executor.py:43`). Conditionals still count — the condition
+    needs the number.
+    """
     validate_program(statements)
     res = ProgramResult(working=initial)
     deadline = time.monotonic() + timeout_s
     try:
-        _run_block(statements, dispatch, res, deadline)
+        _run_block(statements, dispatch, res, deadline, collect_counts)
     except ProgramAborted as exc:
         res.aborted = True
         res.abort_reason = str(exc)
     return res
 
 
-def _run_block(statements, dispatch, res: ProgramResult, deadline: float) -> None:
+def _run_block(
+    statements, dispatch, res: ProgramResult, deadline: float, collect_counts: bool
+) -> None:
     for st in statements:
         if time.monotonic() > deadline:
             raise ProgramAborted("program timeout exceeded")
@@ -222,25 +233,25 @@ def _run_block(statements, dispatch, res: ProgramResult, deadline: float) -> Non
                 "count_lte": n <= cond.get("value", 0),
             }[cond["cond"]]
             branch = st.get("then", []) if ok else st.get("else", [])
-            res.log.append(
-                StepLog(f"if:{cond['cond']}", n, res.working.nodes.count(), _ms(t0))
-            )
+            wn = res.working.nodes.count() if collect_counts else -1
+            res.log.append(StepLog(f"if:{cond['cond']}", n, wn, _ms(t0)))
             if branch:
-                _run_block(branch, dispatch, res, deadline)
+                _run_block(branch, dispatch, res, deadline, collect_counts)
         else:
             res.working = _APPLY[st["op"]](res.working, r)
             # localCheckpoint: cut lineage so long programs don't build
             # mile-deep plans (the engine analog of the reference's
-            # per-statement materialized WorkingGraph)
+            # per-statement materialized WorkingGraph). Nodes eager (the
+            # next statement's set op reads them immediately); links lazy —
+            # they materialize fused into whichever later action first
+            # touches them instead of paying a dedicated job per statement.
             res.working = WorkingGraph(
                 res.working.nodes.localCheckpoint(eager=True),
-                res.working.links.localCheckpoint(eager=True),
+                res.working.links.localCheckpoint(eager=False),
             )
-            res.log.append(
-                StepLog(
-                    st["op"], r.nodes.count(), res.working.nodes.count(), _ms(t0)
-                )
-            )
+            rn = r.nodes.count() if collect_counts else -1
+            wn = res.working.nodes.count() if collect_counts else -1
+            res.log.append(StepLog(st["op"], rn, wn, _ms(t0)))
 
 
 def _ms(t0: float) -> float:
