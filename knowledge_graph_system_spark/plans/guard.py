@@ -25,9 +25,6 @@ _FORBIDDEN = re.compile(
     r"\b(insert|update|delete|merge|drop|create|alter|truncate|grant|revoke|set|refresh|cache|uncache|use|copy|call)\b",
     re.IGNORECASE,
 )
-_COMMENT = re.compile(r"(--[^\n]*|/\*.*?\*/)", re.DOTALL)
-# single-quoted SQL literal, '' as the escaped quote
-_STRING = re.compile(r"'(?:[^']|'')*'")
 # a caller-bounded tail: LIMIT n [OFFSET m] — OFFSET alone doesn't bound
 _BOUNDED = re.compile(r"\blimit\s+\d+(\s+offset\s+\d+)?\s*$", re.IGNORECASE)
 DEFAULT_LIMIT = 1000
@@ -37,16 +34,64 @@ class GuardError(ValueError):
     pass
 
 
+def scan_statement(
+    sql: str, line_comments: tuple[str, ...] = ("--",)
+) -> tuple[str, str]:
+    """One left-to-right pass tracking quote/comment state.
+
+    Returns (executable, scannable): comments become a single space in
+    both; string-literal CONTENT is kept in `executable` but blanked to
+    '' in `scannable`. Because the pass tracks state, comment markers
+    inside literals stay literal text (WHERE name = 'a--b' survives) and
+    quotes inside comments are ignored — the failure mode of running a
+    comment regex before blanking literals. Raises GuardError on an
+    unterminated literal. Shared by the SQL guard and the Cypher front
+    end (which passes line_comments=('--', '//'))."""
+    exec_out: list[str] = []
+    scan_out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while True:
+                if j >= n:
+                    raise GuardError("unterminated string literal")
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            exec_out.append(sql[i : j + 1])
+            scan_out.append("''")
+            i = j + 1
+        elif any(sql.startswith(m, i) for m in line_comments):
+            nl = sql.find("\n", i)
+            i = n if nl == -1 else nl  # the newline itself survives
+            exec_out.append(" ")
+            scan_out.append(" ")
+        elif sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            i = n if end == -1 else end + 2
+            exec_out.append(" ")
+            scan_out.append(" ")
+        else:
+            exec_out.append(c)
+            scan_out.append(c)
+            i += 1
+    return "".join(exec_out), "".join(scan_out)
+
+
 def guard_query(sql: str, auto_limit: int | None = DEFAULT_LIMIT) -> str:
     """Validate a read-only single-statement SELECT; append a LIMIT when
     the caller didn't bound the result (the reference's auto-LIMIT)."""
-    stripped = _COMMENT.sub(" ", sql).strip().rstrip(";")
     # keyword/semicolon scanning must not see string literal CONTENT:
-    # WHERE name = 'insert; drop' is a legitimate read. Blank literals out
-    # for scanning; the executed text keeps them.
-    scannable = _STRING.sub("''", stripped)
-    if "'" in scannable.replace("''", ""):
-        raise GuardError("unterminated string literal")
+    # WHERE name = 'insert; drop' is a legitimate read. The single-pass
+    # scanner blanks literals for scanning; the executed text keeps them.
+    executable, scannable = scan_statement(sql)
+    stripped = executable.strip().rstrip(";")
+    scannable = scannable.strip().rstrip(";")
     if ";" in scannable:
         raise GuardError("multi-statement queries are not allowed")
     if not re.match(r"^\s*(select|with)\b", scannable, re.IGNORECASE):

@@ -150,7 +150,7 @@ def load_all() -> dict[str, QuerySpec]:
         traversal,
         vector,
     )
-    from .plans import guard  # noqa: F401
+    from .plans import cypher, guard  # noqa: F401
     from .streaming import epochs, windows  # noqa: F401
 
     ordered = {n: QUERIES[n] for n in _RECORD_FIRST if n in QUERIES}

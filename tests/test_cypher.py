@@ -1,0 +1,164 @@
+"""Cypher-subset front end: compilation semantics + rejection rules
+(the reference's cypher_guard test model, V010-V016/V030)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.plans.cypher import (
+    check_cypher_safety,
+    compile_cypher,
+)
+from knowledge_graph_system_spark.plans.guard import GuardError
+from knowledge_graph_system_spark.registry import Ctx
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def cctx(spark):
+    return Ctx.get(spark, SF_DIR)
+
+
+def test_single_node_label_and_prop(spark, cctx):
+    out = compile_cypher(
+        cctx, "MATCH (n:Customer {ontology: 'BUILDING'}) RETURN n.node_id AS id"
+    )
+    expect = (
+        cctx.nodes.filter((F.col("label") == "Customer") & (F.col("ontology") == "BUILDING"))
+        .select(F.col("node_id").alias("id"))
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+
+
+def test_one_hop_directed_matches_join(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer)-[r:PLACED]->(o:Order) "
+        "RETURN c.node_id AS c_id, o.node_id AS o_id",
+    )
+    expect = (
+        cctx.edges.filter(F.col("rel_type") == "PLACED")
+        .select(F.col("src").alias("c_id"), F.col("dst").alias("o_id"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_undirected_binds_both_ways(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (a {node_id: 'C1'})-[:PLACED]-(b) RETURN b.node_id AS b_id",
+    )
+    # C1 only has outgoing PLACED edges; undirected must still find them
+    expect = cctx.edges.filter(
+        (F.col("rel_type") == "PLACED") & (F.col("src") == "C1")
+    ).select("dst")
+    assert sorted(r["b_id"] for r in out.collect()) == sorted(
+        r["dst"] for r in expect.collect()
+    )
+
+
+def test_where_and_order_limit(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (n:Part) WHERE n.weight > 1500 AND n.ontology <> 'Brand#45' "
+        "RETURN n.node_id AS id, n.weight AS w ORDER BY n.weight DESC, n.node_id LIMIT 5",
+    ).collect()
+    expect = (
+        cctx.nodes.filter(
+            (F.col("label") == "Part")
+            & (F.col("weight") > 1500)
+            & (F.col("ontology") != "Brand#45")
+        )
+        .orderBy(F.col("weight").desc(), "node_id")
+        .limit(5)
+        .select(F.col("node_id").alias("id"), F.col("weight").alias("w"))
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in expect]
+
+
+def test_implicit_grouping_count(spark, cctx):
+    out = {
+        (r["seg"], r["n"])
+        for r in compile_cypher(
+            cctx, "MATCH (c:Customer) RETURN c.ontology AS seg, count(*) AS n"
+        ).collect()
+    }
+    expect = {
+        (r["ontology"], r["cnt"])
+        for r in cctx.nodes.filter(F.col("label") == "Customer")
+        .groupBy("ontology")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert out == expect
+
+
+def test_varlen_path_multiplicity(spark, cctx):
+    out = compile_cypher(
+        cctx, "MATCH (c {node_id: 'C1'})-[*1..2]->(x) RETURN x.node_id AS id"
+    )
+    e = cctx.edges.select("src", "dst")
+    hop1 = e.filter(F.col("src") == "C1").select("dst")
+    hop2 = (
+        e.filter(F.col("src") == "C1")
+        .select(F.col("dst").alias("mid"))
+        .join(e, F.col("mid") == F.col("src"))
+        .select("dst")
+    )
+    expect = hop1.unionByName(hop2)
+    # one row per PATH, not per distinct endpoint
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["dst"] for r in expect.collect()
+    )
+
+
+def test_edge_var_confidence_filter(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (o:Order)-[r:L0]->(p:Part) WHERE r.confidence >= 0.3 "
+        "RETURN o.node_id AS o_id, p.node_id AS p_id",
+    )
+    expect = cctx.edges.filter(
+        (F.col("rel_type") == "L0") & (F.col("confidence") >= 0.3)
+    ).select(F.col("src").alias("o_id"), F.col("dst").alias("p_id"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ("CREATE (n:X) RETURN n.node_id", "V010"),
+        ("MATCH (n) DELETE n", "V010"),
+        ("MATCH (n) SET n.weight = 1 RETURN n.node_id", "V010"),
+        ("MATCH (n) DETACH DELETE n", "V010"),
+        ("MATCH (a)-[*]->(b) RETURN a.node_id", "V030"),
+        ("MATCH (a)-[*1..]->(b) RETURN a.node_id", "V030"),
+        ("MATCH (a)-[*1..99]->(b) RETURN a.node_id", "V030"),
+        ("MATCH (n) RETURN n.node_id; MATCH (m) RETURN m.node_id", "multi-statement"),
+        ("OPTIONAL MATCH (n) RETURN n.node_id", "unsupported"),
+        ("MATCH (n) WITH n RETURN n.node_id", "unsupported"),
+        ("MATCH (n) RETURN n.node_id UNION MATCH (m) RETURN m.node_id", "unsupported"),
+    ],
+)
+def test_rejections(bad, msg):
+    with pytest.raises(GuardError, match=msg):
+        check_cypher_safety(bad)
+
+
+def test_write_keyword_inside_literal_is_fine():
+    check_cypher_safety("MATCH (n {name: 'DELETE me; DROP'}) RETURN n.node_id")
+
+
+def test_bounded_varlen_accepted():
+    check_cypher_safety("MATCH (a)-[*1..3]->(b) RETURN a.node_id")
+    check_cypher_safety("MATCH (a)-[:PLACED*2]->(b) RETURN a.node_id")
+
+
+def test_unknown_property_rejected(cctx):
+    with pytest.raises(GuardError, match="unknown"):
+        compile_cypher(cctx, "MATCH (n) RETURN n.nope AS x")

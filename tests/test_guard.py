@@ -80,3 +80,24 @@ def test_keywords_outside_literals_still_rejected():
 def test_unterminated_literal_rejected():
     with pytest.raises(GuardError):
         guard_query("SELECT * FROM nodes WHERE name = 'oops")
+
+
+def test_comment_markers_inside_literals_survive():
+    # regression: a '--' or '/*' INSIDE a string literal is literal text,
+    # not a comment — the old comment-regex-first order truncated these
+    out = guard_query("SELECT * FROM nodes WHERE name = 'a--b'")
+    assert "'a--b'" in out
+    out = guard_query("SELECT * FROM nodes WHERE name = 'x/*y*/z'")
+    assert "'x/*y*/z'" in out
+
+
+def test_quotes_inside_comments_ignored():
+    out = guard_query("SELECT 1 -- don't trip the literal scanner\n")
+    assert out.startswith("SELECT 1")
+    with pytest.raises(GuardError):
+        guard_query("SELECT 'unterminated")
+
+
+def test_escaped_quotes_in_literals():
+    out = guard_query("SELECT * FROM nodes WHERE name = 'it''s -- fine'")
+    assert "'it''s -- fine'" in out
