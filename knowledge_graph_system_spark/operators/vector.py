@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import oracle_snippets as osql
 from ..functions.vectors import dot_expr, lit_vec, unit_vec_py
@@ -272,6 +273,103 @@ def v6_synonym_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("sim") >= 0.1, "moderate")
         .otherwise("weak")
         .alias("strength"),
+    )
+
+
+@query(
+    "v6b_merge_groups",
+    oracle=graph_ctes()
+    + f""",
+vemb AS (SELECT rel_type, emb FROM {osql.unit_vec_cte("'vocab:' || rel_type", 'rel_type', 'vocab')} v),
+sims AS (SELECT a.rel_type AS rel_a, b.rel_type AS rel_b,
+                round({osql.dot_sql('a.emb', 'b.emb')}, 6) AS sim
+         FROM vemb a JOIN vemb b ON a.rel_type < b.rel_type),
+strong AS (SELECT rel_a, rel_b FROM sims WHERE sim >= 0.35),
+und AS (SELECT rel_a AS a, rel_b AS b FROM strong
+        UNION ALL SELECT rel_b, rel_a FROM strong),
+reach(node, comp) AS (
+  SELECT rel_type, rel_type FROM vocab
+  UNION
+  SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node),
+comp AS (SELECT node AS rel_type, min(comp) AS comp FROM reach GROUP BY node),
+cnt AS (SELECT rel_type, count(*) AS edge_count FROM edges GROUP BY rel_type),
+fullv AS (SELECT c.rel_type, c.comp, coalesce(cnt.edge_count, 0) AS edge_count
+          FROM comp c LEFT JOIN cnt ON cnt.rel_type = c.rel_type),
+canon AS (SELECT comp, rel_type AS canonical FROM
+          (SELECT comp, rel_type,
+                  row_number() OVER (PARTITION BY comp ORDER BY edge_count DESC, rel_type) AS rn
+           FROM fullv) WHERE rn = 1),
+gs AS (SELECT comp, CAST(count(*) AS BIGINT) AS group_size FROM fullv GROUP BY comp)
+SELECT f.rel_type, c.canonical, gs.group_size,
+       CASE WHEN f.rel_type = c.canonical THEN 'keep' ELSE 'merge_into' END AS action
+FROM fullv f JOIN canon c ON c.comp = f.comp JOIN gs ON gs.comp = f.comp
+""",
+)
+def v6b_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 merge-graph assembly on top of the pairwise tiers: connected
+    components over STRONG pairs become merge groups; each group's
+    canonical (preserved) type is chosen by the reference's merge rule —
+    edge count, then alphabetical tiebreak
+    (`/root/reference/api/app/lib/synonym_detector.py:358-462` decisions
+    2-3, merge graph per `synonym_detector.py:677-700`).
+
+    The strong-pair edge list is vocabulary-bounded (≤ |vocab|² rows;
+    the reference's whole detector is in-memory for the same reason), so
+    collecting it for union-find is a bounded driver step; everything
+    row-scaled (edge counts, the final join) stays distributed.
+    """
+    ctx = Ctx.get(spark, sf_dir)
+    v = ctx.vocab.select("rel_type", "embedding")
+    a = v.select(F.col("rel_type").alias("rel_a"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("rel_type").alias("rel_b"), F.col("embedding").alias("eb"))
+    strong = (
+        a.join(b, F.col("rel_a") < F.col("rel_b"))
+        .withColumn("sim", F.round(dot_expr("ea", "eb"), 6))
+        .filter(F.col("sim") >= 0.35)
+        .select("rel_a", "rel_b")
+        .collect()
+    )
+    types = [r["rel_type"] for r in v.select("rel_type").collect()]
+    parent = {t: t for t in types}
+
+    def find(t: str) -> str:
+        while parent[t] != t:
+            parent[t] = parent[parent[t]]
+            t = parent[t]
+        return t
+
+    for r in strong:
+        ra, rb = find(r["rel_a"]), find(r["rel_b"])
+        if ra != rb:
+            parent[rb] = ra
+    comp = {t: min(u for u in types if find(u) == find(t)) for t in types}
+    comp_df = spark.createDataFrame(
+        [(t, c) for t, c in comp.items()], "rel_type string, comp string"
+    )
+
+    cnt = ctx.edges.groupBy("rel_type").agg(F.count("*").alias("edge_count"))
+    fullv = (
+        comp_df.join(cnt, "rel_type", "left")
+        .withColumn("edge_count", F.coalesce("edge_count", F.lit(0)))
+    )
+    w = Window.partitionBy("comp").orderBy(F.col("edge_count").desc(), "rel_type")
+    canon = (
+        fullv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("rel_type").alias("canonical"))
+    )
+    gs = fullv.groupBy("comp").agg(F.count("*").alias("group_size"))
+    return (
+        fullv.join(F.broadcast(canon), "comp")
+        .join(F.broadcast(gs), "comp")
+        .select(
+            "rel_type",
+            "canonical",
+            "group_size",
+            F.when(F.col("rel_type") == F.col("canonical"), "keep")
+            .otherwise("merge_into")
+            .alias("action"),
+        )
     )
 
 
