@@ -24,6 +24,12 @@ HEADLINE = [
     "d_minhash_lsh",           # shuffle-heavy near-dup pipeline
     "ann_ivf_topk",            # pruned similarity search
     "st_session_window",       # stateful session windowing
+    "g3_k_shortest_paths",     # beam-capped path enumeration
+    "x1_asof_join",            # union + carry-forward as-of join
+    "d_simhash",               # bitwise near-dup clustering
+    "v2_chunk_search",         # chunk-scan + vector score + stale flag
+    "x2_skew_naive_join",      # hot-key shuffle join, unsalted baseline
+    "x2_skew_salted_join",     # same join, salted 8x — must beat naive
 ]
 
 

@@ -316,8 +316,11 @@ def embedding_candidates_ivf(vectors: DataFrame, nprobe: int = _NEARDUP_NPROBE) 
     oracle=f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cdim AS (
-  SELECT label, d, avg(v[d]) AS cv
-  FROM e, generate_series(1, 64) AS g(d) GROUP BY label, d
+  -- dim derived from the data (parallel unnest zips value with index);
+  -- generate_series can't take a non-constant bound in DuckDB
+  SELECT label, d, avg(x) AS cv FROM (
+    SELECT label, unnest(range(1, len(v)+1)) AS d, unnest(v) AS x FROM e
+  ) GROUP BY label, d
 ),
 cent AS (SELECT label AS clabel, list(cv ORDER BY d) AS cv FROM cdim GROUP BY label),
 assign AS (

@@ -320,3 +320,81 @@ def j9_two_tier_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("incoming_id", "node_id", "sim", "tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# X2: skew-salted join demo (100 TB posture)
+# ---------------------------------------------------------------------------
+
+_X2_ORACLE = """
+SELECT d.brand, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l.l_extendedprice), 2) AS revenue
+FROM (SELECT CASE WHEN l_partkey % 50 = 0 THEN 'P' || l_partkey
+             ELSE 'HOT' END AS skew_key, l_extendedprice FROM lineitem) l
+JOIN (SELECT 'P' || p_partkey AS skew_key, p_brand AS brand FROM part
+      UNION ALL SELECT 'HOT', 'Brand#HOT') d ON d.skew_key = l.skew_key
+GROUP BY d.brand
+"""
+
+
+def _x2_sides(ctx: Ctx) -> tuple[DataFrame, DataFrame]:
+    """A deliberately pathological join: ~98% of lineitem rows share ONE
+    key ('HOT'); the rest spread over per-part keys. The dim side is
+    part-sized. This is the hub-concept shape that breaks a plain
+    shuffle join at 100 TB: one reducer gets the hot partition."""
+    l = ctx.tables["lineitem"].select(
+        F.when(
+            F.col("l_partkey") % 50 == 0,
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")),
+        )
+        .otherwise("HOT")
+        .alias("skew_key"),
+        "l_extendedprice",
+    )
+    d = (
+        ctx.tables["part"]
+        .select(
+            F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("skew_key"),
+            F.col("p_brand").alias("brand"),
+        )
+        .unionByName(
+            ctx.spark.createDataFrame(
+                [("HOT", "Brand#HOT")], "skew_key string, brand string"
+            )
+        )
+    )
+    return l, d
+
+
+def _x2_agg(joined: DataFrame) -> DataFrame:
+    return joined.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query("x2_skew_naive_join", oracle=_X2_ORACLE)
+def x2_skew_naive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive plan, shuffle-join forced (merge hint): the 'HOT' key
+    lands on one reducer — the serial tail salting exists to remove.
+    Kept registered so BENCH records naive-vs-salted side by side.
+
+    (AQE's skew split — on in the factory session — only triggers past
+    `skewedPartitionThresholdInBytes` (256 MB); a hub key below that
+    still serializes one task, and salting is the explicit fix.)"""
+    ctx = Ctx.get(spark, sf_dir)
+    l, d = _x2_sides(ctx)
+    return _x2_agg(l.hint("merge").join(d, "skew_key"))
+
+
+@query("x2_skew_salted_join", oracle=_X2_ORACLE)
+def x2_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join through `functions.skew.salted_join` (n_salts=8): the
+    left side is salted by row hash, the dim side replicated 8x, so the
+    hot key spreads across 8 tasks. Same oracle as the naive plan —
+    salting must be semantically invisible."""
+    from ..functions.skew import salted_join
+
+    ctx = Ctx.get(spark, sf_dir)
+    l, d = _x2_sides(ctx)
+    return _x2_agg(salted_join(l, d.hint("merge"), "skew_key", n_salts=8))
