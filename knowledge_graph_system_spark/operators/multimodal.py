@@ -98,3 +98,229 @@ def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(ctx.tables["documents"]).select(
         "doc_id", "n_bytes", "checksum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image decode (S2/U3): header parse + pixel statistics from bytes
+# ---------------------------------------------------------------------------
+#
+# The reference ingests images as bytes → visual embedding + vision-LLM
+# prose (`ingestion_worker.py:209-330`). The vision-LLM stays mocked
+# (U1 pattern), but the DECODE below is real: BMP (24-bit uncompressed),
+# binary PPM (P6), and PNG (8-bit RGB/RGBA via stdlib zlib + scanline
+# unfiltering) are parsed from their actual byte layout — header fields
+# validated, rows unfiltered/reordered, channels split. JPEG and other
+# entropy-coded formats need a codec this container doesn't ship; they
+# raise NotImplementedError at the declared stub boundary.
+
+_BMP_WIDTH = 16  # 16 px × 3 B = 48 B rows — 4-byte aligned, no padding
+
+
+def encode_bmp(pixel_bytes: bytes, width: int = _BMP_WIDTH) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (pure struct math). Pads
+    `pixel_bytes` with zeros to a whole number of rows; rows are stored
+    bottom-up per the format."""
+    import struct
+
+    row = width * 3
+    height = max(1, -(-len(pixel_bytes) // row))
+    body = pixel_bytes.ljust(row * height, b"\x00")
+    rows = [body[r * row : (r + 1) * row] for r in range(height)]
+    data = b"".join(reversed(rows))
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_image(raw: bytes) -> dict:
+    """Sniff + parse BMP / PPM(P6) / PNG from actual bytes. Returns
+    width, height, channel order, and per-channel pixel means."""
+    import numpy as np
+
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
+    if raw[:2] == b"P6":
+        return _decode_ppm(raw)
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(raw)
+    raise NotImplementedError(
+        "unsupported image format (JPEG and friends need a codec; "
+        "BMP/PPM/PNG are decoded natively)"
+    )
+
+
+def _decode_bmp(raw: bytes) -> dict:
+    import struct
+
+    import numpy as np
+
+    magic, _size, _r1, _r2, offset = struct.unpack("<2sIHHI", raw[:14])
+    (_hsize, width, height, _planes, bpp, comp) = struct.unpack("<IiiHHI", raw[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+    row = (width * 3 + 3) // 4 * 4
+    px = np.frombuffer(raw, dtype=np.uint8, count=row * abs(height), offset=offset)
+    px = px.reshape(abs(height), row)[:, : width * 3]
+    if height > 0:  # bottom-up storage
+        px = px[::-1]
+    img = px.reshape(abs(height), width, 3)  # BGR
+    return _stats(img, width, abs(height), "BGR")
+
+
+def _decode_ppm(raw: bytes) -> dict:
+    import numpy as np
+
+    # header: P6 <w> <h> <maxval> single-whitespace separated
+    parts, i = [], 2
+    while len(parts) < 3:
+        while i < len(raw) and raw[i : i + 1].isspace():
+            i += 1
+        if raw[i : i + 1] == b"#":  # comment line
+            while raw[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(raw) and not raw[j : j + 1].isspace():
+            j += 1
+        parts.append(int(raw[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = parts
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM")
+    img = np.frombuffer(raw, dtype=np.uint8, count=width * height * 3, offset=i)
+    return _stats(img.reshape(height, width, 3), width, height, "RGB")
+
+
+def _decode_png(raw: bytes) -> dict:
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, idat, meta = 8, b"", None
+    while pos < len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced RGB/RGBA PNG (depth={depth}, color={color})"
+                )
+            meta = (w, h, 3 if color == 2 else 4)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    w, h, ch = meta
+    stride = w * ch
+    flat = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = int(flat[r * (stride + 1)])
+        line = flat[r * (stride + 1) + 1 : (r + 1) * (stride + 1)].astype(np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0  # left
+            b = prev[x]  # up
+            c = prev[x - ch] if x >= ch else 0  # upper-left
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] + a
+            elif ftype == 2:
+                v = line[x] + b
+            elif ftype == 3:
+                v = line[x] + (a + b) // 2
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] + pred
+            else:
+                raise NotImplementedError(f"PNG filter {ftype}")
+            cur[x] = v & 0xFF
+        out[r] = cur
+        prev = cur
+    img = out.reshape(h, w, ch)
+    return _stats(img, w, h, "RGB" if ch == 3 else "RGBA")
+
+
+def _stats(img, width: int, height: int, order: str) -> dict:
+    means = [float(img[:, :, c].mean()) for c in range(img.shape[2])]
+    return {
+        "width": width,
+        "height": height,
+        "channel_order": order,
+        "channel_means": means,
+    }
+
+
+def image_features(docs: DataFrame) -> DataFrame:
+    """documents → real BMP payload (tiled from the doc bytes) → real
+    decode → per-channel stats, all inside one Arrow-batched mapInPandas.
+    At 100 TB the payload column comes from `spark.read.format
+    ("binaryFile")` instead; everything downstream is identical."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k: [] for k in
+                                 ("doc_id", "width", "height", "mean_b", "mean_g", "mean_r")}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = decode_image(encode_bmp(text.encode("utf-8")))
+                assert img["channel_order"] == "BGR"
+                mb, mg, mr = img["channel_means"]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["mean_b"].append(mb)
+                rows["mean_g"].append(mg)
+                rows["mean_r"].append(mr)
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch, schema="doc_id long, width int, height int, mean_b double, mean_g double, mean_r double"
+    )
+
+
+@query(
+    "m_image_decode",
+    oracle=f"""
+WITH codes AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, cs, greatest(1, CAST(ceil(len(cs) / {_BMP_WIDTH * 3}.0) AS INT)) AS height
+  FROM codes
+),
+longf AS (
+  SELECT doc_id, height, unnest(range(1, len(cs)+1)) AS d, unnest(cs) AS x FROM dims
+)
+SELECT d.doc_id, {_BMP_WIDTH} AS width, d.height,
+       round(coalesce(sum(CASE WHEN (l.d-1)%3=0 THEN l.x END), 0) / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_b,
+       round(coalesce(sum(CASE WHEN (l.d-1)%3=1 THEN l.x END), 0) / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_g,
+       round(coalesce(sum(CASE WHEN (l.d-1)%3=2 THEN l.x END), 0) / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_r
+FROM dims d LEFT JOIN longf l ON l.doc_id = d.doc_id
+GROUP BY d.doc_id, d.height
+""",
+)
+def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/U3 image path with a REAL decoder: each document's bytes are
+    laid out as a genuine 24-bit BMP (bottom-up rows, BGR) and decoded
+    back by parsing the actual format. Channel means are invariant to
+    the row reordering, so the oracle recomputes them straight from the
+    ascii codes (pixel position p holds byte 3·k+c, zero-padded to
+    width×height)."""
+    ctx = Ctx.get(spark, sf_dir)
+    return (
+        image_features(ctx.tables["documents"])
+        .withColumn("mean_b", F.round("mean_b", 6))
+        .withColumn("mean_g", F.round("mean_g", 6))
+        .withColumn("mean_r", F.round("mean_r", 6))
+    )

@@ -89,3 +89,77 @@ def test_embedding_neardup_two_stage_recall(spark, sf_dir):
     }
     assert two_stage <= brute  # exact verify: no false positives
     assert len(two_stage) >= 0.95 * len(brute)
+
+
+def _png_bytes(px):
+    """Build a real PNG exercising every scanline filter type (0-4)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    hpx, wpx, _ = px.shape
+    stride = wpx * 3
+    lines = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(hpx):
+        cur = px[r].reshape(-1).astype(np.int32)
+        f = r % 5
+        enc = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - a
+            elif f == 2:
+                v = cur[x] - b
+            elif f == 3:
+                v = cur[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[x] - pred
+            enc[x] = v & 0xFF
+        lines += bytes([f]) + bytes((enc % 256).astype(np.uint8))
+        prev = cur
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", wpx, hpx, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_image_decoders_roundtrip():
+    import numpy as np
+
+    from knowledge_graph_system_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    raw = bytes(range(200)) * 3
+    img = decode_image(encode_bmp(raw))
+    h = -(-len(raw) // 48)
+    body = raw.ljust(48 * h, b"\x00")
+    assert (img["width"], img["height"], img["channel_order"]) == (16, h, "BGR")
+    assert img["channel_means"] == [sum(body[c::3]) / (16 * h) for c in range(3)]
+
+    ppm = b"P6\n4 2\n255\n" + bytes(range(24))
+    assert decode_image(ppm)["channel_means"] == [10.5, 11.5, 12.5]
+
+    px = np.arange(5 * 6 * 3, dtype=np.uint8).reshape(6, 5, 3)
+    png = decode_image(_png_bytes(px))
+    assert png["channel_means"] == [float(px[:, :, c].mean()) for c in range(3)]
+    assert (png["width"], png["height"], png["channel_order"]) == (5, 6, "RGB")
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg needs a codec")
