@@ -99,34 +99,68 @@ class Ctx:
         return self._vocab
 
 
-# Driver-facing enumeration order. Round 1's CORRECTNESS file recorded
-# exactly the first 50 registered queries — a prefix cutoff. Promote the
-# queries that round 1 did NOT record (plus this round's new work) to the
-# head so the union of per-round driver files covers the whole inventory.
+# Driver-facing enumeration order. The driver records exactly the first
+# 50 registered queries — a prefix cutoff. Round 3's prefix policy:
+# every query whose code/oracle CHANGED this round, every NEW query, and
+# every query last recorded in round 1 (refreshed after two rounds of
+# traversal/lifecycle rewrites) — leaving only round-2-green unchanged
+# queries outside the recording window.
 _RECORD_FIRST = [
-    # cheap text ops first: the Ctx warm-up lands on whichever runs first
+    # cheap text ops first: the session warm-up lands on whichever runs first
     "t_token_counts",
     "t_quality_score",
     "t_langid_confusion",
     "t_fingerprint",
+    # ---- changed this round (r3): must re-record
+    "so_program_demo",          # timeout fix (was the only red r2 row)
+    "f5_projection",            # new PCA oracle
+    "f6_dbscan",                # order-free formulation + oracle
+    "u4_pruning_recommendations",  # full strategy matrix (new schema)
+    "d_embedding_neardup",      # oracle derives dim from data
+    "p7_guarded_query",         # guard scanner rewrite underneath
+    "v6_synonym_detection",     # module touched (output unchanged)
+    # ---- new this round (r3)
+    "p7_cypher_subset",
+    "p7_cypher_varlen",
+    "v6b_merge_groups",
+    "x2_skew_naive_join",
+    "x2_skew_salted_join",
+    "m_image_decode",
+    # ---- recorded only in round 1: refresh
+    "a1_degree_top20",
+    "a4_grounding",
+    "a7_ontology_mass",
+    "a8_ontology_coherence",
+    "a9_ontology_protection",
+    "a10_vocab_value",
+    "a11_semantic_diversity",
+    "g1_bfs_out_depth3",
+    "g1_bfs_both_depth2_conf",
+    "g2_shortest_path",
+    "g3_k_shortest_paths",
+    "g4_subgraph",
+    "j2_concepts_for_sources",
+    "j3_left_outer_enrich",
+    "j4_hydrate_ids",
+    "j5_cross_ontology_affinity",
+    "j8_stale_anti_join",
+    "j9_two_tier_matcher",
+    "lc_related",
+    "lc_connect_by_search",
+    "m_decode_features",
+    "o1_ontology_edges",
+    # ---- round-2-green fill to the 50-slot window (bench headliners)
     "v1_vector_search",
-    "v8_threshold_hint",
-    "v5_smell_test",
     "v2_chunk_search",
-    "v6_synonym_detection",
     "v3_batch_cosine",
-    "p7_guarded_query",
+    "v5_smell_test",
+    "v8_threshold_hint",
     "f7_centroids",
-    "f5_projection",
-    "f6_dbscan",
-    "u4_pruning_recommendations",
-    "so_program_demo",
-    "st_epoch_snapshot",
-    "st_tumbling_window",
-    "st_sliding_window",
+    "q1_pricing_summary",
+    "j1_evidence_join",
+    "d_minhash_lsh",
+    "ann_ivf_topk",
     "st_session_window",
-    "st_rollup",
-    "st_json_props",
 ]
 
 
