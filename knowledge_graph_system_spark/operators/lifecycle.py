@@ -104,20 +104,32 @@ def lc_connect_by_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 `/connect-by-search`: two vector searches resolve the
     endpoints (top-1 Customer for seed A, top-1 Supplier for seed B),
     then shortest-path distance between them."""
+    from pyspark.sql.window import Window
+
     from .traversal import shortest_path_length
 
     ctx = Ctx.get(spark, sf_dir)
 
-    def top1(seed: str, label: str) -> str:
-        scored = (
+    # both endpoint resolutions in ONE job: union the two scored scans
+    # with a seed tag, take top-1 per seed with a window
+    def scored(seed: str, label: str) -> DataFrame:
+        return (
             ctx.nodes_emb.filter(F.col("label") == label)
             .withColumn("_q", lit_vec(unit_vec_py(seed)))
             .withColumn("score", F.round(dot_expr("embedding", "_q"), 6))
-            .orderBy(F.col("score").desc(), "node_id")
-            .limit(1)
+            .select(F.lit(seed).alias("_seed"), "node_id", "score")
         )
-        return scored.collect()[0]["node_id"]
 
-    src = top1(_CBS_SEED_A, "Customer")
-    dst = top1(_CBS_SEED_B, "Supplier")
-    return shortest_path_length(ctx.edges, src, dst, max_hops=6)
+    tagged = scored(_CBS_SEED_A, "Customer").unionByName(
+        scored(_CBS_SEED_B, "Supplier")
+    )
+    w = Window.partitionBy("_seed").orderBy(F.col("score").desc(), "node_id")
+    top = {
+        r["_seed"]: r["node_id"]
+        for r in tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    return shortest_path_length(
+        ctx.edges, top[_CBS_SEED_A], top[_CBS_SEED_B], max_hops=6
+    )

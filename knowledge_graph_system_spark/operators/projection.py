@@ -84,6 +84,113 @@ def project_embeddings(nodes_emb: DataFrame, group_col: str = "ontology") -> Dat
     )
 
 
+def _tsne(
+    x: np.ndarray,
+    n_components: int = 2,
+    perplexity: int = 30,
+    random_state: int = 42,
+    iters: int = 250,
+) -> np.ndarray:
+    """Deterministic t-SNE reproducing the reference's contract
+    (`embedding_projection_service.py:641-751`): center → L2-normalize →
+    perplexity clamp `min(p, (n-1)//3)` floored at 2 and capped at n-1 →
+    PCA init for n > 50 else seeded random (random_state=42) → standard
+    KL gradient descent with early exaggeration. Pure numpy — the
+    per-group batch runs inside applyInPandas like `_pca2`."""
+    n = len(x)
+    x = x - x.mean(axis=0)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+
+    eff = min(perplexity, (n - 1) // 3)
+    if eff < 5:
+        eff = max(2, eff)
+    eff = min(eff, n - 1)
+
+    # cosine distances on the normalized vectors (reference metric)
+    d = np.maximum(1.0 - x @ x.T, 0.0)
+    np.fill_diagonal(d, 0.0)
+
+    # per-point sigma via binary search to hit log(perplexity) entropy
+    target = np.log(eff)
+    P = np.zeros((n, n))
+    for i in range(n):
+        lo, hi, beta = 1e-20, 1e20, 1.0
+        di = np.delete(d[i], i)
+        for _ in range(50):
+            p = np.exp(-di * beta)
+            s = p.sum()
+            if s <= 0:
+                h, p = 0.0, np.zeros_like(p)
+            else:
+                p = p / s
+                h = -np.sum(p * np.log(np.maximum(p, 1e-12)))
+            if abs(h - target) < 1e-5:
+                break
+            if h > target:
+                lo, beta = beta, beta * 2 if hi >= 1e20 else (beta + hi) / 2
+            else:
+                hi, beta = beta, (beta + lo) / 2
+        P[i, np.arange(n) != i] = p
+    P = (P + P.T) / (2.0 * n)
+    P = np.maximum(P, 1e-12)
+
+    if n > 50:
+        y = _pca2(x, iters=50)[:, :n_components] * 1e-2
+    else:
+        y = np.random.RandomState(random_state).randn(n, n_components) * 1e-4
+
+    lr = max(n / 12.0, 50.0)  # sklearn's learning_rate="auto"
+    vel = np.zeros_like(y)
+    for it in range(iters):
+        exaggeration = 4.0 if it < 50 else 1.0
+        num = 1.0 / (1.0 + ((y[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+        np.fill_diagonal(num, 0.0)
+        Q = np.maximum(num / num.sum(), 1e-12)
+        PQ = (exaggeration * P - Q) * num
+        grad = 4.0 * ((np.diag(PQ.sum(axis=1)) - PQ) @ y)
+        momentum = 0.5 if it < 100 else 0.8
+        vel = momentum * vel - lr * grad
+        y = y + vel
+        y = y - y.mean(axis=0)
+    return y
+
+
+def tsne_embeddings(
+    nodes_emb: DataFrame,
+    group_col: str = "ontology",
+    perplexity: int = 30,
+    random_state: int = 42,
+) -> DataFrame:
+    """F5's t-SNE form: per-group seeded neighbor embedding via
+    applyInPandas. The registered `f5_projection` keeps the PCA form
+    (SQL-oracle-able); this variant carries the reference's full
+    perplexity/seed contract and is pinned by determinism + separation
+    tests (no closed form for an oracle)."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        if len(pdf) >= 3:
+            xy = _tsne(x, perplexity=perplexity, random_state=random_state)
+        else:
+            xy = np.zeros((len(pdf), 2))
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                "node_id": pdf["node_id"],
+                "x": xy[:, 0],
+                "y": xy[:, 1],
+            }
+        )
+
+    return (
+        nodes_emb.select(group_col, "node_id", "embedding")
+        .groupBy(group_col)
+        .applyInPandas(fit, schema=f"{group_col} string, node_id string, x double, y double")
+    )
+
+
 def dbscan(
     nodes_emb: DataFrame, group_col: str = "ontology", min_pts: int = 4
 ) -> DataFrame:

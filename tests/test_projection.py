@@ -74,3 +74,41 @@ def test_projection_separates_clusters(spark):
     spread_b = max(abs(x - cb[0]) + abs(y - cb[1]) for x, y in b)
     dist = abs(ca[0] - cb[0]) + abs(ca[1] - cb[1])
     assert dist > 3 * max(spread_a, spread_b)
+
+
+def test_tsne_deterministic_and_separates(spark):
+    """The seeded t-SNE honors the reference contract: same seed → same
+    layout, and the two tight clusters land far apart relative to their
+    spread (the same invariant the PCA form satisfies)."""
+    from knowledge_graph_system_spark.operators.projection import tsne_embeddings
+
+    df = _clustered(spark).filter(F.col("ontology") == "g1")
+    a = sorted(map(tuple, tsne_embeddings(df).collect()))
+    b = sorted(map(tuple, tsne_embeddings(df).collect()))
+    assert a == b
+
+    pts = {r["node_id"]: (r["x"], r["y"]) for r in tsne_embeddings(df).collect()}
+    ca = [v for k, v in pts.items() if "-a" in k]
+    cb = [v for k, v in pts.items() if "-b" in k]
+    ma = (sum(x for x, _ in ca) / len(ca), sum(y for _, y in ca) / len(ca))
+    mb = (sum(x for x, _ in cb) / len(cb), sum(y for _, y in cb) / len(cb))
+    spread = max(
+        max(abs(x - ma[0]) + abs(y - ma[1]) for x, y in ca),
+        max(abs(x - mb[0]) + abs(y - mb[1]) for x, y in cb),
+    )
+    dist = abs(ma[0] - mb[0]) + abs(ma[1] - mb[1])
+    assert dist > 2 * spread, (dist, spread)
+
+
+def test_tsne_perplexity_clamp():
+    """Clamp formula from the reference: min(p, (n-1)//3), floored at 2,
+    capped at n-1 — tiny groups must not error."""
+    import numpy as np
+
+    from knowledge_graph_system_spark.operators.projection import _tsne
+
+    rng = np.random.RandomState(7)
+    for n in (3, 5, 12):
+        out = _tsne(rng.randn(n, 8), perplexity=30)
+        assert out.shape == (n, 2)
+        assert np.isfinite(out).all()
