@@ -1,0 +1,154 @@
+"""Distributed connected components + near-dup group resolution.
+
+The dedup family (`operators/dedup.py`) finds PAIRS (LSH-verified
+near-dups); a 100 TB pipeline needs GROUPS — one keeper per connected
+cluster of near-dups. `connected_components` is the scale-grade bridge:
+min-label propagation with pointer jumping (a DataFrame rendering of
+the classic two-phase CC used by large-graph systems), converging in
+O(log n) rounds instead of O(diameter), each round two equi-joins on
+the cached pair frame — no driver-side graph, no collect.
+
+The reference resolves merge clusters driver-side from in-memory pair
+lists (`api/app/lib/synonym_detector.py:677-700`) — fine for a
+vocabulary, impossible for 10⁹ documents; this operator is the same
+contract distributed. `v6b_merge_groups` keeps the driver-side form for
+the vocabulary-sized case, documenting both ends of the spectrum.
+
+Semantics pinned for the oracle: component id = MIN node id reachable —
+a pure function of the edge set, independent of execution order, so the
+recursive-SQL oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import Ctx, query
+from .dedup import (
+    _BANDS_SQL,
+    _SHINGLES_SQL,
+    _SIGS_SQL,
+    JACCARD_THRESHOLD,
+    doc_shingles,
+    lsh_candidates,
+    minhash_signatures,
+    verify_jaccard,
+)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every endpoint of `pairs`, component = min
+    reachable node id.
+
+    Each round: (1) neighbor-min — every node adopts the smallest label
+    among itself and its neighbors; (2) pointer jump — every node then
+    adopts its label's label, which is what collapses chains in
+    O(log n) rounds. Runs to the exact fixpoint (checked with a
+    changed-row count per round; `max_iter` is a safety rail ~2·log₂ of
+    any practical component, not a truncation in practice — hitting it
+    raises rather than returning a wrong answer)."""
+    und = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionByName(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+        )
+        # pointer jump: comp := label(comp) under the stepped mapping
+        lookup = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("parent")
+        )
+        jumped = (
+            stepped.join(lookup, "comp", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("parent", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+@query(
+    "d_dup_groups",
+    oracle="WITH RECURSIVE "
+    + ",".join([_SHINGLES_SQL, _SIGS_SQL, _BANDS_SQL])
+    + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS group_id,
+       min(comp) = node AS keeper
+FROM reach GROUP BY node
+""",
+)
+def d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution end-to-end: minhash-LSH verified pairs
+    → distributed connected components → (doc_id, group_id, keeper)
+    with keeper = the group's minimum doc_id. The downstream dedup
+    materialization is then one anti-join of documents against the
+    non-keeper rows."""
+    ctx = Ctx.get(spark, sf_dir)
+    sh = doc_shingles(ctx.tables["documents"]).localCheckpoint(eager=True)
+    cand = lsh_candidates(minhash_signatures(sh)).localCheckpoint(eager=True)
+    pairs = verify_jaccard(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("group_id"),
+        (F.col("node") == F.col("comp")).alias("keeper"),
+    )

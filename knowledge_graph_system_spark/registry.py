@@ -126,6 +126,8 @@ _RECORD_FIRST = [
     "x2_skew_naive_join",
     "x2_skew_salted_join",
     "m_image_decode",
+    "d_dup_groups",
+    "md_blocks",
     # ---- recorded only in round 1: refresh
     "a1_degree_top20",
     "a4_grounding",
@@ -159,8 +161,6 @@ _RECORD_FIRST = [
     "q1_pricing_summary",
     "j1_evidence_join",
     "d_minhash_lsh",
-    "ann_ivf_topk",
-    "st_session_window",
 ]
 
 
@@ -171,6 +171,7 @@ def load_all() -> dict[str, QuerySpec]:
         ann,
         asof,
         catalog,
+        components,
         dedup,
         filters,
         joins,
@@ -184,6 +185,7 @@ def load_all() -> dict[str, QuerySpec]:
         traversal,
         vector,
     )
+    from .functions import markdown  # noqa: F401
     from .plans import cypher, guard  # noqa: F401
     from .streaming import epochs, windows  # noqa: F401
 

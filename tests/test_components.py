@@ -1,0 +1,47 @@
+"""Distributed connected components: fixpoint semantics + O(log n)
+convergence (chains), against hand-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+
+from knowledge_graph_system_spark.operators.components import connected_components
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r["node"], r["comp"])
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_two_components_and_isolated_pair(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_long_chain_converges_log_rounds(spark):
+    # a 40-node path needs ~40 rounds with plain propagation; pointer
+    # jumping must finish well inside max_iter=10
+    edges = [(i, i + 1) for i in range(40)]
+    got = _cc(spark, edges, max_iter=10)
+    assert got == {(i, 0) for i in range(41)}
+
+
+def test_star_and_cycle(spark):
+    star = [(100, x) for x in (101, 102, 103)]
+    cycle = [(7, 8), (8, 9), (9, 7)]
+    got = _cc(spark, star + cycle)
+    assert {(n, 100) for n in (100, 101, 102, 103)} <= got
+    assert {(n, 7) for n in (7, 8, 9)} <= got
+
+
+def test_direction_irrelevant(spark):
+    assert _cc(spark, [(5, 1), (1, 9)]) == _cc(spark, [(1, 5), (9, 1)])
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=1)
