@@ -186,3 +186,157 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
         F.count("*").alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5: the corpus-filter composite — the training-data pipeline capstone
+# ---------------------------------------------------------------------------
+
+MIN_WORDS = 30
+MIN_QUALITY = 0.6
+
+
+@query(
+    "t_corpus_filter",
+    oracle="""
+WITH RECURSIVE
+ex AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+       generate_series(1, 600) AS g(i)
+  WHERE i + 1 <= len(ws)
+),
+sigs AS (SELECT doc_id, min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+                min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+         FROM shingles GROUP BY doc_id),
+bands AS (SELECT doc_id, band FROM sigs,
+          unnest(['b0|' || h0 || h1, 'b1|' || h2 || h3,
+                  'b2|' || h4 || h5, 'b3|' || h6 || h7]) AS u(band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter FROM cand c
+          JOIN shingles sa ON sa.doc_id = c.doc_a
+          JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+          JOIN sizes na ON na.doc_id = i.doc_a
+          JOIN sizes nb ON nb.doc_id = i.doc_b
+          WHERE i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node),
+nd AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY node),
+feat AS (
+  SELECT d.doc_id, d.lang,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         round(0.5 * (len(list_distinct(string_split(d.text, ' '))) / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
+               + 0.5 * least(len(string_split(d.text, ' ')) / 60.0, 1.0), 6) AS quality,
+         len(list_intersect(string_split(d.text, ' '), ['the','and','of','to','in'])) AS s_en,
+         len(list_intersect(string_split(d.text, ' '), ['el','la','de','que','y'])) AS s_es,
+         len(list_intersect(string_split(d.text, ' '), ['le','la','de','et','les'])) AS s_fr,
+         len(list_intersect(string_split(d.text, ' '), ['der','die','und','das','ist'])) AS s_de,
+         len(list_intersect(string_split(d.text, ' '), ['de','shi','le','bu','wo'])) AS s_zh
+  FROM documents d
+)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+       CASE
+         WHEN ex.keeper <> f.doc_id THEN 'exact_dup'
+         WHEN nd.group_id IS NOT NULL AND nd.group_id <> f.doc_id THEN 'near_dup'
+         WHEN f.n_words < 30 THEN 'too_short'
+         WHEN f.quality < 0.6 THEN 'low_quality'
+         WHEN (CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
+                 WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+                 WHEN s_de THEN 'de' ELSE 'zh' END) <> f.lang THEN 'lang_mismatch'
+         ELSE 'kept'
+       END AS reason,
+       CASE
+         WHEN ex.keeper <> f.doc_id THEN FALSE
+         WHEN nd.group_id IS NOT NULL AND nd.group_id <> f.doc_id THEN FALSE
+         WHEN f.n_words < 30 THEN FALSE
+         WHEN f.quality < 0.6 THEN FALSE
+         WHEN (CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
+                 WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+                 WHEN s_de THEN 'de' ELSE 'zh' END) <> f.lang THEN FALSE
+         ELSE TRUE
+       END AS kept
+FROM feat f
+JOIN ex ON ex.doc_id = f.doc_id
+LEFT JOIN nd ON nd.doc_id = f.doc_id
+""",
+)
+def t_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the full keep/drop decision per document — exact dedup,
+    near-dup groups (minhash-LSH → connected components), length floor,
+    quality floor, language-consistency — with a first-failing-reason
+    verdict. This is the composite a 100 TB pretraining corpus actually
+    runs: every stage is one of the registered operators, chained lazily
+    (dedup group resolution is the only iterative piece). The oracle
+    recomputes the entire pipeline in SQL."""
+    from pyspark.sql.window import Window
+
+    from .components import connected_components
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        doc_shingles,
+        lsh_candidates,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    ctx = Ctx.get(spark, sf_dir)
+    docs = ctx.tables["documents"]
+
+    exact_keeper = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))
+
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    pairs = verify_jaccard(
+        lsh_candidates(minhash_signatures(sh)).localCheckpoint(eager=True), sh
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    nd = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
+    )
+
+    arr = F.split(F.col("text"), " ")
+    langs = ["en", "es", "fr", "de", "zh"]
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        exact_keeper.alias("keeper"),
+        F.size(arr).cast("long").alias("n_words"),
+        F.round(
+            0.5 * (F.size(F.array_distinct(arr)) / F.size(arr).cast("double"))
+            + 0.5 * F.least(F.size(arr) / 60.0, F.lit(1.0)),
+            6,
+        ).alias("quality"),
+        *[_hits(lang).alias(f"s_{lang}") for lang in langs],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    predicted = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .when(F.col("s_de") == best, "de")
+        .otherwise("zh")
+    )
+    reason = (
+        F.when(F.col("keeper") != F.col("doc_id"), "exact_dup")
+        .when(F.col("group_id").isNotNull() & (F.col("group_id") != F.col("doc_id")), "near_dup")
+        .when(F.col("n_words") < MIN_WORDS, "too_short")
+        .when(F.col("quality") < MIN_QUALITY, "low_quality")
+        .when(predicted != F.col("lang"), "lang_mismatch")
+        .otherwise("kept")
+    )
+    return (
+        feat.join(nd, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"), (reason == "kept").alias("kept"))
+    )
