@@ -5,29 +5,47 @@ The reference's raw query surface is guarded openCypher
 `api/app/lib/age_client/base.py:105-222`); its guard rejects write
 keywords (rules V010-V016, `api/app/services/program_validator.py:
 341-400`) and unbounded variable-length paths (V030, `program_validator.
-py:489-560`, max depth 10). This module reproduces that surface
-Spark-first: the same rejection rules in front of a compiler that turns
-a MATCH/WHERE/RETURN subset into joins over the cached node/edge
-DataFrames — Catalyst then plans the joins (broadcast/shuffle, pushdown)
-instead of a bespoke graph executor.
+py:489-560`, max depth 10). The reference's own API also relies on
+OPTIONAL MATCH (`api/app/routes/queries.py:675,801,1070`). This module
+reproduces that surface Spark-first: the same rejection rules in front
+of a compiler that turns a clause sequence into joins over the cached
+node/edge DataFrames — Catalyst then plans the joins (broadcast/shuffle,
+pushdown) instead of a bespoke graph executor.
 
-Supported subset:
-  MATCH (a:Label {prop: lit})-[r:TYPE]->(b) ...   one pattern, n hops
+Supported subset (clause sequence):
+  MATCH (a:Label {prop: lit})-[r:TYPE]->(b) ...   patterns, n hops
          directions ->, <-, undirected -          (undirected = both)
-         bounded var-length -[:T*1..3]->          (upper bound ≤ 10)
-  WHERE a.prop <op> lit | a.prop <op> b.prop      AND-conjunction
-  RETURN a.prop [AS x], count(*)/count|sum|avg|min|max(a.prop) [AS x]
+         bounded var-length -[:T*0..3]->          (upper bound ≤ 10)
+  OPTIONAL MATCH <pattern> [WHERE ...]            left join; WHERE is
+         part of the optional match (null row when no match survives)
+  WITH item [AS x], ...  [WHERE ...]              projected subquery;
+         bare variables carry through, aggregates imply grouping,
+         WHERE after aggregates = HAVING
+  WHERE a.prop <op> lit | a.prop <op> b.prop | alias <op> lit   (AND)
+  RETURN a.prop [AS x], count(*)/count|sum|avg|min|max(ref) [AS x]
          implicit Cypher grouping: non-aggregate items are the keys
   ORDER BY item [ASC|DESC], ...   LIMIT n
 
-Everything else (OPTIONAL MATCH, WITH, UNION, UNWIND, CALL, writes) is
-rejected with a GuardError naming the rule — fail closed, like the
-reference.
+Semantics notes (documented deviations):
+- Variable-length paths use TRAIL semantics (no edge reused within one
+  path), matching openCypher/AGE relationship-uniqueness — edge identity
+  is (src, dst, rel_type), so parallel fully-identical edges count as
+  one for the reuse check (the derived graph has no duplicate triples).
+- `*0..N` includes the zero-length path: start node = end node, no edge
+  traversed (rel-type filters vacuous at length 0), like openCypher.
+- A pattern after the first clause must share ≥1 node variable with the
+  preceding clauses (no implicit cartesian products — fail closed).
+- Within one pattern a variable may appear only once (no cycles via
+  re-binding inside a single MATCH); re-use ACROSS clauses is the join.
+
+Everything else (UNION, UNWIND, CALL, writes) is rejected with a
+GuardError naming the rule — fail closed, like the reference.
 
 Scale shape: node patterns filter the cached nodes frame (label/prop
 pushdown before the join), each hop is an equi-join on node_id against
-the cached edge frame, and bounded var-length expands to ≤10 chained
-joins unioned per length — no driver-side iteration, no collect.
+the cached edge frame, bounded var-length expands to ≤10 chained joins
+unioned per length, OPTIONAL MATCH is a left join, WITH is an
+aggregate/projection — no driver-side iteration, no collect.
 """
 
 from __future__ import annotations
@@ -53,18 +71,20 @@ _WRITE_KW = re.compile(
     r"\b(create|set|delete|merge|remove|drop|detach)\b", re.IGNORECASE
 )
 _UNSUPPORTED = re.compile(
-    r"\b(optional|union|unwind|call|foreach|load|with)\b", re.IGNORECASE
+    r"\b(union|unwind|call|foreach|load)\b", re.IGNORECASE
 )
 _VAR_PATH = re.compile(r"\[\s*[^\]]*\*\s*(\d+)?(?:\s*(\.\.)\s*(\d+)?)?\s*\]")
 
-_SHAPE = re.compile(
-    r"^\s*match\s+(?P<pattern>.+?)"
-    r"(?:\s+where\s+(?P<where>.+?))?"
-    r"\s+return\s+(?P<ret>.+?)"
+_CLAUSE_KW = re.compile(
+    r"\b(optional\s+match|match|with|return)\b", re.IGNORECASE
+)
+_RET_TAIL = re.compile(
+    r"^(?P<ret>.+?)"
     r"(?:\s+order\s+by\s+(?P<order>.+?))?"
     r"(?:\s+limit\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_WHERE_SPLIT = re.compile(r"\bwhere\b", re.IGNORECASE)
 
 _NODE_PAT = re.compile(
     r"\(\s*(?P<var>\w+)?\s*(?::\s*(?P<label>\w+))?\s*(?P<props>\{[^}]*\})?\s*\)"
@@ -77,6 +97,7 @@ _EDGE_PAT = re.compile(
 _LITERAL = re.compile(r"'(?:[^']|'')*'|-?\d+(?:\.\d+)?|true|false", re.IGNORECASE)
 _CMP_OPS = ("<>", "<=", ">=", "=", "<", ">")
 _AGGS = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+_REF = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
 
 
 @dataclass
@@ -150,13 +171,17 @@ def _literal_spans(s: str) -> list[tuple[int, int]]:
     return spans
 
 
-def _split_outside_literals(s: str, sep: re.Pattern) -> list[str]:
-    """Split on `sep` matches that fall outside single-quoted literals."""
+def _matches_outside_literals(s: str, pat: re.Pattern) -> list[re.Match]:
     spans = _literal_spans(s)
-    cuts = [
-        m for m in sep.finditer(s)
+    return [
+        m for m in pat.finditer(s)
         if not any(a <= m.start() < b for a, b in spans)
     ]
+
+
+def _split_outside_literals(s: str, sep: re.Pattern) -> list[str]:
+    """Split on `sep` matches that fall outside single-quoted literals."""
+    cuts = _matches_outside_literals(s, sep)
     out, pos = [], 0
     for m in cuts:
         out.append(s[pos : m.start()])
@@ -198,13 +223,16 @@ def _parse_props(body: str) -> dict[str, object]:
     return out
 
 
-def _parse_pattern(text: str) -> tuple[list[_NodePat], list[_EdgePat]]:
+def _parse_pattern(
+    text: str, anon_start: int = 0
+) -> tuple[list[_NodePat], list[_EdgePat], int]:
     nodes: list[_NodePat] = []
     edges: list[_EdgePat] = []
-    pos, anon = 0, 0
-    m = _NODE_PAT.match(text.strip())
+    pos, anon = 0, anon_start
+    text = text.strip()
+    m = _NODE_PAT.match(text)
     if not m:
-        raise GuardError(f"expected a node pattern at {text.strip()[:40]!r}")
+        raise GuardError(f"expected a node pattern at {text[:40]!r}")
 
     def mk_node(nm: re.Match) -> _NodePat:
         nonlocal anon
@@ -217,7 +245,6 @@ def _parse_pattern(text: str) -> tuple[list[_NodePat], list[_EdgePat]]:
                 raise GuardError(f"unknown node property {k!r}")
         return _NodePat(var, nm.group("label"), props)
 
-    text = text.strip()
     nodes.append(mk_node(m))
     pos = m.end()
     while pos < len(text):
@@ -241,7 +268,7 @@ def _parse_pattern(text: str) -> tuple[list[_NodePat], list[_EdgePat]]:
             raise GuardError(f"expected a node pattern at {text[pos:pos+40]!r}")
         nodes.append(mk_node(nm))
         pos = nm.end()
-    return nodes, edges
+    return nodes, edges, anon
 
 
 # ---------------------------------------------------------------------------
@@ -250,8 +277,10 @@ def _parse_pattern(text: str) -> tuple[list[_NodePat], list[_EdgePat]]:
 
 @dataclass
 class _Scope:
-    """var → (kind, column prefix) for reference resolution."""
-    cols: dict[str, str] = field(default_factory=dict)  # "var.prop" -> column
+    """Reference resolution: 'var.prop' or bare alias → physical column."""
+    cols: dict[str, str] = field(default_factory=dict)
+    node_vars: set[str] = field(default_factory=set)
+    all_vars: set[str] = field(default_factory=set)
 
     def resolve(self, ref: str) -> str:
         ref = ref.strip()
@@ -270,77 +299,100 @@ def _node_frame(ctx: Ctx, pat: _NodePat) -> DataFrame:
 
 
 def _oriented_edges(ctx: Ctx, pat: _EdgePat) -> DataFrame:
+    """Edge frame oriented along the pattern direction. `__eid` is the
+    edge identity used for trail-uniqueness in var-length paths — the
+    same physical edge keeps the same id in both orientations."""
     e = ctx.edges
     if pat.rel_type:
         e = e.filter(F.col("rel_type") == pat.rel_type)
+    e = e.withColumn("__eid", F.concat_ws("|", "src", "dst", "rel_type"))
     out = e.select(
         F.col("src").alias("__from"), F.col("dst").alias("__to"),
-        "rel_type", "confidence",
+        "rel_type", "confidence", "__eid",
     )
     if pat.direction == "out":
         return out
     rev = e.select(
         F.col("dst").alias("__from"), F.col("src").alias("__to"),
-        "rel_type", "confidence",
+        "rel_type", "confidence", "__eid",
     )
     return rev if pat.direction == "in" else out.unionByName(rev)
 
 
-def _hop_pairs(edf: DataFrame, length: int) -> DataFrame:
+def _hop_pairs(ctx: Ctx, edf: DataFrame, length: int) -> DataFrame:
     """(__from, __to) pairs for exactly `length` chained hops, one row
-    per path (Cypher path multiplicity, not reachability)."""
-    cur = edf.select("__from", "__to")
+    per TRAIL (Cypher path multiplicity with relationship uniqueness:
+    an edge id may appear at most once per path). Length 0 is the
+    identity pairing — every node to itself, no edge traversed."""
+    if length == 0:
+        return ctx.nodes.select(
+            F.col("node_id").alias("__from"), F.col("node_id").alias("__to")
+        )
+    cur = edf.select("__from", "__to", F.array("__eid").alias("__eids"))
     for _ in range(length - 1):
         step = edf.select(
-            F.col("__from").alias("__jfrom"), F.col("__to").alias("__jto")
+            F.col("__from").alias("__jfrom"),
+            F.col("__to").alias("__jto"),
+            F.col("__eid").alias("__jeid"),
         )
         cur = (
-            cur.join(step, cur["__to"] == step["__jfrom"])
-            .select(cur["__from"], F.col("__jto").alias("__to"))
+            cur.join(
+                step,
+                (cur["__to"] == step["__jfrom"])
+                & ~F.array_contains(cur["__eids"], step["__jeid"]),
+            )
+            .select(
+                cur["__from"],
+                F.col("__jto").alias("__to"),
+                F.concat(cur["__eids"], F.array("__jeid")).alias("__eids"),
+            )
         )
-    return cur
+    return cur.select("__from", "__to")
 
 
-def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
-    """Guard + parse + compile one Cypher statement to a DataFrame."""
-    executable, _ = check_cypher_safety(cypher)
-    shape = _SHAPE.match(executable)
-    if not shape:
-        raise GuardError("query must be MATCH ... [WHERE ...] RETURN ... "
-                         "[ORDER BY ...] [LIMIT n]")
-    nodes, edges = _parse_pattern(shape.group("pattern"))
+def _compile_pattern(
+    ctx: Ctx, scope: _Scope, text: str, anon_start: int
+) -> tuple[DataFrame, dict[str, str], list[str], list[str], int]:
+    """Compile one pattern standalone. Returns (frame, new scope entries,
+    pattern node vars, new edge vars, next anon counter). The frame has
+    columns `var__prop` for every pattern variable."""
+    nodes, edges, anon = _parse_pattern(text, anon_start)
 
-    seen: set[str] = set()
-    scope = _Scope()
+    pat_seen: set[str] = set()
+    entries: dict[str, str] = {}
+    edge_vars: list[str] = []
     for np_ in nodes:
-        if np_.var in seen:
-            raise GuardError(f"duplicate variable {np_.var!r} (re-binding unsupported)")
-        seen.add(np_.var)
+        if np_.var in pat_seen:
+            raise GuardError(
+                f"duplicate variable {np_.var!r} within one pattern (re-binding "
+                "inside a single MATCH is unsupported; join across clauses instead)"
+            )
+        pat_seen.add(np_.var)
         for c in _NODE_PROPS:
-            scope.cols[f"{np_.var}.{c}"] = f"{np_.var}__{c}"
+            entries[f"{np_.var}.{c}"] = f"{np_.var}__{c}"
 
     df = _node_frame(ctx, nodes[0])
     for i, ep in enumerate(edges):
         lhs, rhs = nodes[i], nodes[i + 1]
         edf = _oriented_edges(ctx, ep)
         if (ep.lo, ep.hi) == (1, 1):
-            sel = ["__from", "__to"]
             if ep.var:
-                if ep.var in seen:
+                if ep.var in pat_seen or ep.var in scope.all_vars:
                     raise GuardError(f"duplicate variable {ep.var!r}")
-                seen.add(ep.var)
+                pat_seen.add(ep.var)
+                edge_vars.append(ep.var)
                 for c in _EDGE_PROPS:
-                    scope.cols[f"{ep.var}.{c}"] = f"{ep.var}__{c}"
+                    entries[f"{ep.var}.{c}"] = f"{ep.var}__{c}"
                 edf = edf.select(
                     "__from", "__to",
                     *[F.col(c).alias(f"{ep.var}__{c}") for c in _EDGE_PROPS],
                 )
             else:
-                edf = edf.select(*sel)
+                edf = edf.select("__from", "__to")
         else:
             edf = reduce(
                 DataFrame.unionByName,
-                [_hop_pairs(edf, n) for n in range(ep.lo, ep.hi + 1)],
+                [_hop_pairs(ctx, edf, n) for n in range(ep.lo, ep.hi + 1)],
             )
         df = (
             df.join(edf, df[f"{lhs.var}__node_id"] == edf["__from"])
@@ -351,16 +403,184 @@ def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
             )
             .drop("__to")
         )
+    return df, entries, [n.var for n in nodes], edge_vars, anon
 
-    if shape.group("where"):
+
+def _split_clauses(executable: str) -> list[tuple[str, str]]:
+    """Split into (kind, body) pairs; kinds: match | optional match |
+    with | return. The RETURN body keeps its ORDER BY / LIMIT tail."""
+    kws = _matches_outside_literals(executable, _CLAUSE_KW)
+    if not kws or kws[0].start() > len(executable) - len(executable.lstrip()):
+        raise GuardError("query must start with MATCH")
+    clauses: list[tuple[str, str]] = []
+    for i, m in enumerate(kws):
+        kind = re.sub(r"\s+", " ", m.group(1).lower())
+        end = kws[i + 1].start() if i + 1 < len(kws) else len(executable)
+        clauses.append((kind, executable[m.end():end].strip()))
+    if clauses[0][0] != "match":
+        raise GuardError(
+            f"query must start with MATCH, not {clauses[0][0].upper()}"
+        )
+    if clauses[-1][0] != "return" or any(k == "return" for k, _ in clauses[:-1]):
+        raise GuardError("query must end with a single RETURN clause")
+    return clauses
+
+
+def _apply_match(
+    ctx: Ctx,
+    df: DataFrame | None,
+    scope: _Scope,
+    body: str,
+    optional: bool,
+    anon: int,
+) -> tuple[DataFrame, int]:
+    parts = _split_outside_literals(body, _WHERE_SPLIT)
+    if len(parts) > 2:
+        raise GuardError("multiple WHERE in one clause")
+    pattern_text, where_text = parts[0], parts[1] if len(parts) > 1 else None
+
+    pf, entries, pat_nodes, edge_vars, anon = _compile_pattern(
+        ctx, scope, pattern_text, anon
+    )
+    shared = [v for v in pat_nodes if v in scope.node_vars]
+    new_nodes = [v for v in pat_nodes if v not in scope.node_vars]
+
+    if df is None:
+        if optional:
+            raise GuardError("OPTIONAL MATCH cannot be the first clause")
+        scope.cols.update(entries)
+        scope.node_vars.update(pat_nodes)
+        scope.all_vars.update(pat_nodes + edge_vars)
+        out = pf
+        if where_text:
+            for cond in _split_outside_literals(
+                where_text, re.compile(r"\band\b", re.IGNORECASE)
+            ):
+                out = out.filter(_compile_cond(scope, cond))
+        return out, anon
+
+    if not shared:
+        raise GuardError(
+            "pattern must share a node variable with the preceding clauses "
+            "(cartesian products are rejected)"
+        )
+    # rename shared vars' columns in the pattern frame so the join can
+    # reference both sides by name; drop the duplicates after the join
+    renames = {
+        f"{v}__{c}": f"{v}__{c}__r" for v in shared for c in _NODE_PROPS
+    }
+    pf = pf.select(
+        [F.col(c).alias(renames.get(c, c)) for c in pf.columns]
+    )
+    # resolution scope for this clause's WHERE: prior columns by their
+    # names, the pattern's NEW variables by theirs (shared vars resolve
+    # to the prior side — identical values by construction)
+    cscope = _Scope(
+        cols={**scope.cols, **{
+            r: c for r, c in entries.items()
+            if r.split(".", 1)[0] not in shared
+        }},
+        node_vars=scope.node_vars | set(pat_nodes),
+        all_vars=scope.all_vars | set(pat_nodes) | set(edge_vars),
+    )
+    conds = [
+        _compile_cond(cscope, cond)
+        for cond in (
+            _split_outside_literals(
+                where_text, re.compile(r"\band\b", re.IGNORECASE)
+            ) if where_text else []
+        )
+    ]
+    join_on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"{v}__node_id") == F.col(f"{v}__node_id__r") for v in shared]
+        + (conds if optional else []),
+    )
+    out = df.join(pf, join_on, "left" if optional else "inner")
+    out = out.drop(*renames.values())
+    if not optional:
+        for c in conds:
+            out = out.filter(c)
+    scope.cols.update({
+        r: c for r, c in entries.items() if r.split(".", 1)[0] not in shared
+    })
+    scope.node_vars.update(new_nodes)
+    scope.all_vars.update(new_nodes + edge_vars)
+    return out, anon
+
+
+def _apply_with(
+    df: DataFrame, scope: _Scope, body: str
+) -> tuple[DataFrame, _Scope]:
+    parts = _split_outside_literals(body, _WHERE_SPLIT)
+    if len(parts) > 2:
+        raise GuardError("multiple WHERE in one clause")
+    items_text, having_text = parts[0], parts[1] if len(parts) > 1 else None
+
+    new = _Scope()
+    key_cols: list = []   # carried/projected (grouping keys when aggregating)
+    agg_cols: list = []
+    for part in _split_outside_literals(items_text, re.compile(r",")):
+        m = re.match(r"^(?P<body>.+?)(?:\s+as\s+(?P<alias>\w+))?$", part,
+                     re.IGNORECASE | re.DOTALL)
+        b, alias = m.group("body").strip(), m.group("alias")
+        if re.fullmatch(r"[A-Za-z_]\w*", b) and alias is None:
+            # bare variable/alias: carry every column it owns
+            carried = {r: c for r, c in scope.cols.items()
+                       if r == b or r.startswith(f"{b}.")}
+            if not carried:
+                raise GuardError(f"unknown reference {b!r}")
+            for r, c in carried.items():
+                key_cols.append(F.col(c))
+                new.cols[r] = c
+            if b in scope.node_vars:
+                new.node_vars.add(b)
+            new.all_vars.add(b)
+            continue
+        if alias is None:
+            raise GuardError(
+                f"WITH expressions need an alias (AS ...): {part!r}"
+            )
+        it = _compile_item(scope, part)
+        (agg_cols if it.is_agg else key_cols).append(it.expr.alias(it.alias))
+        new.cols[it.alias] = it.alias
+        new.all_vars.add(it.alias)
+    if agg_cols:
+        out = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
+    else:
+        out = df.select(*key_cols)
+    if having_text:
         for cond in _split_outside_literals(
-            shape.group("where"), re.compile(r"\band\b", re.IGNORECASE)
+            having_text, re.compile(r"\band\b", re.IGNORECASE)
         ):
-            df = df.filter(_compile_cond(scope, cond))
+            out = out.filter(_compile_cond(new, cond))
+    return out, new
 
+
+def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
+    """Guard + parse + compile one Cypher statement to a DataFrame."""
+    executable, _ = check_cypher_safety(cypher)
+    clauses = _split_clauses(executable)
+
+    df: DataFrame | None = None
+    scope = _Scope()
+    anon = 0
+    for kind, body in clauses[:-1]:
+        if kind in ("match", "optional match"):
+            df, anon = _apply_match(
+                ctx, df, scope, body, kind == "optional match", anon
+            )
+        else:  # with
+            if df is None:
+                raise GuardError("WITH cannot be the first clause")
+            df, scope = _apply_with(df, scope, body)
+    if df is None:
+        raise GuardError("query needs at least one MATCH before RETURN")
+
+    tail = _RET_TAIL.match(clauses[-1][1])
     items = [
         _compile_item(scope, part)
-        for part in _split_outside_literals(shape.group("ret"), re.compile(r","))
+        for part in _split_outside_literals(tail.group("ret"), re.compile(r","))
     ]
     has_agg = any(it.is_agg for it in items)
     if has_agg:
@@ -369,9 +589,9 @@ def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
     by = []
-    if shape.group("order"):
+    if tail.group("order"):
         aliases = {it.alias: it for it in items}
-        for part in _split_outside_literals(shape.group("order"), re.compile(r",")):
+        for part in _split_outside_literals(tail.group("order"), re.compile(r",")):
             m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", part.strip(), re.IGNORECASE)
             ref = m.group(1).strip()
             if ref in aliases:
@@ -387,8 +607,8 @@ def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
             by.append(col.desc() if (m.group(2) or "").lower() == "desc" else col.asc())
     if by:
         df = df.orderBy(*by)
-    if shape.group("limit"):
-        df = df.limit(int(shape.group("limit")))
+    if tail.group("limit"):
+        df = df.limit(int(tail.group("limit")))
     if not has_agg:
         df = df.select(*[it.expr.alias(it.alias) for it in items])
     return df
@@ -431,14 +651,17 @@ def _compile_item(scope: _Scope, part: str) -> _Item:
     m = re.match(r"^(?P<body>.+?)(?:\s+as\s+(?P<alias>\w+))?$", part.strip(),
                  re.IGNORECASE | re.DOTALL)
     body, alias = m.group("body").strip(), m.group("alias")
-    am = re.match(r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|[A-Za-z_]\w*\.[A-Za-z_]\w*)\s*\)$", body)
+    am = re.match(
+        r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
+        body,
+    )
     if am and am.group("fn").lower() in _AGGS:
         fn = am.group("fn").lower()
         arg = am.group("arg")
         col = F.lit(1) if arg == "*" else F.col(scope.resolve(arg))
         expr = F.count(col) if fn == "count" else _AGGS[fn](col)
         return _Item(expr, alias or f"{fn}_{'all' if arg == '*' else arg.replace('.', '_')}", True)
-    if re.fullmatch(r"[A-Za-z_]\w*\.[A-Za-z_]\w*", body):
+    if _REF.fullmatch(body):
         return _Item(F.col(scope.resolve(body)), alias or body.replace(".", "_"), False)
     raise GuardError(f"unsupported RETURN item {part!r}")
 
@@ -460,6 +683,26 @@ RETURN c.ontology AS segment, p.ontology AS brand, count(*) AS n
 _VARLEN_CYPHER = """
 MATCH (c {node_id: 'C1'})-[*1..2]->(x)
 RETURN x.label AS label, count(*) AS paths
+"""
+
+_TRAIL_CYPHER = """
+MATCH (p {node_id: 'P1'})-[*1..2]-(x)
+RETURN x.label AS label, count(*) AS paths
+"""
+
+_OPTIONAL_CYPHER = """
+MATCH (c:Customer {ontology: 'BUILDING'})
+OPTIONAL MATCH (c)-[:PLACED]->(o:Order) WHERE o.weight > 350000
+RETURN c.node_id AS cid, count(o.node_id) AS big_orders
+"""
+
+_WITH_CYPHER = """
+MATCH (c:Customer)-[:PLACED]->(o:Order)
+WITH c, count(o.node_id) AS n_orders
+WHERE n_orders >= 15
+MATCH (c)-[:PLACED]->(o2:Order)
+WHERE o2.weight > 200000
+RETURN c.ontology AS segment, count(*) AS big_orders
 """
 
 
@@ -495,7 +738,81 @@ FROM allx JOIN nodes n ON n.node_id = allx.dst GROUP BY n.label
 """,
 )
 def p7_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded variable-length Cypher ([*1..2]): path multiplicity, not
-    reachability — each distinct edge path counts once, matching the
-    UNION ALL oracle."""
+    """Bounded variable-length Cypher ([*1..2]): one row per trail. The
+    directed graph is a DAG (C→O→P→S prefixes), so directed trails and
+    walks coincide and the UNION ALL oracle needs no uniqueness filter."""
     return run_cypher(spark, sf_dir, _VARLEN_CYPHER)
+
+
+@query(
+    "p7_cypher_trail",
+    oracle=graph_ctes()
+    + """,
+und AS (
+  SELECT src AS f, dst AS t, src || '|' || dst || '|' || rel_type AS eid FROM edges
+  UNION ALL
+  SELECT dst, src, src || '|' || dst || '|' || rel_type FROM edges
+),
+s1 AS (SELECT t, eid FROM und WHERE f = 'P1'),
+s2 AS (SELECT u2.t FROM s1 JOIN und u2 ON u2.f = s1.t AND u2.eid <> s1.eid),
+allx AS (SELECT t FROM s1 UNION ALL SELECT t FROM s2)
+SELECT n.label AS label, CAST(count(*) AS BIGINT) AS paths
+FROM allx JOIN nodes n ON n.node_id = allx.t GROUP BY n.label
+""",
+)
+def p7_cypher_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected var-length where trail semantics MATTERS: a walk could
+    bounce straight back to P1 over the edge it arrived on; openCypher
+    relationship-uniqueness forbids that, and the oracle encodes the
+    same `eid <>` exclusion."""
+    return run_cypher(spark, sf_dir, _TRAIL_CYPHER)
+
+
+@query(
+    "p7_cypher_optional",
+    oracle=graph_ctes()
+    + """
+SELECT c.node_id AS cid, CAST(count(t.dst) AS BIGINT) AS big_orders
+FROM nodes c
+LEFT JOIN (
+  SELECT r.src, r.dst FROM edges r
+  JOIN nodes o ON o.node_id = r.dst AND o.label = 'Order'
+  WHERE r.rel_type = 'PLACED' AND o.weight > 350000
+) t ON t.src = c.node_id
+WHERE c.label = 'Customer' AND c.ontology = 'BUILDING'
+GROUP BY c.node_id
+""",
+)
+def p7_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH compiled to a left join; its WHERE is part of the
+    optional pattern (null row when no qualifying order), so customers
+    with zero big orders still appear with big_orders = 0 — mirrors the
+    reference's own OPTIONAL MATCH usage (`routes/queries.py:675`)."""
+    return run_cypher(spark, sf_dir, _OPTIONAL_CYPHER)
+
+
+@query(
+    "p7_cypher_with",
+    oracle=graph_ctes()
+    + """,
+cust AS (
+  SELECT c.node_id, c.ontology, count(o.node_id) AS n_orders
+  FROM nodes c
+  JOIN edges r ON r.src = c.node_id AND r.rel_type = 'PLACED'
+  JOIN nodes o ON o.node_id = r.dst AND o.label = 'Order'
+  WHERE c.label = 'Customer'
+  GROUP BY c.node_id, c.ontology
+  HAVING count(o.node_id) >= 15
+)
+SELECT cust.ontology AS segment, CAST(count(*) AS BIGINT) AS big_orders
+FROM cust
+JOIN edges r2 ON r2.src = cust.node_id AND r2.rel_type = 'PLACED'
+JOIN nodes o2 ON o2.node_id = r2.dst AND o2.label = 'Order' AND o2.weight > 200000
+GROUP BY cust.ontology
+""",
+)
+def p7_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH as a projected subquery: aggregate per customer, HAVING-style
+    WHERE on the aggregate, then a second MATCH joining back on the
+    carried variable — subquery chaining the reference does with WITH."""
+    return run_cypher(spark, sf_dir, _WITH_CYPHER)

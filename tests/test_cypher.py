@@ -140,14 +140,29 @@ def test_edge_var_confidence_filter(spark, cctx):
         ("MATCH (a)-[*1..]->(b) RETURN a.node_id", "V030"),
         ("MATCH (a)-[*1..99]->(b) RETURN a.node_id", "V030"),
         ("MATCH (n) RETURN n.node_id; MATCH (m) RETURN m.node_id", "multi-statement"),
-        ("OPTIONAL MATCH (n) RETURN n.node_id", "unsupported"),
-        ("MATCH (n) WITH n RETURN n.node_id", "unsupported"),
         ("MATCH (n) RETURN n.node_id UNION MATCH (m) RETURN m.node_id", "unsupported"),
+        ("MATCH (n) UNWIND [1,2] AS x RETURN n.node_id", "unsupported"),
     ],
 )
 def test_rejections(bad, msg):
     with pytest.raises(GuardError, match=msg):
         check_cypher_safety(bad)
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        # OPTIONAL MATCH / WITH pass the guard but have structural rules
+        ("OPTIONAL MATCH (n) RETURN n.node_id", "must start with MATCH"),
+        ("MATCH (a) MATCH (b) RETURN a.node_id", "share a node variable"),
+        ("MATCH (a) OPTIONAL MATCH (b:Order) RETURN a.node_id", "share a node"),
+        ("MATCH (a)-[]->(a) RETURN a.node_id", "within one pattern"),
+        ("MATCH (c:Customer) WITH count(c.node_id) RETURN 1", "alias"),
+    ],
+)
+def test_structural_rejections(cctx, bad, msg):
+    with pytest.raises(GuardError, match=msg):
+        compile_cypher(cctx, bad)
 
 
 def test_write_keyword_inside_literal_is_fine():
@@ -162,3 +177,66 @@ def test_bounded_varlen_accepted():
 def test_unknown_property_rejected(cctx):
     with pytest.raises(GuardError, match="unknown"):
         compile_cypher(cctx, "MATCH (n) RETURN n.nope AS x")
+
+
+def test_zero_length_varlen(spark, cctx):
+    """*0..1 = identity paths plus 1-hop; length 0 binds x to c itself."""
+    out = compile_cypher(
+        cctx, "MATCH (c {node_id: 'C1'})-[*0..1]->(x) RETURN x.node_id AS id"
+    )
+    got = sorted(r["id"] for r in out.collect())
+    hop1 = sorted(
+        r["dst"]
+        for r in cctx.edges.filter(F.col("src") == "C1").select("dst").collect()
+    )
+    assert got == sorted(["C1"] + hop1)
+
+
+def test_varlen_trail_excludes_edge_reuse(spark, cctx):
+    """Undirected *2 from P1: walks would bounce back over the arrival
+    edge; trail semantics must exclude exactly those."""
+    out = compile_cypher(
+        cctx, "MATCH (p {node_id: 'P1'})-[*2..2]-(x) RETURN x.node_id AS id"
+    )
+    e = cctx.edges.select(
+        "src", "dst", F.concat_ws("|", "src", "dst", "rel_type").alias("eid")
+    )
+    und = e.select(F.col("src").alias("f"), F.col("dst").alias("t"), "eid").unionByName(
+        e.select(F.col("dst").alias("f"), F.col("src").alias("t"), "eid")
+    )
+    s1 = und.filter(F.col("f") == "P1").select(F.col("t").alias("mid"), F.col("eid").alias("e1"))
+    s2 = s1.join(und, (F.col("mid") == F.col("f")) & (F.col("eid") != F.col("e1"))).select("t")
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["t"] for r in s2.collect()
+    )
+
+
+def test_optional_match_keeps_unmatched(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer {ontology: 'BUILDING'}) "
+        "OPTIONAL MATCH (c)-[:PLACED]->(o:Order) WHERE o.weight > 350000 "
+        "RETURN c.node_id AS cid, count(o.node_id) AS n",
+    )
+    rows = {r["cid"]: r["n"] for r in out.collect()}
+    n_building = cctx.nodes.filter(
+        (F.col("label") == "Customer") & (F.col("ontology") == "BUILDING")
+    ).count()
+    # every BUILDING customer appears, including those with zero big orders
+    assert len(rows) == n_building
+    assert any(v == 0 for v in rows.values())
+
+
+def test_with_aggregate_then_match(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o.node_id) AS n_orders WHERE n_orders >= 15 "
+        "MATCH (c)-[:PLACED]->(o2:Order) "
+        "RETURN c.node_id AS cid, n_orders, count(*) AS rejoin",
+    )
+    # after the second MATCH, each kept customer re-joins all its orders:
+    # rejoin must equal n_orders for every row
+    rows = out.collect()
+    assert rows, "expected at least one customer with >= 15 orders at sf0.001"
+    assert all(r["rejoin"] == r["n_orders"] for r in rows)
