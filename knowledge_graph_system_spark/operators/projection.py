@@ -191,6 +191,164 @@ def tsne_embeddings(
     )
 
 
+def _fit_ab(min_dist: float = 0.1, spread: float = 1.0) -> tuple[float, float]:
+    """Fit UMAP's (a, b) curve params: 1/(1 + a·d^{2b}) least-squares
+    against the piecewise target exp(-(d - min_dist)/spread) for
+    d ≥ min_dist else 1 (umap-learn's find_ab_params contract,
+    `embedding_projection_service.py:723-730` passes min_dist/spread
+    straight through). Deterministic coarse-to-fine grid search — no
+    scipy dependency."""
+    d = np.linspace(0.0, 3.0 * spread, 300)
+    target = np.where(d < min_dist, 1.0, np.exp(-(d - min_dist) / spread))
+
+    def err(a: float, b: float) -> float:
+        return float(((1.0 / (1.0 + a * d ** (2.0 * b)) - target) ** 2).sum())
+
+    a_lo, a_hi, b_lo, b_hi = 0.1, 10.0, 0.3, 3.0
+    best = (1.0, 1.0)
+    for _ in range(4):
+        grid_a = np.linspace(a_lo, a_hi, 25)
+        grid_b = np.linspace(b_lo, b_hi, 25)
+        best = min(
+            ((a, b) for a in grid_a for b in grid_b), key=lambda ab: err(*ab)
+        )
+        da, db = (a_hi - a_lo) / 12, (b_hi - b_lo) / 12
+        a_lo, a_hi = max(best[0] - da, 1e-3), best[0] + da
+        b_lo, b_hi = max(best[1] - db, 1e-3), best[1] + db
+    return best
+
+
+def _umap(
+    x: np.ndarray,
+    n_components: int = 2,
+    n_neighbors: int = 15,
+    min_dist: float = 0.1,
+    spread: float = 1.0,
+    random_state: int = 42,
+    iters: int = 200,
+) -> np.ndarray:
+    """Deterministic UMAP reproducing the reference's contract
+    (`embedding_projection_service.py:719-731`): center → L2-normalize →
+    cosine metric → n_neighbors clamped to n-1 → fuzzy simplicial set
+    (per-point rho/sigma calibrated to log2(k)) → seeded layout.
+
+    Deviation from umap-learn, documented: the layout phase is FULL-BATCH
+    gradient descent on the UMAP cross-entropy (attraction over the kNN
+    graph, exact repulsion over all pairs) instead of per-edge SGD with
+    negative sampling — per-ontology groups are bounded (SURVEY §2 F5),
+    so O(n²) per step is affordable and the result is exactly
+    reproducible without a shared-memory RNG."""
+    n = len(x)
+    x = x - x.mean(axis=0)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+
+    k = max(2, min(n_neighbors, n - 1))
+
+    d = np.maximum(1.0 - x @ x.T, 0.0)
+    np.fill_diagonal(d, np.inf)
+    # stable argsort → deterministic neighbor sets under ties
+    nbr = np.argsort(d, axis=1, kind="stable")[:, :k]
+
+    # fuzzy simplicial set: rho = nearest distance; sigma solves
+    # Σ exp(-(d - rho)/sigma) = log2(k) (umap's smooth-kNN calibration)
+    rho = d[np.arange(n)[:, None], nbr[:, :1]].ravel()
+    target = np.log2(k)
+    W = np.zeros((n, n))
+    for i in range(n):
+        di = np.maximum(d[i, nbr[i]] - rho[i], 0.0)
+        lo, hi, sig = 0.0, np.inf, 1.0
+        for _ in range(64):
+            s = np.exp(-di / max(sig, 1e-12)).sum()
+            if abs(s - target) < 1e-5:
+                break
+            if s > target:
+                hi, sig = sig, (sig + lo) / 2
+            else:
+                lo, sig = sig, sig * 2 if hi == np.inf else (sig + hi) / 2
+        W[i, nbr[i]] = np.exp(-di / max(sig, 1e-12))
+    P = W + W.T - W * W.T  # probabilistic t-conorm symmetrization
+
+    if n > 50:
+        y = _pca2(x, iters=50)[:, :n_components]
+        scale = np.abs(y).max()
+        y = y / (scale if scale > 0 else 1.0) * 10.0
+    else:
+        y = np.random.RandomState(random_state).randn(n, n_components) * 1e-2
+
+    a, b = _fit_ab(min_dist, spread)
+    for it in range(iters):
+        lr = 1.0 * (1.0 - it / iters)
+        diff = y[:, None, :] - y[None, :, :]
+        d2 = np.maximum((diff**2).sum(-1), 1e-8)
+        phi_den = 1.0 + a * d2**b
+        attract = P * (2.0 * a * b * d2 ** (b - 1.0)) / phi_den
+        repel = (1.0 - P) * (2.0 * b) / ((1e-3 + d2) * phi_den)
+        coef = attract - repel
+        np.fill_diagonal(coef, 0.0)
+        grad = np.clip((coef[:, :, None] * diff).sum(axis=1), -4.0, 4.0)
+        y = y - lr * grad
+        y = y - y.mean(axis=0)
+    return y
+
+
+def umap_embeddings(
+    nodes_emb: DataFrame,
+    group_col: str = "ontology",
+    n_neighbors: int = 15,
+    min_dist: float = 0.1,
+    spread: float = 1.0,
+    random_state: int = 42,
+) -> DataFrame:
+    """F5's UMAP form: per-group seeded manifold layout via applyInPandas
+    (same Arrow-batch shape as `tsne_embeddings`). Pinned by determinism
+    + separation tests; the registered `f5_projection` keeps the
+    SQL-oracle-able PCA form."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        if len(pdf) >= 3:
+            xy = _umap(
+                x,
+                n_neighbors=n_neighbors,
+                min_dist=min_dist,
+                spread=spread,
+                random_state=random_state,
+            )
+        else:
+            xy = np.zeros((len(pdf), 2))
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                "node_id": pdf["node_id"],
+                "x": xy[:, 0],
+                "y": xy[:, 1],
+            }
+        )
+
+    return (
+        nodes_emb.select(group_col, "node_id", "embedding")
+        .groupBy(group_col)
+        .applyInPandas(fit, schema=f"{group_col} string, node_id string, x double, y double")
+    )
+
+
+def project_landscape(
+    nodes_emb: DataFrame, method: str = "tsne", group_col: str = "ontology", **kw
+) -> DataFrame:
+    """The reference's algorithm switch (`embedding_projection_service.
+    py:644,719`): method ∈ {pca, tsne, umap}, same output schema either
+    way. Unknown methods fail closed like the reference's ValueError."""
+    if method == "pca":
+        return project_embeddings(nodes_emb, group_col=group_col)
+    if method == "tsne":
+        return tsne_embeddings(nodes_emb, group_col=group_col, **kw)
+    if method == "umap":
+        return umap_embeddings(nodes_emb, group_col=group_col, **kw)
+    raise ValueError(f"unknown projection method {method!r} (pca|tsne|umap)")
+
+
 def dbscan(
     nodes_emb: DataFrame, group_col: str = "ontology", min_pts: int = 4
 ) -> DataFrame:

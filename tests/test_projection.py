@@ -100,6 +100,68 @@ def test_tsne_deterministic_and_separates(spark):
     assert dist > 2 * spread, (dist, spread)
 
 
+def test_umap_deterministic_and_separates(spark):
+    """The seeded UMAP honors the reference contract: same seed → same
+    layout, and the two tight clusters land far apart relative to their
+    spread (same invariant as the t-SNE and PCA forms)."""
+    from knowledge_graph_system_spark.operators.projection import umap_embeddings
+
+    df = _clustered(spark).filter(F.col("ontology") == "g1")
+    a = sorted(map(tuple, umap_embeddings(df).collect()))
+    b = sorted(map(tuple, umap_embeddings(df).collect()))
+    assert a == b
+
+    pts = {r["node_id"]: (r["x"], r["y"]) for r in umap_embeddings(df).collect()}
+    ca = [v for k, v in pts.items() if "-a" in k]
+    cb = [v for k, v in pts.items() if "-b" in k]
+    ma = (sum(x for x, _ in ca) / len(ca), sum(y for _, y in ca) / len(ca))
+    mb = (sum(x for x, _ in cb) / len(cb), sum(y for _, y in cb) / len(cb))
+    spread = max(
+        max(abs(x - ma[0]) + abs(y - ma[1]) for x, y in ca),
+        max(abs(x - mb[0]) + abs(y - mb[1]) for x, y in cb),
+    )
+    dist = abs(ma[0] - mb[0]) + abs(ma[1] - mb[1])
+    assert dist > 2 * spread, (dist, spread)
+
+
+def test_umap_small_n_clamp():
+    """n_neighbors clamps to n-1 (floor 2); tiny groups must not error
+    (reference clamp at `embedding_projection_service.py:725`)."""
+    import numpy as np
+
+    from knowledge_graph_system_spark.operators.projection import _umap
+
+    rng = np.random.RandomState(7)
+    for n in (3, 5, 12):
+        out = _umap(rng.randn(n, 8), n_neighbors=15)
+        assert out.shape == (n, 2)
+        assert np.isfinite(out).all()
+
+
+def test_umap_ab_fit_matches_known_values():
+    """For min_dist=0.1, spread=1.0 umap-learn's find_ab_params gives
+    a≈1.577, b≈0.895; the grid fit must land close."""
+    from knowledge_graph_system_spark.operators.projection import _fit_ab
+
+    a, b = _fit_ab(0.1, 1.0)
+    assert abs(a - 1.577) < 0.15, a
+    assert abs(b - 0.895) < 0.08, b
+
+
+def test_project_landscape_method_switch(spark):
+    from knowledge_graph_system_spark.operators.projection import project_landscape
+
+    df = _clustered(spark).filter(F.col("ontology") == "g1")
+    for m in ("pca", "tsne", "umap"):
+        out = project_landscape(df, method=m)
+        assert out.columns == ["ontology", "node_id", "x", "y"]
+        assert out.count() == 13
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown projection method"):
+        project_landscape(df, method="pacmap")
+
+
 def test_tsne_perplexity_clamp():
     """Clamp formula from the reference: min(p, (n-1)//3), floored at 2,
     capped at n-1 — tiny groups must not error."""
