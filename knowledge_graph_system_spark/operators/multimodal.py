@@ -107,11 +107,11 @@ def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The reference ingests images as bytes → visual embedding + vision-LLM
 # prose (`ingestion_worker.py:209-330`). The vision-LLM stays mocked
 # (U1 pattern), but the DECODE below is real: BMP (24-bit uncompressed),
-# binary PPM (P6), and PNG (8-bit RGB/RGBA via stdlib zlib + scanline
-# unfiltering) are parsed from their actual byte layout — header fields
-# validated, rows unfiltered/reordered, channels split. JPEG and other
-# entropy-coded formats need a codec this container doesn't ship; they
-# raise NotImplementedError at the declared stub boundary.
+# binary PPM (P6), PNG (8-bit RGB/RGBA via stdlib zlib + scanline
+# unfiltering), and baseline JPEG (marker parse, Huffman entropy decode,
+# IDCT — `functions/jpeg.py`) are parsed from their actual byte layout.
+# Progressive JPEG / other formats raise NotImplementedError at the
+# declared boundary.
 
 _BMP_WIDTH = 16  # 16 px × 3 B = 48 B rows — 4-byte aligned, no padding
 
@@ -132,20 +132,58 @@ def encode_bmp(pixel_bytes: bytes, width: int = _BMP_WIDTH) -> bytes:
     return header + info + data
 
 
-def decode_image(raw: bytes) -> dict:
-    """Sniff + parse BMP / PPM(P6) / PNG from actual bytes. Returns
-    width, height, channel order, and per-channel pixel means."""
-    import numpy as np
+def encode_ppm(pixel_bytes: bytes, width: int = _BMP_WIDTH) -> bytes:
+    """Minimal binary P6 writer: bytes laid out RGB row-major, zero-
+    padded to whole rows (same padding rule as `encode_bmp`)."""
+    row = width * 3
+    height = max(1, -(-len(pixel_bytes) // row))
+    body = pixel_bytes.ljust(row * height, b"\x00")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + body
 
+
+def encode_png(pixel_bytes: bytes, width: int = _BMP_WIDTH) -> bytes:
+    """Minimal 8-bit RGB PNG writer (filter 0 scanlines, stdlib zlib),
+    zero-padded to whole rows like `encode_bmp`/`encode_ppm`."""
+    import struct
+    import zlib
+
+    row = width * 3
+    height = max(1, -(-len(pixel_bytes) // row))
+    body = pixel_bytes.ljust(row * height, b"\x00")
+    lines = b"".join(
+        b"\x00" + body[r * row : (r + 1) * row] for r in range(height)
+    )
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(raw: bytes) -> dict:
+    """Sniff + parse BMP / PPM(P6) / PNG / baseline JPEG from actual
+    bytes. Returns width, height, channel order, per-channel means."""
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
     if raw[:2] == b"P6":
         return _decode_ppm(raw)
     if raw[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(raw)
+        return _stats(
+            img, img.shape[1], img.shape[0], "RGB" if img.shape[2] == 3 else "L"
+        )
     raise NotImplementedError(
-        "unsupported image format (JPEG and friends need a codec; "
-        "BMP/PPM/PNG are decoded natively)"
+        "unsupported image format (BMP/PPM/PNG/baseline-JPEG are decoded "
+        "natively; anything else needs an external codec)"
     )
 
 
@@ -200,7 +238,11 @@ def _decode_png(raw: bytes) -> dict:
 
     pos, idat, meta = 8, b"", None
     while pos < len(raw):
+        if pos + 8 > len(raw):
+            raise ValueError("truncated PNG (chunk header past end of data)")
         (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        if pos + 12 + length > len(raw):
+            raise ValueError("truncated PNG (chunk body past end of data)")
         ctype = raw[pos + 4 : pos + 8]
         body = raw[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
@@ -215,6 +257,8 @@ def _decode_png(raw: bytes) -> dict:
         elif ctype == b"IEND":
             break
         pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG has no IHDR chunk before image data")
     w, h, ch = meta
     stride = w * ch
     flat = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
@@ -261,30 +305,42 @@ def _stats(img, width: int, height: int, order: str) -> dict:
 
 
 def image_features(docs: DataFrame) -> DataFrame:
-    """documents → real BMP payload (tiled from the doc bytes) → real
-    decode → per-channel stats, all inside one Arrow-batched mapInPandas.
-    At 100 TB the payload column comes from `spark.read.format
-    ("binaryFile")` instead; everything downstream is identical."""
+    """documents → real image payload (BMP, PPM, or PNG chosen by
+    doc_id % 3, tiled from the doc bytes) → format-sniffing decode →
+    per-channel stats, all inside one Arrow-batched mapInPandas. At
+    100 TB the payload column comes from `spark.read.format
+    ("binaryFile")` instead; everything downstream is identical.
+    Output channels are canonical RGB regardless of the container's
+    storage order (BMP stores BGR)."""
+
+    encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
 
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {k: [] for k in
-                                 ("doc_id", "width", "height", "mean_b", "mean_g", "mean_r")}
+                                 ("doc_id", "fmt", "width", "height",
+                                  "mean_r", "mean_g", "mean_b")}
         for pdf in batches:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                img = decode_image(encode_bmp(text.encode("utf-8")))
-                assert img["channel_order"] == "BGR"
-                mb, mg, mr = img["channel_means"]
+                fmt = ("bmp", "ppm", "png")[int(doc_id) % 3]
+                img = decode_image(encoders[fmt](text.encode("utf-8")))
+                if img["channel_order"] == "BGR":
+                    mb, mg, mr = img["channel_means"]
+                else:
+                    mr, mg, mb = img["channel_means"]
                 rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
                 rows["width"].append(img["width"])
                 rows["height"].append(img["height"])
-                rows["mean_b"].append(mb)
-                rows["mean_g"].append(mg)
                 rows["mean_r"].append(mr)
+                rows["mean_g"].append(mg)
+                rows["mean_b"].append(mb)
             yield pd.DataFrame(rows)
             rows = {k: [] for k in rows}
 
     return docs.select("doc_id", "text").mapInPandas(
-        batch, schema="doc_id long, width int, height int, mean_b double, mean_g double, mean_r double"
+        batch,
+        schema="doc_id long, fmt string, width int, height int, "
+               "mean_r double, mean_g double, mean_b double",
     )
 
 
@@ -292,35 +348,45 @@ def image_features(docs: DataFrame) -> DataFrame:
     "m_image_decode",
     oracle=f"""
 WITH codes AS (
-  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
   FROM documents
 ),
 dims AS (
-  SELECT doc_id, cs, greatest(1, CAST(ceil(len(cs) / {_BMP_WIDTH * 3}.0) AS INT)) AS height
+  SELECT doc_id, fmt, cs,
+         greatest(1, CAST(ceil(len(cs) / {_BMP_WIDTH * 3}.0) AS INT)) AS height
   FROM codes
 ),
 longf AS (
   SELECT doc_id, height, unnest(range(1, len(cs)+1)) AS d, unnest(cs) AS x FROM dims
 )
-SELECT d.doc_id, {_BMP_WIDTH} AS width, d.height,
-       round(coalesce(sum(CASE WHEN (l.d-1)%3=0 THEN l.x END), 0) / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_b,
-       round(coalesce(sum(CASE WHEN (l.d-1)%3=1 THEN l.x END), 0) / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_g,
-       round(coalesce(sum(CASE WHEN (l.d-1)%3=2 THEN l.x END), 0) / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_r
+SELECT d.doc_id, d.fmt, {_BMP_WIDTH} AS width, d.height,
+       round(coalesce(sum(CASE WHEN (l.d-1)%3 = (CASE WHEN d.fmt = 'bmp' THEN 2 ELSE 0 END) THEN l.x END), 0)
+             / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_r,
+       round(coalesce(sum(CASE WHEN (l.d-1)%3 = 1 THEN l.x END), 0)
+             / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_g,
+       round(coalesce(sum(CASE WHEN (l.d-1)%3 = (CASE WHEN d.fmt = 'bmp' THEN 0 ELSE 2 END) THEN l.x END), 0)
+             / ({_BMP_WIDTH}.0 * d.height), 6) AS mean_b
 FROM dims d LEFT JOIN longf l ON l.doc_id = d.doc_id
-GROUP BY d.doc_id, d.height
+GROUP BY d.doc_id, d.fmt, d.height
 """,
 )
 def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2/U3 image path with a REAL decoder: each document's bytes are
-    laid out as a genuine 24-bit BMP (bottom-up rows, BGR) and decoded
-    back by parsing the actual format. Channel means are invariant to
-    the row reordering, so the oracle recomputes them straight from the
-    ascii codes (pixel position p holds byte 3·k+c, zero-padded to
-    width×height)."""
+    """S2/U3 image path with REAL decoders across THREE container
+    formats: each document's bytes become a genuine BMP (bottom-up BGR
+    rows), binary PPM, or PNG (filtered zlib scanlines) by doc_id % 3,
+    then the sniffing decoder parses the actual format back. Channel
+    means are invariant to row storage order, so the oracle recomputes
+    them straight from the ascii codes — byte position p holds channel
+    p mod 3, with the R/B mapping flipped for BMP's BGR layout.
+    (Baseline JPEG decode is real too — `functions/jpeg.py` — but
+    lossy, so it is pinned by round-trip tolerance tests instead of
+    this exact-match oracle.)"""
     ctx = Ctx.get(spark, sf_dir)
     return (
         image_features(ctx.tables["documents"])
-        .withColumn("mean_b", F.round("mean_b", 6))
-        .withColumn("mean_g", F.round("mean_g", 6))
         .withColumn("mean_r", F.round("mean_r", 6))
+        .withColumn("mean_g", F.round("mean_g", 6))
+        .withColumn("mean_b", F.round("mean_b", 6))
     )

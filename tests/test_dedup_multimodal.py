@@ -161,5 +161,82 @@ def test_real_image_decoders_roundtrip():
     assert png["channel_means"] == [float(px[:, :, c].mean()) for c in range(3)]
     assert (png["width"], png["height"], png["channel_order"]) == (5, 6, "RGB")
 
+    # unknown container magic is the declared boundary now
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg needs a codec")
+        decode_image(b"GIF89a needs a codec")
+    # malformed JPEG is a clean parse error, not a silent crash
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg garbage")
+
+
+def test_malformed_png_clean_errors():
+    import struct
+    import zlib
+
+    from knowledge_graph_system_spark.operators.multimodal import decode_image
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # IDAT with no IHDR anywhere
+    with pytest.raises(ValueError, match="no IHDR"):
+        decode_image(magic + chunk(b"IDAT", zlib.compress(b"\x00" * 10)))
+    # chunk length field pointing past the end of the data
+    bad = magic + struct.pack(">I", 999999) + b"IHDR" + b"\x00" * 8
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_image(bad)
+
+
+def test_jpeg_roundtrip_tolerance():
+    """Baseline JPEG is lossy: smooth fixtures must round-trip within
+    quantization tolerance, flat fields almost exactly."""
+    import numpy as np
+
+    from knowledge_graph_system_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (h + w)], axis=2
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(grad))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - grad.astype(int))
+    assert err.mean() < 4.0 and err.max() <= 25, (err.mean(), err.max())
+
+    flat = np.full((13, 19, 3), [200, 30, 90], dtype=np.uint8)  # odd dims: pad path
+    dec2 = decode_jpeg(encode_jpeg(flat))
+    assert dec2.shape == (13, 19, 3)
+    assert np.abs(dec2.astype(int) - flat.astype(int)).max() <= 3
+
+
+def test_jpeg_deterministic_and_sniffed():
+    """Same pixels → identical bytes (fixed tables, no RNG), and the
+    multimodal sniffer routes JPEG magic to the real decoder."""
+    import numpy as np
+
+    from knowledge_graph_system_spark.functions.jpeg import encode_jpeg
+    from knowledge_graph_system_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(16, 16, 3) * 40 + 100).astype(np.uint8)
+    a, b = encode_jpeg(img), encode_jpeg(img)
+    assert a == b
+    out = decode_image(a)
+    assert (out["width"], out["height"], out["channel_order"]) == (16, 16, "RGB")
+    for got, want in zip(
+        out["channel_means"], [float(img[:, :, c].mean()) for c in range(3)]
+    ):
+        assert abs(got - want) < 4.0
+
+
+def test_jpeg_progressive_rejected():
+    """SOF2 (progressive) is the declared NotImplementedError boundary."""
+    import struct
+
+    from knowledge_graph_system_spark.functions.jpeg import decode_jpeg
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">HBHHB", 8, 8, 8, 8, 1)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(sof2)
