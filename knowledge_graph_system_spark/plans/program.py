@@ -36,6 +36,9 @@ MAX_NESTING = 3
 DEFAULT_TIMEOUT_S = 60.0
 _OPS = ("+", "-", "&", "?", "!")
 _CONDS = ("has_results", "empty", "count_gte", "count_lte")
+# Force the (normally lazy) link checkpoint eager every K set-op
+# statements so plan depth stays bounded for arbitrarily long programs.
+_LINK_MATERIALIZE_EVERY = 8
 
 
 class ProgramValidationError(ValueError):
@@ -245,9 +248,15 @@ def _run_block(
             # next statement's set op reads them immediately); links lazy —
             # they materialize fused into whichever later action first
             # touches them instead of paying a dedicated job per statement.
+            # Lazy checkpoints chain unmaterialized, so every K statements
+            # the link checkpoint is forced eager to bound the accumulated
+            # analysis-time plan depth for arbitrarily long programs.
+            links_eager = len(res.log) % _LINK_MATERIALIZE_EVERY == (
+                _LINK_MATERIALIZE_EVERY - 1
+            )
             res.working = WorkingGraph(
                 res.working.nodes.localCheckpoint(eager=True),
-                res.working.links.localCheckpoint(eager=False),
+                res.working.links.localCheckpoint(eager=links_eager),
             )
             rn = r.nodes.count() if collect_counts else -1
             wn = res.working.nodes.count() if collect_counts else -1

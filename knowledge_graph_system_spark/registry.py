@@ -186,7 +186,8 @@ def load_all() -> dict[str, QuerySpec]:
         vector,
     )
     from .functions import markdown  # noqa: F401
-    from .plans import cypher, guard  # noqa: F401
+    from .plans import cypher, guard, saved  # noqa: F401
+    from .sources import export  # noqa: F401
     from .streaming import epochs, windows  # noqa: F401
 
     ordered = {n: QUERIES[n] for n in _RECORD_FIRST if n in QUERIES}
