@@ -22,9 +22,16 @@ Supported subset (clause sequence):
          bare variables carry through, aggregates imply grouping,
          WHERE after aggregates = HAVING
   WHERE a.prop <op> lit | a.prop <op> b.prop | alias <op> lit   (AND)
-  RETURN a.prop [AS x], count(*)/count|sum|avg|min|max(ref) [AS x]
+        string predicates: x STARTS WITH 'p' | ENDS WITH | CONTAINS
+  RETURN [DISTINCT] a.prop [AS x],
+         count(*)/count|sum|avg|min|max|collect([DISTINCT] ref) [AS x]
          implicit Cypher grouping: non-aggregate items are the keys
   ORDER BY item [ASC|DESC], ...   LIMIT n
+
+collect() returns a SORTED array (openCypher leaves collect order
+unspecified; sorting makes results deterministic and oracle-comparable).
+DISTINCT inside an aggregate supports count/sum/collect (min/max ignore
+it; avg DISTINCT is rejected).
 
 Semantics notes (documented deviations):
 - Variable-length paths use TRAIL semantics (no edge reused within one
@@ -409,7 +416,15 @@ def _compile_pattern(
 def _split_clauses(executable: str) -> list[tuple[str, str]]:
     """Split into (kind, body) pairs; kinds: match | optional match |
     with | return. The RETURN body keeps its ORDER BY / LIMIT tail."""
-    kws = _matches_outside_literals(executable, _CLAUSE_KW)
+    kws = [
+        m for m in _matches_outside_literals(executable, _CLAUSE_KW)
+        # `STARTS WITH` / `ENDS WITH` string predicates contain the WITH
+        # token — a `with` preceded by starts/ends is not a clause start
+        if not (
+            m.group(1).lower() == "with"
+            and re.search(r"(?:\bstarts|\bends)\s*$", executable[: m.start()], re.IGNORECASE)
+        )
+    ]
     if not kws or kws[0].start() > len(executable) - len(executable.lstrip()):
         raise GuardError("query must start with MATCH")
     clauses: list[tuple[str, str]] = []
@@ -614,7 +629,27 @@ def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
     return df
 
 
+_STR_PRED = re.compile(
+    r"\b(?P<op>starts\s+with|ends\s+with|contains)\b", re.IGNORECASE
+)
+
+
 def _compile_cond(scope: _Scope, cond: str):
+    sp = _matches_outside_literals(cond, _STR_PRED)
+    if sp:
+        m = sp[0]
+        lhs = F.col(scope.resolve(cond[: m.start()]))
+        rhs = _parse_literal(cond[m.end():])
+        if not isinstance(rhs, str):
+            raise GuardError(
+                f"string predicate needs a string literal: {cond!r}"
+            )
+        op = re.sub(r"\s+", " ", m.group("op").lower())
+        return {
+            "starts with": lhs.startswith(rhs),
+            "ends with": lhs.endswith(rhs),
+            "contains": lhs.contains(rhs),
+        }[op]
     for op in _CMP_OPS:
         # careful: '<=' before '<' (ordered in _CMP_OPS)
         idx = _find_op_outside_literals(cond, op)
