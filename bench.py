@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,14 +53,44 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def cpu_probe() -> float:
+        """Fixed single-thread workload; wall time rises with host load.
+
+        On an idle box this runs in a stable, machine-constant time, so a
+        probe reading well above the run's own minimum means neighbors were
+        stealing cycles at that moment — detectable from the artifact alone.
+        """
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        return time.perf_counter() - t0
+
     # warm pass: JIT, parquet footers, and the Ctx graph-view caches —
     # steady-state throughput is what a resident engine delivers
     for name in names:
         run(name)
 
     # best-of-3: the host shows multi-second background-load jitter;
-    # min-of-N measures the engine, not the neighbors
-    timings = {name: round(min(run(name) for _ in range(3)), 3) for name in names}
+    # min-of-N measures the engine, not the neighbors.  Per-query
+    # best/median/spread are emitted so a loaded host is visible in the
+    # artifact itself (spread = max/min; ~1.0 idle, >>1 under contention).
+    probes = [cpu_probe()]
+    stats: dict[str, dict[str, float]] = {}
+    for name in names:
+        reps = [run(name) for _ in range(3)]
+        probes.append(cpu_probe())
+        stats[name] = {
+            "best": round(min(reps), 3),
+            "median": round(statistics.median(reps), 3),
+            "spread": round(max(reps) / max(min(reps), 1e-9), 2),
+        }
+    timings = {name: s["best"] for name, s in stats.items()}
+
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -69,6 +100,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
+                "host": {
+                    "cpu_probe_best_s": round(min(probes), 3),
+                    "cpu_probe_worst_s": round(max(probes), 3),
+                    "loadavg_1m": round(load1, 2),
+                    "loadavg_5m": round(load5, 2),
+                    "cpus": os.cpu_count(),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -34,7 +34,18 @@ _TOP_K_DEGREE = 5
 
 
 def _pca2(x: np.ndarray, iters: int = 50) -> np.ndarray:
-    """Deterministic 2-component PCA via power iteration (fixed init)."""
+    """Deterministic 2-component PCA via power iteration.
+
+    The start vector is the indicator of the highest-variance dimension
+    (argmax of the covariance diagonal, ties to the lowest index), NOT a
+    constant vector: a constant init is exactly orthogonal to any
+    principal component whose coordinates sum to zero (e.g. two clusters
+    mirrored across a dimension swap), which silently converges to the
+    second component and collapses the layout. The argmax-diagonal seed
+    always has a non-zero projection onto the top eigenvector unless
+    that eigenvector assigns exactly zero weight to the highest-variance
+    dimension, which cannot happen for the dominant component.
+    """
     x = x - x.mean(axis=0)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -42,7 +53,8 @@ def _pca2(x: np.ndarray, iters: int = 50) -> np.ndarray:
     cov = x.T @ x
     comps = []
     for c in range(2):
-        v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+        v = np.zeros(cov.shape[0])
+        v[int(np.argmax(np.diag(cov)))] = 1.0
         for _ in range(iters):
             v = cov @ v
             n = np.linalg.norm(v)
@@ -445,14 +457,12 @@ def _emb_long_ctes() -> list[str]:
 
 def _f5_oracle(iters: int = 50) -> str:
     """DuckDB replay of `_pca2`: center → row-normalize → covariance →
-    two power-iteration components (fixed 1/sqrt(dim) init, `iters`
-    normalized iterations, deflation between components) → project.
-    The iteration is generated as an unrolled CTE chain; power iteration
-    is contractive, so cross-engine FP summation-order differences stay
-    at machine epsilon and vanish under round(·, 6)."""
-    from ..functions.vectors import DEFAULT_DIM
-
-    init = 1.0 / DEFAULT_DIM**0.5
+    two power-iteration components (argmax-diagonal indicator init,
+    ties to lowest dimension, `iters` normalized iterations, deflation
+    between components) → project. The iteration is generated as an
+    unrolled CTE chain; power iteration is contractive, so cross-engine
+    FP summation-order differences stay at machine epsilon and vanish
+    under round(·, 6)."""
     parts = _emb_long_ctes() + [
         "ctr AS MATERIALIZED (SELECT g, d, avg(v) AS mu FROM pt GROUP BY g, d)",
         "xc AS MATERIALIZED (SELECT p.node_id, p.g, p.d, p.v - c.mu AS v"
@@ -466,7 +476,16 @@ def _f5_oracle(iters: int = 50) -> str:
         " GROUP BY a.g, a.d, b.d)",
     ]
     for comp, cov in ((1, "cov0"), (2, "cov1")):
-        parts.append(f"v{comp}_0 AS MATERIALIZED (SELECT DISTINCT g, d, {init!r} AS v FROM pt)")
+        parts.append(
+            f"seed{comp} AS MATERIALIZED (SELECT g, d FROM"
+            f" (SELECT g, i AS d, row_number() OVER (PARTITION BY g ORDER BY c DESC, i) AS rn"
+            f"  FROM {cov} WHERE i = j) WHERE rn = 1)"
+        )
+        parts.append(
+            f"v{comp}_0 AS MATERIALIZED (SELECT p.g, p.d,"
+            f" CASE WHEN p.d = s.d THEN 1.0 ELSE 0.0 END AS v"
+            f" FROM (SELECT DISTINCT g, d FROM pt) p JOIN seed{comp} s ON s.g = p.g)"
+        )
         for t in range(1, iters + 1):
             parts.append(
                 f"w{comp}_{t} AS MATERIALIZED (SELECT c.g, c.i AS d, sum(c.c * v.v) AS w"
