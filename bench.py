@@ -88,8 +88,9 @@ def main() -> None:
     timings = {name: s["best"] for name, s in stats.items()}
 
     try:
+        # AttributeError: os.getloadavg does not exist on non-Unix platforms
         load1, load5, _ = os.getloadavg()
-    except OSError:
+    except (OSError, AttributeError):
         load1 = load5 = -1.0
 
     total = round(sum(timings.values()), 3)

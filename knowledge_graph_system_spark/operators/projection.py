@@ -42,9 +42,20 @@ def _pca2(x: np.ndarray, iters: int = 50) -> np.ndarray:
     principal component whose coordinates sum to zero (e.g. two clusters
     mirrored across a dimension swap), which silently converges to the
     second component and collapses the layout. The argmax-diagonal seed
-    always has a non-zero projection onto the top eigenvector unless
-    that eigenvector assigns exactly zero weight to the highest-variance
-    dimension, which cannot happen for the dominant component.
+    has a non-zero projection onto the top eigenvector whenever that
+    eigenvector gives non-zero weight to the highest-variance dimension
+    — overwhelmingly the common case, though not guaranteed (a dominant
+    eigenvalue spread thinly across many dims can leave zero weight on a
+    concentrated smaller one). The residual risk is accepted because the
+    DuckDB oracle replays this exact algorithm: even in the pathological
+    case both engines agree, and only layout quality degrades.
+
+    Two determinism guards keep the engines in lockstep at FP epsilon:
+    - the diagonal is snapped (round 9 dp) before the argmax so
+      near-tied variances pick the same seed dim on both sides;
+    - each converged component is sign-canonicalized (entry of largest
+      snapped |value| made positive, ties to lowest index) so a seed-dim
+      flip on an antisymmetric eigenvector cannot negate the output.
     """
     x = x - x.mean(axis=0)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
@@ -54,13 +65,16 @@ def _pca2(x: np.ndarray, iters: int = 50) -> np.ndarray:
     comps = []
     for c in range(2):
         v = np.zeros(cov.shape[0])
-        v[int(np.argmax(np.diag(cov)))] = 1.0
+        v[int(np.argmax(np.round(np.diag(cov), 9)))] = 1.0
         for _ in range(iters):
             v = cov @ v
             n = np.linalg.norm(v)
             if n == 0:
                 break
             v = v / n
+        anchor = int(np.argmax(np.round(np.abs(v), 9)))
+        if v[anchor] < 0:
+            v = -v
         comps.append(v)
         cov = cov - np.outer(v, cov @ v)
     w = np.stack(comps, axis=1)
@@ -476,9 +490,12 @@ def _f5_oracle(iters: int = 50) -> str:
         " GROUP BY a.g, a.d, b.d)",
     ]
     for comp, cov in ((1, "cov0"), (2, "cov1")):
+        # diagonal snapped (round 9 dp) before the argmax, mirroring
+        # _pca2: near-tied variances must pick the same seed dim in both
+        # engines or an antisymmetric eigenvector flips sign
         parts.append(
             f"seed{comp} AS MATERIALIZED (SELECT g, d FROM"
-            f" (SELECT g, i AS d, row_number() OVER (PARTITION BY g ORDER BY c DESC, i) AS rn"
+            f" (SELECT g, i AS d, row_number() OVER (PARTITION BY g ORDER BY round(c, 9) DESC, i) AS rn"
             f"  FROM {cov} WHERE i = j) WHERE rn = 1)"
         )
         parts.append(
@@ -508,11 +525,27 @@ def _f5_oracle(iters: int = 50) -> str:
                 f" FROM cov0 c JOIN v1_{iters} v ON v.g = c.g AND v.d = c.i"
                 f" JOIN u1 u ON u.g = c.g AND u.d = c.j)"
             )
+    # sign canonicalization, mirroring _pca2: make the entry of largest
+    # snapped |value| positive (ties to lowest d). Deflation above is
+    # sign-invariant (v appears twice), so only the projection needs the
+    # canonical components.
+    for comp in (1, 2):
+        parts.append(
+            f"sgn{comp} AS MATERIALIZED (SELECT g,"
+            f" CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s FROM"
+            f" (SELECT g, v, row_number() OVER"
+            f"  (PARTITION BY g ORDER BY round(abs(v), 9) DESC, d) AS rn"
+            f"  FROM v{comp}_{iters}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"vf{comp} AS MATERIALIZED (SELECT v.g, v.d, v.v * s.s AS v"
+            f" FROM v{comp}_{iters} v JOIN sgn{comp} s ON s.g = v.g)"
+        )
     parts.append(
-        f"proj AS MATERIALIZED (SELECT x.node_id, x.g, sum(x.v * a.v) AS px, sum(x.v * b.v) AS py"
-        f" FROM x JOIN v1_{iters} a ON a.g = x.g AND a.d = x.d"
-        f" JOIN v2_{iters} b ON b.g = x.g AND b.d = x.d"
-        f" GROUP BY x.node_id, x.g)"
+        "proj AS MATERIALIZED (SELECT x.node_id, x.g, sum(x.v * a.v) AS px, sum(x.v * b.v) AS py"
+        " FROM x JOIN vf1 a ON a.g = x.g AND a.d = x.d"
+        " JOIN vf2 b ON b.g = x.g AND b.d = x.d"
+        " GROUP BY x.node_id, x.g)"
     )
     return graph_ctes(*parts) + """
 SELECT p.g AS ontology, p.node_id,
