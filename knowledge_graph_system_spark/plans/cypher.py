@@ -26,6 +26,9 @@ Supported subset (clause sequence):
   RETURN [DISTINCT] a.prop [AS x],
          count(*)/count|sum|avg|min|max|collect([DISTINCT] ref) [AS x]
          implicit Cypher grouping: non-aggregate items are the keys
+  UNWIND [lit, ...] AS x | UNWIND listref AS x   explode: one row per
+         element; listref may be a WITH alias bound to collect(...).
+         May open the query (UNWIND [..] AS x MATCH ...).
   ORDER BY item [ASC|DESC], ...   LIMIT n
 
 collect() returns a SORTED array (openCypher leaves collect order
@@ -45,8 +48,10 @@ Semantics notes (documented deviations):
 - Within one pattern a variable may appear only once (no cycles via
   re-binding inside a single MATCH); re-use ACROSS clauses is the join.
 
-Everything else (UNION, UNWIND, CALL, writes) is rejected with a
-GuardError naming the rule — fail closed, like the reference.
+Everything else (UNION, CALL, writes) is rejected with a GuardError
+naming the rule — fail closed, like the reference. UNWIND mirrors the
+reference's own read-path usage (`/root/reference/api/app/lib/
+age_client/ontology_scoring.py:232`).
 
 Scale shape: node patterns filter the cached nodes frame (label/prop
 pushdown before the join), each hop is an equi-join on node_id against
@@ -78,12 +83,12 @@ _WRITE_KW = re.compile(
     r"\b(create|set|delete|merge|remove|drop|detach)\b", re.IGNORECASE
 )
 _UNSUPPORTED = re.compile(
-    r"\b(union|unwind|call|foreach|load)\b", re.IGNORECASE
+    r"\b(union|call|foreach|load)\b", re.IGNORECASE
 )
 _VAR_PATH = re.compile(r"\[\s*[^\]]*\*\s*(\d+)?(?:\s*(\.\.)\s*(\d+)?)?\s*\]")
 
 _CLAUSE_KW = re.compile(
-    r"\b(optional\s+match|match|with|return)\b", re.IGNORECASE
+    r"\b(optional\s+match|match|unwind|with|return)\b", re.IGNORECASE
 )
 _RET_TAIL = re.compile(
     r"^(?P<ret>.+?)"
@@ -103,7 +108,10 @@ _EDGE_PAT = re.compile(
 
 _LITERAL = re.compile(r"'(?:[^']|'')*'|-?\d+(?:\.\d+)?|true|false", re.IGNORECASE)
 _CMP_OPS = ("<>", "<=", ">=", "=", "<", ">")
-_AGGS = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+_AGGS = {
+    "count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+    "collect": F.collect_list,
+}
 _REF = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
 
 
@@ -426,15 +434,15 @@ def _split_clauses(executable: str) -> list[tuple[str, str]]:
         )
     ]
     if not kws or kws[0].start() > len(executable) - len(executable.lstrip()):
-        raise GuardError("query must start with MATCH")
+        raise GuardError("query must start with MATCH or UNWIND")
     clauses: list[tuple[str, str]] = []
     for i, m in enumerate(kws):
         kind = re.sub(r"\s+", " ", m.group(1).lower())
         end = kws[i + 1].start() if i + 1 < len(kws) else len(executable)
         clauses.append((kind, executable[m.end():end].strip()))
-    if clauses[0][0] != "match":
+    if clauses[0][0] not in ("match", "unwind"):
         raise GuardError(
-            f"query must start with MATCH, not {clauses[0][0].upper()}"
+            f"query must start with MATCH or UNWIND, not {clauses[0][0].upper()}"
         )
     if clauses[-1][0] != "return" or any(k == "return" for k, _ in clauses[:-1]):
         raise GuardError("query must end with a single RETURN clause")
@@ -475,10 +483,30 @@ def _apply_match(
         return out, anon
 
     if not shared:
-        raise GuardError(
-            "pattern must share a node variable with the preceding clauses "
-            "(cartesian products are rejected)"
+        if scope.node_vars:
+            raise GuardError(
+                "pattern must share a node variable with the preceding clauses "
+                "(cartesian products are rejected)"
+            )
+        if optional:
+            raise GuardError("OPTIONAL MATCH cannot follow only UNWIND")
+        # the only node-var-free scope is a literal-UNWIND prologue — a
+        # bounded list, so this cross join is a safe broadcast of N literals
+        out = df.crossJoin(pf)
+        cscope = _Scope(
+            cols={**scope.cols, **entries},
+            node_vars=set(pat_nodes),
+            all_vars=scope.all_vars | set(pat_nodes) | set(edge_vars),
         )
+        if where_text:
+            for cond in _split_outside_literals(
+                where_text, re.compile(r"\band\b", re.IGNORECASE)
+            ):
+                out = out.filter(_compile_cond(cscope, cond))
+        scope.cols.update(entries)
+        scope.node_vars.update(pat_nodes)
+        scope.all_vars.update(pat_nodes + edge_vars)
+        return out, anon
     # rename shared vars' columns in the pattern frame so the join can
     # reference both sides by name; drop the duplicates after the join
     renames = {
@@ -572,6 +600,45 @@ def _apply_with(
     return out, new
 
 
+def _apply_unwind(
+    ctx: Ctx, df: DataFrame | None, scope: _Scope, body: str
+) -> DataFrame:
+    """UNWIND <list> AS x → explode. The list is either a literal
+    `[lit, ...]` or an in-scope array reference (a WITH collect alias).
+    Mirrors the reference's read-path UNWIND
+    (`ontology_scoring.py:232`, UNWIND over an id list)."""
+    m = re.match(r"^(?P<expr>.+?)\s+as\s+(?P<alias>\w+)$", body,
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise GuardError(f"UNWIND needs 'expr AS alias': {body!r}")
+    expr, alias = m.group("expr").strip(), m.group("alias")
+    if alias in scope.all_vars or alias in scope.cols:
+        raise GuardError(f"duplicate variable {alias!r}")
+    if expr.startswith("["):
+        if not expr.endswith("]"):
+            raise GuardError(f"bad list literal {expr!r}")
+        inner = expr[1:-1].strip()
+        vals = [
+            _parse_literal(p)
+            for p in _split_outside_literals(inner, re.compile(r","))
+        ] if inner else []
+        if len({type(v) for v in vals}) > 1:
+            raise GuardError("UNWIND list elements must share one type")
+        arr = F.array(*[F.lit(v) for v in vals]) if vals else F.array()
+        if df is None:
+            df = ctx.spark.range(1)
+        out = df.withColumn(alias, F.explode(arr)).drop("id")
+    else:
+        if df is None:
+            raise GuardError("UNWIND of a reference needs a preceding clause")
+        if not _REF.fullmatch(expr):
+            raise GuardError(f"unsupported UNWIND expression {expr!r}")
+        out = df.withColumn(alias, F.explode(F.col(scope.resolve(expr))))
+    scope.cols[alias] = alias
+    scope.all_vars.add(alias)
+    return out
+
+
 def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
     """Guard + parse + compile one Cypher statement to a DataFrame."""
     executable, _ = check_cypher_safety(cypher)
@@ -585,6 +652,8 @@ def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
             df, anon = _apply_match(
                 ctx, df, scope, body, kind == "optional match", anon
             )
+        elif kind == "unwind":
+            df = _apply_unwind(ctx, df, scope, body)
         else:  # with
             if df is None:
                 raise GuardError("WITH cannot be the first clause")
@@ -593,16 +662,26 @@ def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
         raise GuardError("query needs at least one MATCH before RETURN")
 
     tail = _RET_TAIL.match(clauses[-1][1])
+    ret_text = tail.group("ret")
+    dm = re.match(r"^\s*distinct\b(?P<rest>.+)$", ret_text,
+                  re.IGNORECASE | re.DOTALL)
+    ret_distinct = dm is not None
+    if dm:
+        ret_text = dm.group("rest")
     items = [
         _compile_item(scope, part)
-        for part in _split_outside_literals(tail.group("ret"), re.compile(r","))
+        for part in _split_outside_literals(ret_text, re.compile(r","))
     ]
     has_agg = any(it.is_agg for it in items)
     if has_agg:
+        # RETURN DISTINCT with aggregation is redundant (grouping dedups)
         keys = [it.expr.alias(it.alias) for it in items if not it.is_agg]
         aggs = [it.expr.alias(it.alias) for it in items if it.is_agg]
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    elif ret_distinct:
+        df = df.select(*[it.expr.alias(it.alias) for it in items]).dropDuplicates()
 
+    projected = has_agg or ret_distinct
     by = []
     if tail.group("order"):
         aliases = {it.alias: it for it in items}
@@ -610,10 +689,11 @@ def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
             m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", part.strip(), re.IGNORECASE)
             ref = m.group(1).strip()
             if ref in aliases:
-                col = F.col(ref) if has_agg else aliases[ref].expr
-            elif has_agg:
+                col = F.col(ref) if projected else aliases[ref].expr
+            elif projected:
                 raise GuardError(
-                    f"ORDER BY {ref!r} must be a returned alias when aggregating"
+                    f"ORDER BY {ref!r} must be a returned alias when "
+                    "aggregating or using RETURN DISTINCT"
                 )
             else:
                 # ordering by a non-returned property: sort BEFORE the
@@ -624,7 +704,7 @@ def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
         df = df.orderBy(*by)
     if tail.group("limit"):
         df = df.limit(int(tail.group("limit")))
-    if not has_agg:
+    if not projected:
         df = df.select(*[it.expr.alias(it.alias) for it in items])
     return df
 
@@ -687,14 +767,35 @@ def _compile_item(scope: _Scope, part: str) -> _Item:
                  re.IGNORECASE | re.DOTALL)
     body, alias = m.group("body").strip(), m.group("alias")
     am = re.match(
-        r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
+        r"^(?P<fn>\w+)\s*\(\s*(?P<distinct>distinct\s+)?"
+        r"(?P<arg>\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
         body,
+        re.IGNORECASE,
     )
     if am and am.group("fn").lower() in _AGGS:
         fn = am.group("fn").lower()
         arg = am.group("arg")
-        col = F.lit(1) if arg == "*" else F.col(scope.resolve(arg))
-        expr = F.count(col) if fn == "count" else _AGGS[fn](col)
+        distinct = am.group("distinct") is not None
+        if arg == "*":
+            if fn != "count" or distinct:
+                raise GuardError(f"'*' argument only valid in count(*): {part!r}")
+            col = F.lit(1)
+        else:
+            col = F.col(scope.resolve(arg))
+        if fn == "collect":
+            # sorted array: openCypher leaves collect order unspecified;
+            # sorting makes it deterministic and oracle-comparable
+            inner = F.collect_set(col) if distinct else F.collect_list(col)
+            expr = F.sort_array(inner)
+        elif fn == "count":
+            expr = F.countDistinct(col) if distinct else F.count(col)
+        elif fn == "sum" and distinct:
+            expr = F.sum_distinct(col)
+        elif fn == "avg" and distinct:
+            raise GuardError("avg(DISTINCT ...) is not supported")
+        else:
+            # min/max ignore DISTINCT (it cannot change the result)
+            expr = _AGGS[fn](col)
         return _Item(expr, alias or f"{fn}_{'all' if arg == '*' else arg.replace('.', '_')}", True)
     if _REF.fullmatch(body):
         return _Item(F.col(scope.resolve(body)), alias or body.replace(".", "_"), False)
@@ -824,6 +925,39 @@ def p7_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero big orders still appear with big_orders = 0 — mirrors the
     reference's own OPTIONAL MATCH usage (`routes/queries.py:675`)."""
     return run_cypher(spark, sf_dir, _OPTIONAL_CYPHER)
+
+
+_UNWIND_CYPHER = """
+MATCH (c:Customer)-[:PLACED]->(o:Order)
+WITH c.ontology AS segment, collect(DISTINCT o.ontology) AS prios
+UNWIND prios AS prio
+RETURN segment, prio
+"""
+
+
+@query(
+    "p7_cypher_unwind",
+    oracle=graph_ctes()
+    + """,
+seg AS (
+  SELECT c.ontology AS segment,
+         list_sort(list_distinct(list(o.ontology))) AS prios
+  FROM nodes c
+  JOIN edges r ON r.src = c.node_id AND r.rel_type = 'PLACED'
+  JOIN nodes o ON o.node_id = r.dst AND o.label = 'Order'
+  WHERE c.label = 'Customer'
+  GROUP BY c.ontology
+)
+SELECT segment, unnest(prios) AS prio FROM seg
+""",
+)
+def p7_cypher_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect(DISTINCT) → UNWIND roundtrip: aggregate order priorities
+    per market segment into a sorted list, then explode back to rows —
+    the collect/UNWIND shape the reference's own read path uses
+    (`/root/reference/api/app/lib/age_client/ontology_scoring.py:232`).
+    Oracle: DuckDB list()/unnest()."""
+    return run_cypher(spark, sf_dir, _UNWIND_CYPHER)
 
 
 @query(

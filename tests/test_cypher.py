@@ -141,7 +141,7 @@ def test_edge_var_confidence_filter(spark, cctx):
         ("MATCH (a)-[*1..99]->(b) RETURN a.node_id", "V030"),
         ("MATCH (n) RETURN n.node_id; MATCH (m) RETURN m.node_id", "multi-statement"),
         ("MATCH (n) RETURN n.node_id UNION MATCH (m) RETURN m.node_id", "unsupported"),
-        ("MATCH (n) UNWIND [1,2] AS x RETURN n.node_id", "unsupported"),
+        ("MATCH (n) CALL db.labels() RETURN n.node_id", "unsupported"),
     ],
 )
 def test_rejections(bad, msg):
@@ -158,11 +158,79 @@ def test_rejections(bad, msg):
         ("MATCH (a) OPTIONAL MATCH (b:Order) RETURN a.node_id", "share a node"),
         ("MATCH (a)-[]->(a) RETURN a.node_id", "within one pattern"),
         ("MATCH (c:Customer) WITH count(c.node_id) RETURN 1", "alias"),
+        ("MATCH (c) UNWIND [1,2] RETURN c.node_id", "AS alias"),
+        ("MATCH (c) UNWIND [1,2] AS c RETURN c.node_id", "duplicate variable"),
+        ("UNWIND prios AS p RETURN p", "preceding clause"),
+        ("MATCH (c) RETURN avg(DISTINCT c.weight)", "not supported"),
+        (
+            "MATCH (c:Customer) RETURN DISTINCT c.ontology AS s ORDER BY c.weight",
+            "returned alias",
+        ),
     ],
 )
 def test_structural_rejections(cctx, bad, msg):
     with pytest.raises(GuardError, match=msg):
         compile_cypher(cctx, bad)
+
+
+def test_unwind_literal_prologue(cctx):
+    out = compile_cypher(
+        cctx,
+        "UNWIND [1, 2, 3] AS boost "
+        "MATCH (c:Customer {node_id: 'C1'}) "
+        "RETURN c.node_id AS cid, boost",
+    ).collect()
+    assert sorted((r["cid"], r["boost"]) for r in out) == [
+        ("C1", 1), ("C1", 2), ("C1", 3)
+    ]
+
+
+def test_unwind_collect_roundtrip(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c.ontology AS segment, collect(DISTINCT o.ontology) AS prios "
+        "UNWIND prios AS prio RETURN segment, prio",
+    )
+    expect = (
+        cctx.edges.filter(F.col("rel_type") == "PLACED")
+        .join(
+            cctx.nodes.filter(F.col("label") == "Customer")
+            .select(F.col("node_id").alias("src"), F.col("ontology").alias("segment")),
+            "src",
+        )
+        .join(
+            cctx.nodes.filter(F.col("label") == "Order")
+            .select(F.col("node_id").alias("dst"), F.col("ontology").alias("prio")),
+            "dst",
+        )
+        .select("segment", "prio")
+        .distinct()
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_return_distinct(cctx):
+    out = compile_cypher(
+        cctx, "MATCH (c:Customer) RETURN DISTINCT c.ontology AS segment"
+    )
+    expect = cctx.nodes.filter(F.col("label") == "Customer").select(
+        F.col("ontology").alias("segment")
+    ).distinct()
+    assert sorted(r["segment"] for r in out.collect()) == sorted(
+        r["segment"] for r in expect.collect()
+    )
+
+
+def test_collect_sorted_array(cctx):
+    rows = compile_cypher(
+        cctx,
+        "MATCH (c:Customer {node_id: 'C1'})-[:PLACED]->(o:Order) "
+        "RETURN c.node_id AS cid, collect(o.node_id) AS orders",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["orders"] == sorted(rows[0]["orders"])
+    assert len(rows[0]["orders"]) > 0
 
 
 def test_write_keyword_inside_literal_is_fine():
