@@ -1,11 +1,29 @@
-"""SO9 dispatch + registered GraphProgram demo (SURVEY.md §2.7).
+"""SO9 dispatch + registered GraphProgram demos (SURVEY.md §2.7).
 
 `make_dispatch` maps statement sources to engine operators the way the
 reference's program_dispatch maps them to API ops
-(`/root/reference/api/app/services/program_dispatch.py:193-394`):
-  match        → filtered node scan (P1)
-  neighborhood → BFS node set hydrated with node props (G1 + J4)
-  vector      → cosine top-k (V1)
+(`/root/reference/api/app/services/program_dispatch.py:193-394`), with
+the reference's own endpoint names and parameter names so a program
+ported from it runs unchanged:
+  search_concepts   → cosine top-k over concept embeddings (V1)
+                      params: query, min_similarity, limit
+  search_sources    → cosine top-k over SOURCE embeddings, then the
+                      concepts linked to the matched sources, deduped
+                      (V2 + J2). In the derived graph Orders play the
+                      source role and their linked Parts the concepts.
+                      params: query, min_similarity, limit
+  concepts_details  → one node + its outgoing edges + their endpoint
+                      nodes (J4 shape). params: concept_id
+  concepts_related  → BFS neighborhood + edges among the discovered set
+                      (G1 + G4). params: concept_id, max_depth,
+                      relationship_types
+  concepts_batch    → IN-list node fetch (J4). params: concept_ids
+  vocabulary_status → vocabulary registry rows as synthetic nodes
+                      (`vocab:<name>`), filtered by epistemic status /
+                      type (A6 surface). params: status_filter,
+                      relationship_type
+Legacy engine-native kinds (match / neighborhood / vector) remain for
+programs written against this engine directly.
 """
 
 from __future__ import annotations
@@ -56,6 +74,84 @@ def make_dispatch(ctx: Ctx):
                 k=source.get("k", 50),
             )
             return Result(nodes=ctx.nodes.join(F.broadcast(hits.select("node_id")), "node_id"))
+
+        # ---- reference-named API ops (program_dispatch.py:193-394) ----
+        if kind == "search_concepts":
+            from .vector import DEFAULT_THRESHOLD, vector_search
+
+            hits = vector_search(
+                ctx.nodes_emb,
+                unit_vec_py(source["query"]),
+                threshold=source.get("min_similarity", DEFAULT_THRESHOLD),
+                k=source.get("limit", 10),
+            )
+            return Result(nodes=ctx.nodes.join(F.broadcast(hits.select("node_id")), "node_id"))
+        if kind == "search_sources":
+            from .vector import DEFAULT_THRESHOLD, vector_search
+
+            hits = vector_search(
+                ctx.nodes_emb.filter(F.col("label") == "Order"),
+                unit_vec_py(source["query"]),
+                threshold=source.get("min_similarity", DEFAULT_THRESHOLD),
+                k=source.get("limit", 10),
+            )
+            # concepts linked to the matched sources, deduped across
+            # sources (`_dispatch_search_sources`: concepts_by_source →
+            # seen-dict dedup); links deliberately empty, like the ref
+            linked = (
+                ctx.edges.join(
+                    F.broadcast(hits.select(F.col("node_id").alias("src"))), "src"
+                )
+                .select(F.col("dst").alias("node_id"))
+                .dropDuplicates(["node_id"])
+            )
+            return Result(nodes=ctx.nodes.join(F.broadcast(linked), "node_id"))
+        if kind == "concepts_details":
+            cid = source["concept_id"]
+            own = ctx.nodes.filter(F.col("node_id") == cid)
+            out_edges = ctx.edges.filter(F.col("src") == cid)
+            endpoints = ctx.nodes.join(
+                F.broadcast(
+                    out_edges.select(F.col("dst").alias("node_id")).dropDuplicates()
+                ),
+                "node_id",
+            )
+            return Result(nodes=own.unionByName(endpoints), links=out_edges)
+        if kind == "concepts_related":
+            from .traversal import bfs, subgraph
+
+            nset = bfs(
+                ctx.edges,
+                [source["concept_id"]],
+                source.get("max_depth", 2),
+                direction=source.get("direction", "out"),
+                rel_types=source.get("relationship_types"),
+            )
+            nodes = ctx.nodes.join(F.broadcast(nset.select("node_id")), "node_id")
+            return Result(nodes=nodes, links=subgraph(ctx.edges, nset))
+        if kind == "concepts_batch":
+            ids = source["concept_ids"]
+            if not ids:
+                return Result(nodes=ctx.nodes.filter(F.lit(False)))
+            return Result(nodes=ctx.nodes.filter(F.col("node_id").isin(ids)))
+        if kind == "vocabulary_status":
+            v = ctx.vocab
+            if source.get("status_filter"):
+                v = v.filter(F.col("epistemic_status") == source["status_filter"])
+            if source.get("relationship_type"):
+                v = v.filter(F.col("rel_type") == source["relationship_type"])
+            # synthetic nodes in the working-graph schema, id 'vocab:<name>'
+            # (`_dispatch_vocabulary_status` builds RawNode concept_id the
+            # same way); weight NULL — vocab rows carry no scalar weight
+            return Result(
+                nodes=v.select(
+                    F.concat(F.lit("vocab:"), F.col("rel_type")).alias("node_id"),
+                    F.col("rel_type").alias("label"),
+                    F.col("epistemic_status").alias("name"),
+                    F.col("category").alias("ontology"),
+                    F.lit(None).cast("double").alias("weight"),
+                )
+            )
         raise ValueError(f"unknown source kind {kind!r}")
 
     return dispatch
@@ -115,6 +211,89 @@ def so_program_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of three — the step log keeps op + ms, counts read -1.
     res = execute_program(
         _DEMO_PROGRAM, make_dispatch(ctx), empty_working(ctx), collect_counts=False
+    )
+    assert not res.aborted, res.abort_reason
+    return res.working.nodes.select("node_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# so_dispatch_matrix — every reference API dispatch kind in one program
+# ---------------------------------------------------------------------------
+
+_MATRIX_PROGRAM = [
+    {"op": "+", "source": {"kind": "search_concepts",
+                           "query": "query:1", "min_similarity": 0.3, "limit": 40}},
+    {"op": "+", "source": {"kind": "search_sources",
+                           "query": "query:so", "min_similarity": 0.3, "limit": 10}},
+    {"op": "!", "source": {"kind": "concepts_related",
+                           "concept_id": "C1", "max_depth": 2}},
+    {"op": "+", "source": {"kind": "concepts_details", "concept_id": "C1"}},
+    {"op": "-", "source": {"kind": "concepts_batch",
+                           "concept_ids": ["C1", "P1", "S1"]}},
+    {"op": "+", "source": {"kind": "vocabulary_status",
+                           "status_filter": "AFFIRMATIVE"}},
+]
+
+from ..functions import oracle_snippets as osql  # noqa: E402
+
+_EMB_SUB = osql.unit_vec_cte("node_id", "node_id, label", "nodes")
+
+
+@query(
+    "so_dispatch_matrix",
+    oracle=graph_ctes()
+    + f""",
+q1 AS (SELECT list_transform(raw, x -> x / norm) AS qv FROM
+       (SELECT raw, {osql.l2_norm_sql('raw')} AS norm FROM
+        (SELECT {osql.raw_vec_sql("'query:1'")} AS raw) t1) t2),
+q2 AS (SELECT list_transform(raw, x -> x / norm) AS qv FROM
+       (SELECT raw, {osql.l2_norm_sql('raw')} AS norm FROM
+        (SELECT {osql.raw_vec_sql("'query:so'")} AS raw) t1) t2),
+emb AS MATERIALIZED (SELECT node_id, label, emb FROM {_EMB_SUB} e),
+v1 AS (SELECT node_id FROM
+       (SELECT e.node_id, round({osql.dot_sql('e.emb', 'q1.qv')}, 6) AS score
+        FROM emb e, q1
+        WHERE round({osql.dot_sql('e.emb', 'q1.qv')}, 6) >= 0.3
+        ORDER BY score DESC, node_id LIMIT 40)),
+src10 AS (SELECT node_id FROM
+          (SELECT e.node_id, round({osql.dot_sql('e.emb', 'q2.qv')}, 6) AS score
+           FROM emb e, q2
+           WHERE e.label = 'Order'
+             AND round({osql.dot_sql('e.emb', 'q2.qv')}, 6) >= 0.3
+           ORDER BY score DESC, node_id LIMIT 10)),
+ss AS (SELECT DISTINCT ed.dst AS node_id
+       FROM edges ed JOIN src10 s ON s.node_id = ed.src),
+walk(node_id, dist) AS (
+  SELECT 'C1', 0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node_id WHERE w.dist < 2
+),
+det AS (SELECT 'C1' AS node_id UNION ALL SELECT dst FROM edges WHERE src = 'C1'),
+u AS (SELECT DISTINCT node_id FROM
+      (SELECT node_id FROM v1 UNION ALL SELECT node_id FROM ss
+       UNION ALL SELECT node_id FROM walk UNION ALL SELECT node_id FROM det)),
+d AS (SELECT node_id FROM u WHERE node_id NOT IN ('C1', 'P1', 'S1')),
+named AS (SELECT d.node_id, n.label FROM d JOIN nodes n ON n.node_id = d.node_id),
+vocabn AS (SELECT 'vocab:' || rel_type AS node_id, rel_type AS label
+           FROM vocab WHERE epistemic_status = 'AFFIRMATIVE')
+SELECT node_id, label FROM named
+UNION ALL
+SELECT node_id, label FROM vocabn
+""",
+)
+def so_dispatch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six reference API dispatch kinds in one GraphProgram, with the
+    reference's endpoint parameter names (`program_dispatch.py:193-394`):
+    `+` search_concepts top-40, `+` search_sources (orders → linked
+    parts), `!` concepts_related (C1 2-hop + subgraph links), `+`
+    concepts_details (C1 + its orders + PLACED edges), `-`
+    concepts_batch removal, `+` vocabulary_status synthetic vocab nodes.
+    The oracle replays the set algebra relationally."""
+    ctx = Ctx.get(spark, sf_dir)
+    ctx.nodes.count()
+    ctx.edges.count()
+    res = execute_program(
+        _MATRIX_PROGRAM, make_dispatch(ctx), empty_working(ctx), collect_counts=False
     )
     assert not res.aborted, res.abort_reason
     return res.working.nodes.select("node_id", "label")

@@ -136,3 +136,53 @@ def test_executor_abort_surfaces(spark, w):
         w,
     )
     assert res.aborted and "empty" in res.abort_reason
+
+
+def test_dispatch_reference_kinds(spark):
+    """The six reference API dispatch kinds resolve and obey their
+    per-kind semantics (`program_dispatch.py:193-394` parameter names)."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.setops import make_dispatch
+    from knowledge_graph_system_spark.registry import Ctx
+    from tests.conftest import SF_DIR
+
+    ctx = Ctx.get(spark, SF_DIR)
+    dispatch = make_dispatch(ctx)
+
+    # concepts_batch: exact IN-list fetch
+    r = dispatch({"kind": "concepts_batch", "concept_ids": ["C1", "P1"]})
+    assert {x["node_id"] for x in r.nodes.collect()} == {"C1", "P1"}
+    assert dispatch({"kind": "concepts_batch", "concept_ids": []}).nodes.isEmpty()
+
+    # concepts_details: the node + out-edge endpoints, links = out-edges
+    r = dispatch({"kind": "concepts_details", "concept_id": "C1"})
+    got = {x["node_id"] for x in r.nodes.collect()}
+    expect_dst = {
+        x["dst"] for x in ctx.edges.filter(F.col("src") == "C1").collect()
+    }
+    assert got == {"C1"} | expect_dst
+    assert {x["dst"] for x in r.links.collect()} == expect_dst
+
+    # vocabulary_status: synthetic vocab:<name> nodes, filter applies
+    r = dispatch({"kind": "vocabulary_status", "status_filter": "CONTRADICTORY"})
+    rows = r.nodes.collect()
+    assert {x["node_id"] for x in rows} == {"vocab:L1", "vocab:L3", "vocab:L5"}
+    assert all(x["name"] == "CONTRADICTORY" for x in rows)
+    one = dispatch(
+        {"kind": "vocabulary_status", "relationship_type": "PLACED"}
+    ).nodes.collect()
+    assert [x["node_id"] for x in one] == ["vocab:PLACED"]
+
+    # search_sources: every returned node is a Part linked to an Order
+    r = dispatch({"kind": "search_sources", "query": "query:so",
+                  "min_similarity": 0.3, "limit": 5})
+    labels = {x["label"] for x in r.nodes.collect()}
+    assert labels <= {"Part"}
+
+    # concepts_related: matches the legacy neighborhood kind's node set
+    new = dispatch({"kind": "concepts_related", "concept_id": "C1", "max_depth": 2})
+    old = dispatch({"kind": "neighborhood", "start": "C1", "depth": 2})
+    assert {x["node_id"] for x in new.nodes.collect()} == {
+        x["node_id"] for x in old.nodes.collect()
+    }
