@@ -191,7 +191,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .functions import markdown  # noqa: F401
     from .plans import cypher, guard, saved  # noqa: F401
     from .sources import export  # noqa: F401
-    from .streaming import epochs, windows  # noqa: F401
+    from .streaming import epochs, ingest_stream, windows  # noqa: F401
 
     ordered = {n: QUERIES[n] for n in _RECORD_FIRST if n in QUERIES}
     ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})

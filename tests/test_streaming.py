@@ -74,3 +74,30 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert out.get("2024-06-01 00:00:00") == 3, out
     # the hour-10 window is still open (watermark < its end) → not emitted
     assert "2024-06-01 10:00:00" not in out, out
+
+
+def test_streaming_ingest_epoch_gate(spark):
+    """ST1 end-to-end: the availableNow ingest stream lands three epochs
+    but the committed snapshot only exposes the two COMPLETED ones — the
+    recorded-but-never-completed retry epoch is invisible."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.streaming.ingest_stream import streaming_ingest
+    from tests.conftest import SF_DIR
+
+    snap = streaming_ingest(spark, SF_DIR, doc_limit=12)
+    epochs = {r["epoch"] for r in snap.select("epoch").distinct().collect()}
+    assert epochs == {0, 1}, epochs
+
+    # epoch 0 ingests against the empty graph: pure inserts
+    acts0 = {
+        r["action"]
+        for r in snap.filter(F.col("epoch") == 0).select("action").distinct().collect()
+    }
+    assert acts0 == {"insert"}
+
+    # every epoch-1 merge resolves to an epoch-0 concept id
+    e0_ids = {r["concept_id"] for r in snap.filter(F.col("epoch") == 0).collect()}
+    merges = snap.filter((F.col("epoch") == 1) & (F.col("action") == "merge"))
+    bad = {r["resolved_id"] for r in merges.collect()} - e0_ids
+    assert not bad, bad
