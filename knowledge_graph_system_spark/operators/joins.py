@@ -326,11 +326,26 @@ def j9_two_tier_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X2: skew-salted join demo (100 TB posture)
 # ---------------------------------------------------------------------------
 
-_X2_ORACLE = """
+# Fixture amplification (VERDICT r5 task #2): at sf0.1 the raw hot
+# partition is ~590k tiny rows — a sub-second serial sort, so r4's
+# driver bench showed salted ≈ naive (0.732 vs 0.728 s): the demo pair
+# was noise-level. The fact side is therefore replicated ×_X2_REP and
+# the join-stage aggregate carries a real per-row cost (an md5-derived
+# checksum, identical closed form in both engines), so the un-mitigated
+# serial tail is seconds long and the salted spread is measurable.
+# AQE's skew split stays ON for both legs and still does not rescue the
+# naive plan: the hot partition (~tens of MB) sits far below
+# skewedPartitionThresholdInBytes (256 MB) — exactly the hub-key regime
+# where salting is the explicit fix.
+_X2_REP = 6
+
+_X2_ORACLE = f"""
 SELECT d.brand, CAST(count(*) AS BIGINT) AS n,
-       round(sum(l.l_extendedprice), 2) AS revenue
+       round(sum(l.l_extendedprice), 2) AS revenue,
+       CAST(sum(('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR)), 1, 6))::BIGINT) AS BIGINT) AS checksum
 FROM (SELECT CASE WHEN l_partkey % 50 = 0 THEN 'P' || l_partkey
-             ELSE 'HOT' END AS skew_key, l_extendedprice FROM lineitem) l
+             ELSE 'HOT' END AS skew_key, l_extendedprice, l_orderkey
+      FROM lineitem, generate_series(1, {_X2_REP})) l
 JOIN (SELECT 'P' || p_partkey AS skew_key, p_brand AS brand FROM part
       UNION ALL SELECT 'HOT', 'Brand#HOT') d ON d.skew_key = l.skew_key
 GROUP BY d.brand
@@ -338,18 +353,26 @@ GROUP BY d.brand
 
 
 def _x2_sides(ctx: Ctx) -> tuple[DataFrame, DataFrame]:
-    """A deliberately pathological join: ~98% of lineitem rows share ONE
+    """A deliberately pathological join: ~98% of fact rows share ONE
     key ('HOT'); the rest spread over per-part keys. The dim side is
     part-sized. This is the hub-concept shape that breaks a plain
-    shuffle join at 100 TB: one reducer gets the hot partition."""
-    l = ctx.tables["lineitem"].select(
-        F.when(
-            F.col("l_partkey") % 50 == 0,
-            F.concat(F.lit("P"), F.col("l_partkey").cast("string")),
+    shuffle join at 100 TB: one reducer gets the hot partition. The
+    ×{_X2_REP} replication stands in for the row volume a real hub key
+    carries (see note above) without inflating the test dataset."""
+    l = (
+        ctx.tables["lineitem"]
+        .select(
+            F.when(
+                F.col("l_partkey") % 50 == 0,
+                F.concat(F.lit("P"), F.col("l_partkey").cast("string")),
+            )
+            .otherwise("HOT")
+            .alias("skew_key"),
+            "l_extendedprice",
+            "l_orderkey",
         )
-        .otherwise("HOT")
-        .alias("skew_key"),
-        "l_extendedprice",
+        .withColumn("_rep", F.explode(F.expr(f"sequence(1, {_X2_REP})")))
+        .drop("_rep")
     )
     d = (
         ctx.tables["part"]
@@ -367,9 +390,16 @@ def _x2_sides(ctx: Ctx) -> tuple[DataFrame, DataFrame]:
 
 
 def _x2_agg(joined: DataFrame) -> DataFrame:
+    # the checksum makes the reduce-side cost per joined row real: the
+    # naive plan pays it serially on the hot task, the salted plan
+    # spreads it — and it is bit-identical to the oracle's closed form
     return joined.groupBy("brand").agg(
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+        ).cast("long").alias("checksum"),
     )
 
 
@@ -389,12 +419,13 @@ def x2_skew_naive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x2_skew_salted_join", oracle=_X2_ORACLE)
 def x2_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same join through `functions.skew.salted_join` (n_salts=8): the
-    left side is salted by row hash, the dim side replicated 8x, so the
-    hot key spreads across 8 tasks. Same oracle as the naive plan —
-    salting must be semantically invisible."""
+    """Same join through `functions.skew.salted_join` (n_salts=32,
+    matching executor parallelism): the left side is salted by row
+    hash, the dim side replicated 32x, so the hot key spreads across
+    32 tasks. Same oracle as the naive plan — salting must be
+    semantically invisible."""
     from ..functions.skew import salted_join
 
     ctx = Ctx.get(spark, sf_dir)
     l, d = _x2_sides(ctx)
-    return _x2_agg(salted_join(l, d.hint("merge"), "skew_key", n_salts=8))
+    return _x2_agg(salted_join(l, d.hint("merge"), "skew_key", n_salts=32))
