@@ -55,8 +55,25 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Candidate pairs sharing any band (band = concat of 2 minhashes)."""
+MAX_BUCKET = 64  # LSH bucket cap — see lsh_candidates docstring
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", max_bucket: int | None = MAX_BUCKET
+) -> DataFrame:
+    """Candidate pairs sharing any band (band = concat of 2 minhashes).
+
+    Buckets larger than `max_bucket` are dropped before the self-join —
+    the standard industrial guard for low-entropy corpora, where a
+    common shingle wins the min for a constant FRACTION of documents
+    and its bucket grows linearly with corpus size, turning Σ|bucket|²
+    quadratic. Measured on the synthetic corpus tiled 10× (tools/
+    gen_sf1.py): 21.8k → 9.14M candidate pairs (419× for 10× docs,
+    biggest bucket 3,041) without the cap. Giant buckets carry no
+    precision anyway (their members share only degenerate boilerplate
+    signatures); genuine near-dups still collide in the other bands.
+    At the driver's scale factors the largest bucket is 28, so the cap
+    leaves every checked result bit-identical."""
     bands = sigs.select(
         id_col,
         *[
@@ -68,6 +85,14 @@ def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("band"),
     )
+    if max_bucket is not None:
+        ok = (
+            stacked.groupBy("band")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band")
+        )
+        stacked = stacked.join(ok, "band", "left_semi")
     a = stacked.select(F.col(id_col).alias("doc_a"), "band")
     b = stacked.select(F.col(id_col).alias("doc_b"), "band")
     return (
@@ -154,9 +179,14 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + ",".join([_SHINGLES_SQL, _SIGS_SQL, _BANDS_SQL])
     + f""",
+ok_bands AS (
+  SELECT band FROM bands GROUP BY band HAVING count(*) <= {MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  FROM bands a
+  JOIN ok_bands o ON o.band = a.band
+  JOIN bands b ON b.band = a.band AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
