@@ -30,6 +30,9 @@ Supported subset (clause sequence):
          element; listref may be a WITH alias bound to collect(...).
          May open the query (UNWIND [..] AS x MATCH ...).
   ORDER BY item [ASC|DESC], ...   LIMIT n
+  <query> UNION [ALL] <query>                     same column names;
+         UNION dedups; mixing UNION/UNION ALL rejected; ORDER BY/LIMIT
+         inside arms rejected
 
 collect() returns a SORTED array (openCypher leaves collect order
 unspecified; sorting makes results deterministic and oracle-comparable).
@@ -48,7 +51,7 @@ Semantics notes (documented deviations):
 - Within one pattern a variable may appear only once (no cycles via
   re-binding inside a single MATCH); re-use ACROSS clauses is the join.
 
-Everything else (UNION, CALL, writes) is rejected with a GuardError
+Everything else (CALL, FOREACH, writes) is rejected with a GuardError
 naming the rule — fail closed, like the reference. UNWIND mirrors the
 reference's own read-path usage (`/root/reference/api/app/lib/
 age_client/ontology_scoring.py:232`).
@@ -83,8 +86,9 @@ _WRITE_KW = re.compile(
     r"\b(create|set|delete|merge|remove|drop|detach)\b", re.IGNORECASE
 )
 _UNSUPPORTED = re.compile(
-    r"\b(union|call|foreach|load)\b", re.IGNORECASE
+    r"\b(call|foreach|load)\b", re.IGNORECASE
 )
+_UNION_SPLIT = re.compile(r"\bunion(\s+all)?\b", re.IGNORECASE)
 _VAR_PATH = re.compile(r"\[\s*[^\]]*\*\s*(\d+)?(?:\s*(\.\.)\s*(\d+)?)?\s*\]")
 
 _CLAUSE_KW = re.compile(
@@ -640,8 +644,45 @@ def _apply_unwind(
 
 
 def compile_cypher(ctx: Ctx, cypher: str) -> DataFrame:
-    """Guard + parse + compile one Cypher statement to a DataFrame."""
+    """Guard + parse + compile one Cypher statement to a DataFrame.
+
+    Top-level UNION / UNION ALL combines full subqueries (openCypher
+    semantics: UNION dedups rows, arms must return the same column
+    names, mixing UNION and UNION ALL is rejected). ORDER BY / LIMIT
+    inside union arms is rejected — fail closed like everything else."""
     executable, _ = check_cypher_safety(cypher)
+
+    cuts = _matches_outside_literals(executable, _UNION_SPLIT)
+    if cuts:
+        kinds = {bool(m.group(1)) for m in cuts}
+        if len(kinds) > 1:
+            raise GuardError("mixing UNION and UNION ALL is not allowed")
+        keep_dups = kinds.pop()
+        arms, pos = [], 0
+        for m in cuts:
+            arms.append(executable[pos : m.start()])
+            pos = m.end()
+        arms.append(executable[pos:])
+        dfs = []
+        for arm in arms:
+            if _matches_outside_literals(
+                arm, re.compile(r"\b(order\s+by|limit)\b", re.IGNORECASE)
+            ):
+                raise GuardError("ORDER BY / LIMIT inside UNION arms is not supported")
+            dfs.append(_compile_single(ctx, arm.strip()))
+        cols0 = set(dfs[0].columns)
+        for d in dfs[1:]:
+            if set(d.columns) != cols0:
+                raise GuardError(
+                    f"UNION arms must return the same columns: {sorted(cols0)} "
+                    f"vs {sorted(d.columns)}"
+                )
+        out = reduce(lambda a, b: a.unionByName(b), dfs)
+        return out if keep_dups else out.dropDuplicates()
+    return _compile_single(ctx, executable)
+
+
+def _compile_single(ctx: Ctx, executable: str) -> DataFrame:
     clauses = _split_clauses(executable)
 
     df: DataFrame | None = None
@@ -925,6 +966,33 @@ def p7_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero big orders still appear with big_orders = 0 — mirrors the
     reference's own OPTIONAL MATCH usage (`routes/queries.py:675`)."""
     return run_cypher(spark, sf_dir, _OPTIONAL_CYPHER)
+
+
+_UNION_CYPHER = """
+MATCH (c:Customer) WHERE c.ontology = 'BUILDING' RETURN c.node_id AS id
+UNION
+MATCH (c:Customer) WHERE c.weight > 9000 RETURN c.node_id AS id
+"""
+
+
+@query(
+    "p7_cypher_union",
+    oracle=graph_ctes()
+    + """
+-- DISTINCT over UNION ALL, not bare UNION: DuckDB under WITH RECURSIVE
+-- treats non-recursive UNION as UNION ALL (same caveat as so_program_demo)
+SELECT DISTINCT id FROM (
+  SELECT node_id AS id FROM nodes WHERE label = 'Customer' AND ontology = 'BUILDING'
+  UNION ALL
+  SELECT node_id FROM nodes WHERE label = 'Customer' AND weight > 9000
+)
+""",
+)
+def p7_cypher_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-level UNION with overlapping arms (BUILDING customers ∪
+    high-balance customers): openCypher UNION dedups, so the overlap
+    must appear once — the oracle's SQL UNION has the same semantics."""
+    return run_cypher(spark, sf_dir, _UNION_CYPHER)
 
 
 _UNWIND_CYPHER = """

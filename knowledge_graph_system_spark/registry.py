@@ -115,6 +115,7 @@ class Ctx:
 _RECORD_FIRST = [
     # ---- new this round (r5)
     "p7_cypher_unwind",
+    "p7_cypher_union",
     "so_dispatch_matrix",
     "m_jpeg_decode",
     "st_ingest_e2e",

@@ -140,7 +140,6 @@ def test_edge_var_confidence_filter(spark, cctx):
         ("MATCH (a)-[*1..]->(b) RETURN a.node_id", "V030"),
         ("MATCH (a)-[*1..99]->(b) RETURN a.node_id", "V030"),
         ("MATCH (n) RETURN n.node_id; MATCH (m) RETURN m.node_id", "multi-statement"),
-        ("MATCH (n) RETURN n.node_id UNION MATCH (m) RETURN m.node_id", "unsupported"),
         ("MATCH (n) CALL db.labels() RETURN n.node_id", "unsupported"),
     ],
 )
@@ -171,6 +170,42 @@ def test_rejections(bad, msg):
 def test_structural_rejections(cctx, bad, msg):
     with pytest.raises(GuardError, match=msg):
         compile_cypher(cctx, bad)
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        (
+            "MATCH (a) RETURN a.node_id AS x UNION MATCH (b) RETURN b.node_id AS x "
+            "UNION ALL MATCH (c) RETURN c.node_id AS x",
+            "mixing",
+        ),
+        (
+            "MATCH (a) RETURN a.node_id AS x UNION MATCH (b) RETURN b.node_id AS y",
+            "same columns",
+        ),
+        (
+            "MATCH (a) RETURN a.node_id AS x LIMIT 3 UNION MATCH (b) RETURN b.node_id AS x",
+            "inside UNION arms",
+        ),
+    ],
+)
+def test_union_rejections(cctx, bad, msg):
+    with pytest.raises(GuardError, match=msg):
+        compile_cypher(cctx, bad)
+
+
+def test_union_dedups_and_union_all_keeps(cctx):
+    base = (
+        "MATCH (c:Customer) WHERE c.ontology = 'BUILDING' RETURN c.node_id AS id "
+        "{} "
+        "MATCH (c:Customer) WHERE c.ontology = 'BUILDING' RETURN c.node_id AS id"
+    )
+    n_building = cctx.nodes.filter(
+        (F.col("label") == "Customer") & (F.col("ontology") == "BUILDING")
+    ).count()
+    assert compile_cypher(cctx, base.format("UNION")).count() == n_building
+    assert compile_cypher(cctx, base.format("UNION ALL")).count() == 2 * n_building
 
 
 def test_unwind_literal_prologue(cctx):
