@@ -52,7 +52,56 @@ def make_dispatch(ctx: Ctx):
                 df = df.filter(F.col("weight") < source["max_weight"])
             if "ontology" in source:
                 df = df.filter(F.col("ontology") == source["ontology"])
+            if "name_contains" in source:
+                # case-insensitive CONTAINS — the web search block's rule
+                # (`web/src/lib/blockCompiler.ts:268-273`)
+                df = df.filter(
+                    F.lower(F.col("name")).contains(source["name_contains"].lower())
+                )
+            if "limit" in source:
+                # the block compiler emits `WITH v LIMIT n`; a total order
+                # on node_id makes the truncation deterministic
+                df = df.orderBy("node_id").limit(source["limit"])
             return Result(nodes=df)
+        if kind == "path_to":
+            # shortest-path CORRIDOR: every node v on SOME shortest
+            # from→to path, i.e. dist(from,v) + dist(v,to) = dist(from,to)
+            # — deterministic as a SET (one arbitrary path is not), the
+            # right shape for set-algebra programs. Links = the edges on
+            # those paths. Empty when unreachable within max_hops.
+            from .traversal import bfs
+
+            hops = source.get("max_hops", 6)
+            fw = bfs(ctx.edges, [source["from_id"]], hops, direction="out")
+            bw = bfs(ctx.edges, [source["to_id"]], hops, direction="in")
+            fwd = fw.select("node_id", F.col("dist").alias("_dfw"))
+            bwd = bw.select("node_id", F.col("dist").alias("_dbw"))
+            dd = (
+                fwd.join(bwd, "node_id")
+                .filter(F.col("node_id") == source["to_id"])
+                .agg(F.min("_dfw").alias("d"))
+                .collect()[0]["d"]
+            )
+            if dd is None:
+                return Result(
+                    nodes=ctx.nodes.filter(F.lit(False)),
+                    links=ctx.edges.filter(F.lit(False)),
+                )
+            corridor = (
+                fwd.join(bwd, "node_id")
+                .filter(F.col("_dfw") + F.col("_dbw") == dd)
+                .select("node_id")
+            )
+            nodes = ctx.nodes.join(F.broadcast(corridor), "node_id")
+            links = (
+                ctx.edges.join(
+                    F.broadcast(fwd.withColumnRenamed("node_id", "src")), "src"
+                )
+                .join(F.broadcast(bwd.withColumnRenamed("node_id", "dst")), "dst")
+                .filter(F.col("_dfw") + 1 + F.col("_dbw") == dd)
+                .select("src", "dst", "rel_type", "confidence")
+            )
+            return Result(nodes=nodes, links=links)
         if kind == "neighborhood":
             from .traversal import bfs, subgraph
 

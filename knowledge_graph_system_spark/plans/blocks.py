@@ -1,0 +1,263 @@
+"""Web block-compiler parity: the 17 block kinds → GraphProgram IR.
+
+The reference's visual query builder compiles a chain of blocks into
+openCypher + smart-block API markers
+(`/root/reference/web/src/lib/blockCompiler.ts:167-246`; kinds: start,
+end, search, vectorSearch, sourceSearch, selectConcept, neighborhood,
+pathTo, filterOntology, filterEdge, filterNode, and, or, not, limit,
+epistemicFilter, enrich). Spark-first, the same chain compiles into the
+engine's OWN IR — GraphProgram statements over set-algebra ops — plus
+terminal link/limit directives, and executes through the standard
+program executor and SO9 dispatch. Semantics per block:
+
+  start / end        flow markers — no-op (blockCompiler emits nothing)
+  and / or           pass-through markers in LINEAR flow, exactly like
+                     the reference ("requires multiple input branches
+                     for full effect" — blockCompiler.ts:216-231)
+  enrich             post-processing marker; engine nodes already carry
+                     their properties, so hydration is a no-op
+  search             `+` name-CONTAINS match (case-insensitive, LIMIT n
+                     — blockCompiler.ts:268-273)
+  vectorSearch       `+` search_concepts (V1 smart block)
+  sourceSearch       `+` search_sources (ADR-812 smart block)
+  selectConcept      `+` concepts_batch with one id
+  neighborhood       `+` concepts_related (BFS + induced links)
+  pathTo             `+` path_to shortest-path corridor
+  filterOntology     `&` match(ontology=...)
+  filterNode         `&` match(label/min_weight/max_weight)
+  not                `-` match(name CONTAINS pattern) — the NOT-CONTAINS
+                     WHERE of blockCompiler.ts:442
+  filterEdge         terminal: keep links with rel_type ∈ allowed
+  epistemicFilter    terminal: keep links whose vocab epistemic_status
+                     is included (and not excluded)
+  limit              terminal: truncate nodes (node_id order), then
+                     re-prune links (dangling invariant)
+
+Scale shape: everything compiles to the same bounded operators the
+program executor already runs; terminal link filters are broadcast
+semi-joins against the vocab table and the final node set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import Ctx, query
+from ..sources.graph_view import graph_ctes
+from .program import execute_program
+
+BLOCK_KINDS = frozenset(
+    "start end search vectorSearch sourceSearch selectConcept neighborhood "
+    "pathTo filterOntology filterEdge filterNode and or not limit "
+    "epistemicFilter enrich".split()
+)
+
+
+def compile_blocks(blocks: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Blocks → (program statements, terminal directives)."""
+    stmts: list[dict] = []
+    post: list[dict] = []
+    for blk in blocks:
+        t = blk.get("type")
+        p = blk.get("params", {})
+        if t not in BLOCK_KINDS:
+            raise ValueError(f"unknown block type {t!r}")
+        if t in ("start", "end", "and", "or", "enrich"):
+            continue
+        if t == "search":
+            stmts.append({"op": "+", "source": {
+                "kind": "match", "name_contains": p["query"],
+                "limit": p.get("limit", 25)}})
+        elif t == "vectorSearch":
+            stmts.append({"op": "+", "source": {
+                "kind": "search_concepts", "query": p["query"],
+                "min_similarity": p.get("similarity", 0.3),
+                "limit": p.get("limit", 10)}})
+        elif t == "sourceSearch":
+            stmts.append({"op": "+", "source": {
+                "kind": "search_sources", "query": p["query"],
+                "min_similarity": p.get("similarity", 0.3),
+                "limit": p.get("limit", 10)}})
+        elif t == "selectConcept":
+            stmts.append({"op": "+", "source": {
+                "kind": "concepts_batch", "concept_ids": [p["concept_id"]]}})
+        elif t == "neighborhood":
+            stmts.append({"op": "+", "source": {
+                "kind": "concepts_related", "concept_id": p["concept_id"],
+                "max_depth": p.get("depth", 2)}})
+        elif t == "pathTo":
+            stmts.append({"op": "+", "source": {
+                "kind": "path_to", "from_id": p["from_id"],
+                "to_id": p["to_id"], "max_hops": p.get("max_hops", 6)}})
+        elif t == "filterOntology":
+            stmts.append({"op": "&", "source": {
+                "kind": "match", "ontology": p["ontology"]}})
+        elif t == "filterNode":
+            src: dict = {"kind": "match"}
+            for k in ("label", "min_weight", "max_weight"):
+                if k in p:
+                    src[k] = p[k]
+            stmts.append({"op": "&", "source": src})
+        elif t == "not":
+            stmts.append({"op": "-", "source": {
+                "kind": "match", "name_contains": p["exclude_pattern"]}})
+        elif t == "filterEdge":
+            post.append({"kind": "filter_edge", "rel_types": p["rel_types"]})
+        elif t == "epistemicFilter":
+            post.append({"kind": "epistemic",
+                         "include": p.get("include_statuses"),
+                         "exclude": p.get("exclude_statuses")})
+        elif t == "limit":
+            post.append({"kind": "limit", "n": p["n"]})
+    return stmts, post
+
+
+def run_blocks(ctx: Ctx, blocks: list[dict]) -> tuple[DataFrame, DataFrame]:
+    """Compile + execute a block chain. Returns (nodes, links): the final
+    working graph with terminal directives applied (links deduped to
+    distinct (src, dst, rel_type) triples)."""
+    from ..operators.setops import empty_working, make_dispatch
+
+    stmts, post = compile_blocks(blocks)
+    res = execute_program(
+        stmts, make_dispatch(ctx), empty_working(ctx), collect_counts=False
+    )
+    assert not res.aborted, res.abort_reason
+    nodes = res.working.nodes
+    links = res.working.links.select("src", "dst", "rel_type").distinct()
+    for d in post:
+        if d["kind"] == "filter_edge":
+            links = links.filter(F.col("rel_type").isin(d["rel_types"]))
+        elif d["kind"] == "epistemic":
+            v = ctx.vocab
+            if d.get("include"):
+                keep = v.filter(F.col("epistemic_status").isin(d["include"]))
+            else:
+                keep = v
+            if d.get("exclude"):
+                keep = keep.filter(~F.col("epistemic_status").isin(d["exclude"]))
+            links = links.join(
+                F.broadcast(keep.select("rel_type")), "rel_type", "left_semi"
+            )
+        elif d["kind"] == "limit":
+            nodes = nodes.orderBy("node_id").limit(d["n"])
+    ids = nodes.select("node_id")
+    links = links.join(
+        F.broadcast(ids.withColumnRenamed("node_id", "src")), "src", "left_semi"
+    ).join(F.broadcast(ids.withColumnRenamed("node_id", "dst")), "dst", "left_semi")
+    return nodes, links
+
+
+# ---------------------------------------------------------------------------
+# registered demo: 15 of the 17 kinds in one chain (filterOntology and
+# sourceSearch exercised in pytest — an `&` on one ontology would
+# collapse this chain's working set to a single label group)
+# ---------------------------------------------------------------------------
+
+_DEMO_BLOCKS = [
+    {"type": "start"},
+    {"type": "vectorSearch",
+     "params": {"query": "query:1", "similarity": 0.3, "limit": 40}},
+    {"type": "search", "params": {"query": "customer#00000000", "limit": 25}},
+    {"type": "selectConcept", "params": {"concept_id": "C1"}},
+    {"type": "neighborhood", "params": {"concept_id": "C1", "depth": 2}},
+    {"type": "pathTo",
+     "params": {"from_id": "C1", "to_id": "S1", "max_hops": 6}},
+    {"type": "and"},
+    {"type": "filterNode", "params": {"min_weight": 100.0}},
+    {"type": "not", "params": {"exclude_pattern": "red"}},
+    {"type": "filterEdge",
+     "params": {"rel_types": ["PLACED", "L0", "L2", "L4", "SUPPLIED_BY"]}},
+    {"type": "epistemicFilter",
+     "params": {"include_statuses": ["HISTORICAL", "AFFIRMATIVE"]}},
+    {"type": "or"},
+    {"type": "enrich"},
+    {"type": "limit", "params": {"n": 60}},
+    {"type": "end"},
+]
+
+
+def _oracle() -> str:
+    from ..functions import oracle_snippets as osql
+
+    uv = osql.unit_vec_cte("node_id", "node_id", "nodes")
+    return (
+        graph_ctes()
+        + f""",
+q AS (SELECT list_transform(raw, x -> x / norm) AS qv FROM
+      (SELECT raw, {osql.l2_norm_sql('raw')} AS norm FROM
+       (SELECT {osql.raw_vec_sql("'query:1'")} AS raw) t1) t2),
+emb AS MATERIALIZED (SELECT node_id, emb FROM {uv} e),
+vsrch AS (SELECT node_id FROM
+          (SELECT e.node_id, round({osql.dot_sql('e.emb', 'q.qv')}, 6) AS score
+           FROM emb e, q
+           WHERE round({osql.dot_sql('e.emb', 'q.qv')}, 6) >= 0.3
+           ORDER BY score DESC, node_id LIMIT 40)),
+srch AS (SELECT node_id FROM nodes
+         WHERE contains(lower(name), 'customer#00000000')
+         ORDER BY node_id LIMIT 25),
+walk(node_id, dist) AS (
+  SELECT 'C1', 0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node_id
+  WHERE w.dist < 2),
+fw(node_id, dist) AS (
+  SELECT 'C1', 0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM fw w JOIN edges e ON e.src = w.node_id
+  WHERE w.dist < 6),
+bw(node_id, dist) AS (
+  SELECT 'S1', 0
+  UNION
+  SELECT e.src, w.dist + 1 FROM bw w JOIN edges e ON e.dst = w.node_id
+  WHERE w.dist < 6),
+fwm AS (SELECT node_id, min(dist) AS d FROM fw GROUP BY node_id),
+bwm AS (SELECT node_id, min(dist) AS d FROM bw GROUP BY node_id),
+dd AS (SELECT min(d) AS d FROM fwm WHERE node_id = 'S1'),
+corridor AS (SELECT f.node_id FROM fwm f JOIN bwm b ON b.node_id = f.node_id, dd
+             WHERE dd.d IS NOT NULL AND f.d + b.d = dd.d),
+u AS (SELECT DISTINCT node_id FROM (
+  SELECT node_id FROM vsrch UNION ALL SELECT node_id FROM srch
+  UNION ALL SELECT 'C1' UNION ALL SELECT node_id FROM walk
+  UNION ALL SELECT node_id FROM corridor)),
+filt AS (SELECT n.node_id, n.label FROM u JOIN nodes n ON n.node_id = u.node_id
+         WHERE n.weight > 100.0 AND NOT contains(lower(n.name), 'red')),
+fin AS (SELECT node_id, label FROM filt ORDER BY node_id LIMIT 60),
+wset AS (SELECT DISTINCT node_id FROM walk),
+nlinks AS (
+  SELECT DISTINCT src, dst, rel_type FROM (
+    SELECT e.src, e.dst, e.rel_type FROM edges e
+    JOIN wset a ON a.node_id = e.src JOIN wset b ON b.node_id = e.dst
+    UNION ALL
+    SELECT e.src, e.dst, e.rel_type FROM edges e
+    JOIN fwm f ON f.node_id = e.src JOIN bwm b ON b.node_id = e.dst, dd
+    WHERE dd.d IS NOT NULL AND f.d + 1 + b.d = dd.d)
+  WHERE rel_type IN ('PLACED', 'L0', 'L2', 'L4', 'SUPPLIED_BY')
+    AND rel_type IN (SELECT rel_type FROM vocab
+                     WHERE epistemic_status IN ('HISTORICAL', 'AFFIRMATIVE'))
+),
+flinks AS (SELECT l.* FROM nlinks l
+           JOIN fin a ON a.node_id = l.src JOIN fin b ON b.node_id = l.dst)
+SELECT fin.node_id, fin.label,
+       CAST((SELECT count(*) FROM flinks) AS BIGINT) AS n_links
+FROM fin
+"""
+    )
+
+
+@query("so_block_compiler", oracle=_oracle())
+def so_block_compiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15 of the web builder's 17 block kinds through compile_blocks →
+    GraphProgram executor → terminal directives: vector search ∪ name
+    search ∪ selected concept ∪ 2-hop neighborhood ∪ C1→S1 shortest-path
+    corridor, node filters (& weight, − name-contains), link filters
+    (rel-type + epistemic status), LIMIT 60. Output: final nodes + the
+    distinct surviving link-triple count."""
+    ctx = Ctx.get(spark, sf_dir)
+    ctx.nodes.count()
+    ctx.edges.count()
+    nodes, links = run_blocks(ctx, _DEMO_BLOCKS)
+    return nodes.select("node_id", "label").crossJoin(
+        links.agg(F.count("*").cast("long").alias("n_links"))
+    )

@@ -117,6 +117,7 @@ _RECORD_FIRST = [
     "p7_cypher_unwind",
     "p7_cypher_union",
     "so_dispatch_matrix",
+    "so_block_compiler",
     "m_jpeg_decode",
     "st_ingest_e2e",
     # ---- changed this round (r5): skew fixture amplified + checksum
@@ -197,7 +198,7 @@ def load_all() -> dict[str, QuerySpec]:
         vector,
     )
     from .functions import markdown  # noqa: F401
-    from .plans import cypher, guard, saved  # noqa: F401
+    from .plans import blocks, cypher, guard, saved  # noqa: F401
     from .sources import export  # noqa: F401
     from .streaming import epochs, ingest_stream, windows  # noqa: F401
 
