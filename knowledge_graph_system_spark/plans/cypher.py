@@ -21,7 +21,8 @@ Supported subset (clause sequence):
   WITH item [AS x], ...  [WHERE ...]              projected subquery;
          bare variables carry through, aggregates imply grouping,
          WHERE after aggregates = HAVING
-  WHERE a.prop <op> lit | a.prop <op> b.prop | alias <op> lit   (AND)
+  WHERE a.prop <op> lit | a.prop <op> b.prop | alias <op> lit
+        AND / OR with standard precedence (OR looser; no parentheses)
         string predicates: x STARTS WITH 'p' | ENDS WITH | CONTAINS
   RETURN [DISTINCT] a.prop [AS x],
          count(*)/count|sum|avg|min|max|collect([DISTINCT] ref) [AS x]
@@ -480,10 +481,7 @@ def _apply_match(
         scope.all_vars.update(pat_nodes + edge_vars)
         out = pf
         if where_text:
-            for cond in _split_outside_literals(
-                where_text, re.compile(r"\band\b", re.IGNORECASE)
-            ):
-                out = out.filter(_compile_cond(scope, cond))
+            out = out.filter(_compile_where(scope, where_text))
         return out, anon
 
     if not shared:
@@ -503,10 +501,7 @@ def _apply_match(
             all_vars=scope.all_vars | set(pat_nodes) | set(edge_vars),
         )
         if where_text:
-            for cond in _split_outside_literals(
-                where_text, re.compile(r"\band\b", re.IGNORECASE)
-            ):
-                out = out.filter(_compile_cond(cscope, cond))
+            out = out.filter(_compile_where(cscope, where_text))
         scope.cols.update(entries)
         scope.node_vars.update(pat_nodes)
         scope.all_vars.update(pat_nodes + edge_vars)
@@ -530,14 +525,7 @@ def _apply_match(
         node_vars=scope.node_vars | set(pat_nodes),
         all_vars=scope.all_vars | set(pat_nodes) | set(edge_vars),
     )
-    conds = [
-        _compile_cond(cscope, cond)
-        for cond in (
-            _split_outside_literals(
-                where_text, re.compile(r"\band\b", re.IGNORECASE)
-            ) if where_text else []
-        )
-    ]
+    conds = [_compile_where(cscope, where_text)] if where_text else []
     join_on = reduce(
         lambda a, b: a & b,
         [F.col(f"{v}__node_id") == F.col(f"{v}__node_id__r") for v in shared]
@@ -597,10 +585,7 @@ def _apply_with(
     else:
         out = df.select(*key_cols)
     if having_text:
-        for cond in _split_outside_literals(
-            having_text, re.compile(r"\band\b", re.IGNORECASE)
-        ):
-            out = out.filter(_compile_cond(new, cond))
+        out = out.filter(_compile_where(new, having_text))
     return out, new
 
 
@@ -753,6 +738,22 @@ def _compile_single(ctx: Ctx, executable: str) -> DataFrame:
 _STR_PRED = re.compile(
     r"\b(?P<op>starts\s+with|ends\s+with|contains)\b", re.IGNORECASE
 )
+_OR_SPLIT = re.compile(r"\bor\b", re.IGNORECASE)
+_AND_SPLIT = re.compile(r"\band\b", re.IGNORECASE)
+
+
+def _compile_where(scope: _Scope, text: str):
+    """WHERE expression with standard precedence: OR binds looser than
+    AND (`a AND b OR c` = `(a AND b) OR c`). Parentheses are not part of
+    the subset — fail closed via the condition parser."""
+    disjuncts = []
+    for d in _split_outside_literals(text, _OR_SPLIT):
+        terms = [
+            _compile_cond(scope, c)
+            for c in _split_outside_literals(d, _AND_SPLIT)
+        ]
+        disjuncts.append(reduce(lambda a, b: a & b, terms))
+    return reduce(lambda a, b: a | b, disjuncts)
 
 
 def _compile_cond(scope: _Scope, cond: str):

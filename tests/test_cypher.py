@@ -343,3 +343,32 @@ def test_with_aggregate_then_match(spark, cctx):
     rows = out.collect()
     assert rows, "expected at least one customer with >= 15 orders at sf0.001"
     assert all(r["rejoin"] == r["n_orders"] for r in rows)
+
+
+def test_where_or_precedence(cctx):
+    """OR binds looser than AND: `a AND b OR c` = `(a AND b) OR c`."""
+    out = compile_cypher(
+        cctx,
+        "MATCH (n:Part) WHERE n.ontology = 'Brand#11' AND n.weight > 1500 "
+        "OR n.ontology = 'Brand#45' RETURN n.node_id AS id",
+    )
+    parts = cctx.nodes.filter(F.col("label") == "Part")
+    expect = parts.filter(
+        ((F.col("ontology") == "Brand#11") & (F.col("weight") > 1500))
+        | (F.col("ontology") == "Brand#45")
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["node_id"] for r in expect.collect()
+    )
+
+
+def test_where_or_in_optional_and_having(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c.ontology AS segment, count(o.node_id) AS n "
+        "WHERE n >= 20 OR segment = 'BUILDING' "
+        "RETURN segment, n ORDER BY segment",
+    ).collect()
+    assert all(r["n"] >= 20 or r["segment"] == "BUILDING" for r in out)
+    assert len(out) > 0
