@@ -24,6 +24,7 @@ Supported subset (clause sequence):
   WHERE a.prop <op> lit | a.prop <op> b.prop | alias <op> lit
         AND / OR with standard precedence (OR looser; no parentheses)
         string predicates: x STARTS WITH 'p' | ENDS WITH | CONTAINS
+        null predicates: x IS NULL | x IS NOT NULL
   RETURN [DISTINCT] a.prop [AS x],
          count(*)/count|sum|avg|min|max|collect([DISTINCT] ref) [AS x]
          implicit Cypher grouping: non-aggregate items are the keys
@@ -756,7 +757,16 @@ def _compile_where(scope: _Scope, text: str):
     return reduce(lambda a, b: a | b, disjuncts)
 
 
+_NULL_PRED = re.compile(r"\bis\s+(?P<neg>not\s+)?null\s*$", re.IGNORECASE)
+
+
 def _compile_cond(scope: _Scope, cond: str):
+    nm = _NULL_PRED.search(cond)
+    if nm:
+        # IS [NOT] NULL — the reference's own search Cypher guards on it
+        # (`api/app/lib/age_client/query.py:35-119`: embedding IS NOT NULL)
+        col = F.col(scope.resolve(cond[: nm.start()]))
+        return col.isNotNull() if nm.group("neg") else col.isNull()
     sp = _matches_outside_literals(cond, _STR_PRED)
     if sp:
         m = sp[0]

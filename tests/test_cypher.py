@@ -372,3 +372,19 @@ def test_where_or_in_optional_and_having(cctx):
     ).collect()
     assert all(r["n"] >= 20 or r["segment"] == "BUILDING" for r in out)
     assert len(out) > 0
+
+
+def test_is_null_predicates(cctx):
+    """r.confidence IS [NOT] NULL — the derived graph has NULL-confidence
+    edges (discount/tax = 0), mirroring the reference's IS NOT NULL guard
+    on embeddings (`query.py:35-119`)."""
+    base = (
+        "MATCH (o:Order)-[r:L0]->(p:Part) WHERE r.confidence IS {} "
+        "RETURN o.node_id AS o_id, p.node_id AS p_id"
+    )
+    e = cctx.edges.filter(F.col("rel_type") == "L0")
+    got_null = compile_cypher(cctx, base.format("NULL")).count()
+    got_notnull = compile_cypher(cctx, base.format("NOT NULL")).count()
+    assert got_null == e.filter(F.col("confidence").isNull()).count()
+    assert got_notnull == e.filter(F.col("confidence").isNotNull()).count()
+    assert got_null > 0 and got_notnull > 0
