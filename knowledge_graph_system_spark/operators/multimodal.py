@@ -470,3 +470,157 @@ def m_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (±3 on flat fields vs bin half-width 4) cannot flip them."""
     ctx = Ctx.get(spark, sf_dir)
     return jpeg_roundtrip_features(ctx.tables["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Audio (real WAV PCM codec) and video (declared stub) multimodal columns
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def encode_wav(pcm_bytes: bytes, sample_rate: int = _WAV_RATE) -> bytes:
+    """Minimal RIFF/WAVE writer: mono 16-bit PCM. Each input byte b
+    becomes one sample (b - 128) << 8 — a deterministic byte→waveform
+    mapping, so any byte column can stand in for real audio."""
+    import struct
+
+    samples = bytes(pcm_bytes)
+    data = b"".join(struct.pack("<h", (b - 128) << 8) for b in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(raw: bytes) -> dict:
+    """Minimal RIFF/WAVE reader: walks chunks, parses fmt, returns
+    sample stats. Mono 16-bit PCM only — compressed codecs and
+    multi-channel raise at the declared boundary."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (length,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + length]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only mono 16-bit PCM WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+            fmt = (rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + length + (length % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    rate, _ = fmt
+    s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    n = len(s)
+    rms = float(np.sqrt((s * s).mean())) if n else 0.0
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_ms": int(n * 1000 // rate),
+        "rms": rms,
+        "peak": int(np.abs(s).max()) if n else 0,
+    }
+
+
+def audio_features(docs: DataFrame) -> DataFrame:
+    """documents → WAV payload (byte→sample mapping) → real RIFF parse →
+    per-doc audio stats, inside one Arrow-batched mapInPandas. At 100 TB
+    the payload column is `binaryFile` blobs; everything downstream is
+    identical."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k: [] for k in
+                                 ("doc_id", "sample_rate", "n_samples",
+                                  "duration_ms", "rms", "peak")}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                st = decode_wav(encode_wav(text.encode("utf-8")))
+                rows["doc_id"].append(int(doc_id))
+                for k in ("sample_rate", "n_samples", "duration_ms", "rms", "peak"):
+                    rows[k].append(st[k])
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch,
+        schema="doc_id long, sample_rate int, n_samples int, "
+               "duration_ms int, rms double, peak int",
+    )
+
+
+@query(
+    "m_audio_decode",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> (ascii(c) - 128) * 256) AS sm
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_WAV_RATE} AS INT) AS sample_rate,
+       CAST(len(sm) AS INT) AS n_samples,
+       CAST(len(sm) * 1000 // {_WAV_RATE} AS INT) AS duration_ms,
+       round(sqrt(list_sum(list_transform(sm, x -> CAST(x AS DOUBLE) * x)) / len(sm)), 6) AS rms,
+       CAST(list_max(list_transform(sm, x -> abs(x))) AS INT) AS peak
+FROM s
+""",
+)
+def m_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio as a multimodal column with a REAL codec: per document,
+    synthesize a mono 16-bit PCM WAV (deterministic byte→sample map),
+    parse the RIFF container back, and emit sample stats. The oracle
+    recomputes every stat from the ascii codes — header parse, chunk
+    walk, and PCM decode must all be exact for the hash to agree."""
+    ctx = Ctx.get(spark, sf_dir)
+    return audio_features(ctx.tables["documents"]).withColumn(
+        "rms", F.round("rms", 6)
+    )
+
+
+def sample_video_frames(docs: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLUMBING (schema, batching, partitioning) —
+    the codec itself is a declared stub: no ffmpeg in this container, so
+    payloads are treated as a deterministic fake container whose
+    "frames" are 1 KiB byte windows. A real deployment swaps
+    `_fake_frames` for an ffmpeg/pyav call; nothing else changes.
+    Raises NotImplementedError for payloads carrying a real container
+    magic (they would silently mis-decode otherwise)."""
+    _REAL_MAGICS = (b"\x00\x00\x00\x18ftyp", b"\x00\x00\x00\x20ftyp", b"\x1aE\xdf\xa3")
+
+    def _fake_frames(raw: bytes) -> list[tuple[int, int]]:
+        if any(raw.startswith(m) for m in _REAL_MAGICS):
+            raise NotImplementedError(
+                "real MP4/MKV decode needs ffmpeg/pyav — not in this container"
+            )
+        return [
+            (i * every_ms, sum(raw[i * 1024 : (i + 1) * 1024]) % 997)
+            for i in range(max(1, -(-len(raw) // 1024)))
+        ]
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k: [] for k in ("doc_id", "ts_ms", "frame_sig")}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for ts, sig in _fake_frames(text.encode("utf-8")):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["ts_ms"].append(ts)
+                    rows["frame_sig"].append(sig)
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch, schema="doc_id long, ts_ms int, frame_sig int"
+    )

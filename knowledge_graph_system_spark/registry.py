@@ -119,6 +119,7 @@ _RECORD_FIRST = [
     "so_dispatch_matrix",
     "so_block_compiler",
     "m_jpeg_decode",
+    "m_audio_decode",
     "st_ingest_e2e",
     # ---- changed this round (r5): skew fixture amplified + checksum
     # column, PCA sign canonicalization (engine + oracle), Cypher
@@ -130,6 +131,7 @@ _RECORD_FIRST = [
     "f5_projection",
     "p7_cypher_subset",
     "so_program_demo",
+    "d_minhash_lsh",
     # ---- last driver row is r3: rotate through the window
     "d_embedding_neardup",
     "j2_concepts_for_sources",
@@ -169,10 +171,6 @@ _RECORD_FIRST = [
     "q1_pricing_summary",
     "j1_evidence_join",
     "g1_bfs_out_depth3",
-    "v1_vector_search",
-    "d_minhash_lsh",
-    "d_dup_groups",
-    "f6_dbscan",
 ]
 
 

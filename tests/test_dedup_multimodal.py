@@ -240,3 +240,65 @@ def test_jpeg_progressive_rejected():
     sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">HBHHB", 8, 8, 8, 8, 1)
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(sof2)
+
+
+def test_wav_roundtrip_and_boundaries(spark):
+    """Real RIFF/WAVE codec: exact roundtrip stats; declared boundaries
+    raise instead of mis-decoding."""
+    import numpy as np
+    import pytest
+
+    from knowledge_graph_system_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    raw = bytes(range(256))
+    st = decode_wav(encode_wav(raw))
+    assert st["sample_rate"] == 8000
+    assert st["n_samples"] == 256
+    s = (np.arange(256) - 128) * 256
+    assert abs(st["rms"] - float(np.sqrt((s.astype(float) ** 2).mean()))) < 1e-9
+    assert st["peak"] == 128 * 256
+
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    # stereo fmt chunk → declared boundary
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav(bad)
+
+
+def test_video_frame_sampling_stub(spark):
+    """Frame-sampling plumbing: deterministic fake frames per 1 KiB
+    window; real container magics refuse instead of mis-decoding."""
+    import pytest
+
+    from knowledge_graph_system_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 3000), (2, "y")], "doc_id long, text string"
+    )
+    rows = sample_video_frames(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3  # ceil(3000/1024)
+    assert len(by_doc[2]) == 1
+    assert [r["ts_ms"] for r in sorted(by_doc[1], key=lambda r: r["ts_ms"])] == [0, 1000, 2000]
+
+    def run_real_magic():
+        bad = spark.createDataFrame(
+            [(3, "\x00\x00\x00\x18ftypisom-rest")], "doc_id long, text string"
+        )
+        return sample_video_frames(bad).collect()
+
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception):
+        run_real_magic()
