@@ -94,3 +94,25 @@ def test_no_cartesian_products_anywhere(spark, specs):
         if re.search(r"CartesianProduct", plan):
             bad.append(name)
     assert not bad, f"unexpected cartesian products in: {bad}"
+
+
+def test_skew_naive_is_shuffle_salted_spreads(spark, specs):
+    """The skew pair's legs must keep their contrasting physical shapes:
+    naive = un-mitigated shuffle join (the hot key serializes one task),
+    salted = join key widened with the salt column."""
+    naive = _plan(specs["x2_skew_naive_join"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" in naive
+    assert "BroadcastHashJoin" not in naive  # merge hint must hold
+    salted = _plan(specs["x2_skew_salted_join"].fn(spark, SF_DIR))
+    assert "_salt" in salted  # spread key reaches the physical join
+
+
+def test_multimodal_scans_prune_to_two_columns(spark, specs):
+    """mapInPandas decode paths must scan only (doc_id, text) — a scan
+    reading lang/source/n_chars for a 2-column decode is wrong."""
+    for q in ("m_jpeg_decode", "m_audio_decode"):
+        plan = _plan(specs[q].fn(spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan[:500]
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {"doc_id", "text"}, (q, cols)
