@@ -121,6 +121,7 @@ _RECORD_FIRST = [
     "m_jpeg_decode",
     "m_audio_decode",
     "st_ingest_e2e",
+    "an_annealing_cycle",
     # ---- changed this round (r5): skew fixture amplified + checksum
     # column, PCA sign canonicalization (engine + oracle), Cypher
     # compiler extended (UNWIND/collect/DISTINCT — p7_cypher_subset as
@@ -170,7 +171,6 @@ _RECORD_FIRST = [
     # ---- bench headliners fill to the 50-slot window
     "q1_pricing_summary",
     "j1_evidence_join",
-    "g1_bfs_out_depth3",
 ]
 
 
@@ -179,6 +179,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         aggregates,
         ann,
+        annealing,
         asof,
         catalog,
         components,
