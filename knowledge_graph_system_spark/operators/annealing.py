@@ -283,3 +283,63 @@ def an_annealing_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADJUST_CONTROL signal. Proposals only — no graph mutation, matching
     the reference's propose→review→execute split."""
     return annealing_proposals(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Proposal execution (reference proposal_executor.py): approved verbs
+# rewrite ontology membership as pure DataFrame transforms
+# ---------------------------------------------------------------------------
+
+
+def execute_demotions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the cycle's auto-approvable demotion verbs to the node
+    table (`proposal_executor.py:295-650`): DISSOLVE routes the
+    ontology's members to the primordial pool, MERGE reassigns them to
+    the affinity partner, ESCALATE leaves the graph untouched (it waits
+    for review — the hitl half of the reference's flow). CLEAVE is
+    review-gated in the reference and is not auto-executed here either.
+    Returns the post-execution ontology distribution — a full before/
+    after diff would need the whole node table; the distribution is the
+    deterministic summary the catalog rebuild (S8) would re-index."""
+    ctx = Ctx.get(spark, sf_dir)
+    demos = (
+        annealing_proposals(spark, sf_dir)
+        .filter(F.col("kind") == "demotion")
+        .select(F.col("subject").alias("ontology"), "verb", "target")
+    )
+    rewritten = (
+        ctx.nodes.join(F.broadcast(demos), "ontology", "left")
+        .select(
+            "node_id",
+            F.when(F.col("verb") == "DISSOLVE", PRIMORDIAL)
+            .when(F.col("verb") == "MERGE", F.col("target"))
+            .otherwise(F.col("ontology"))
+            .alias("ontology"),
+        )
+    )
+    return rewritten.groupBy("ontology").agg(F.count("*").alias("n_nodes"))
+
+
+def _exec_oracle() -> str:
+    # reuse the full cycle oracle up to `demo`, then rewrite + count
+    base = _oracle()
+    cut = base.index("SELECT * FROM demo")
+    return (
+        base[:cut]
+        + """
+SELECT CASE WHEN d.verb = 'DISSOLVE' THEN 'primordial'
+            WHEN d.verb = 'MERGE' THEN d.target
+            ELSE n.ontology END AS ontology,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM nodes n LEFT JOIN demo d ON d.subject = n.ontology
+GROUP BY 1
+"""
+    )
+
+
+@query("an_execute_demotions", oracle=_exec_oracle())
+def an_execute_demotions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executor half of the annealing loop: the cycle's DISSOLVE /
+    MERGE decisions applied to ontology membership, ESCALATE (and the
+    review-gated CLEAVE) untouched — post-execution ontology counts."""
+    return execute_demotions(spark, sf_dir)

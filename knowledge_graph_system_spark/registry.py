@@ -122,6 +122,7 @@ _RECORD_FIRST = [
     "m_audio_decode",
     "st_ingest_e2e",
     "an_annealing_cycle",
+    "an_execute_demotions",
     # ---- changed this round (r5): skew fixture amplified + checksum
     # column, PCA sign canonicalization (engine + oracle), Cypher
     # compiler extended (UNWIND/collect/DISTINCT — p7_cypher_subset as
@@ -170,7 +171,6 @@ _RECORD_FIRST = [
     "p7_guarded_query",
     # ---- bench headliners fill to the 50-slot window
     "q1_pricing_summary",
-    "j1_evidence_join",
 ]
 
 
