@@ -199,18 +199,22 @@ def bfs_paths(
             )
             .join(visited.select("node_id"), "node_id", "left_anti")
         )
-        chosen = (
-            cand.groupBy("node_id")
-            .agg(F.min(F.struct("key", "ptypes", "pdirs")).alias("m"))
-            .select(
-                "node_id",
-                F.lit(depth).cast("int").alias("dist"),
-                "m.key",
-                "m.ptypes",
-                "m.pdirs",
-            )
-            .localCheckpoint(eager=True)
+        chosen = cand.groupBy("node_id").agg(
+            F.min(F.struct("key", "ptypes", "pdirs")).alias("m")
+        ).select(
+            "node_id",
+            F.lit(depth).cast("int").alias("dist"),
+            "m.key",
+            "m.ptypes",
+            "m.pdirs",
         )
+        if depth == max_depth:
+            # the final level feeds no further hop: let it flow lazily
+            # into the caller's single action instead of materializing —
+            # one checkpoint job + one count job saved per traversal
+            visited = visited.unionByName(chosen)
+            break
+        chosen = chosen.localCheckpoint(eager=True)
         n_frontier = chosen.count()
         if n_frontier == 0:
             break
