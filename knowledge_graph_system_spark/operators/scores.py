@@ -522,3 +522,83 @@ def o1_ontology_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shared").alias("shared_concept_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epistemic status measurement (reference ADR-610 Phase 2)
+# ---------------------------------------------------------------------------
+
+
+def epistemic_status_measurement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure epistemic status per vocabulary type
+    (`/root/reference/api/app/services/epistemic_status_service.py:41-292`):
+    per-edge grounding = axis projection × confidence (neutral 0.5 when
+    NULL), then per-type avg/std over every edge of that type — the
+    reference SAMPLES edges for cost on Postgres; a distributed scan
+    measures them all, same estimator, zero sampling noise — and the
+    grounding-based classification with the reference's exact cuts:
+      HISTORICAL (temporal-by-name), INSUFFICIENT_DATA (< 3),
+      WELL_GROUNDED (> 0.8), MIXED_GROUNDING (0.15..0.8),
+      WEAK_GROUNDING (0..0.15), POORLY_GROUNDED (−0.5..0),
+      CONTRADICTED (< −0.5).
+    A measurement, not a truth: results are per-run temporal, exactly
+    the service's satisficing philosophy."""
+    ctx = Ctx.get(spark, sf_dir)
+    proj = spark.createDataFrame(
+        list(rel_projections().items()), "rel_type string, proj double"
+    )
+    g = F.round(F.col("proj") * F.coalesce(F.col("confidence"), F.lit(0.5)), 6)
+    stats = (
+        ctx.edges.join(F.broadcast(proj), "rel_type")
+        .select("rel_type", g.alias("g"))
+        .groupBy("rel_type")
+        .agg(
+            F.count("*").alias("n_measurements"),
+            F.round(F.avg("g"), 6).alias("avg_grounding"),
+            F.round(F.coalesce(F.stddev_samp("g"), F.lit(0.0)), 6).alias("std_grounding"),
+        )
+    )
+    avg = F.col("avg_grounding")
+    status = (
+        F.when(F.col("rel_type") == "PLACED", "HISTORICAL")
+        .when(F.col("n_measurements") < 3, "INSUFFICIENT_DATA")
+        .when(avg > 0.8, "WELL_GROUNDED")
+        .when(avg >= 0.15, "MIXED_GROUNDING")
+        .when(avg > 0.0, "WEAK_GROUNDING")
+        .when(avg >= -0.5, "POORLY_GROUNDED")
+        .otherwise("CONTRADICTED")
+    )
+    return stats.withColumn("epistemic_status", status)
+
+
+@query(
+    "ep_status_measurement",
+    oracle=graph_ctes()
+    + ","
+    + _PROJ_ORACLE
+    + """,
+meas AS (
+  SELECT e.rel_type,
+         round(p.proj * coalesce(e.confidence, 0.5), 6) AS g
+  FROM edges e JOIN proj p ON p.rel_type = e.rel_type
+),
+stats AS (
+  SELECT rel_type,
+         CAST(count(*) AS BIGINT) AS n_measurements,
+         round(avg(g), 6) AS avg_grounding,
+         round(coalesce(stddev_samp(g), 0.0), 6) AS std_grounding
+  FROM meas GROUP BY rel_type
+)
+SELECT *,
+       CASE WHEN rel_type = 'PLACED' THEN 'HISTORICAL'
+            WHEN n_measurements < 3 THEN 'INSUFFICIENT_DATA'
+            WHEN avg_grounding > 0.8 THEN 'WELL_GROUNDED'
+            WHEN avg_grounding >= 0.15 THEN 'MIXED_GROUNDING'
+            WHEN avg_grounding > 0.0 THEN 'WEAK_GROUNDING'
+            WHEN avg_grounding >= -0.5 THEN 'POORLY_GROUNDED'
+            ELSE 'CONTRADICTED' END AS epistemic_status
+FROM stats
+""",
+)
+def ep_status_measurement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epistemic_status_measurement(spark, sf_dir)

@@ -123,6 +123,7 @@ _RECORD_FIRST = [
     "st_ingest_e2e",
     "an_annealing_cycle",
     "an_execute_demotions",
+    "ep_status_measurement",
     # ---- changed this round (r5): skew fixture amplified + checksum
     # column, PCA sign canonicalization (engine + oracle), Cypher
     # compiler extended (UNWIND/collect/DISTINCT — p7_cypher_subset as
@@ -169,8 +170,6 @@ _RECORD_FIRST = [
     "v3_batch_cosine",
     "md_blocks",
     "p7_guarded_query",
-    # ---- bench headliners fill to the 50-slot window
-    "q1_pricing_summary",
 ]
 
 

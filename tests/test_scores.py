@@ -79,3 +79,25 @@ def test_confidence_saturation_bounds_and_monotonicity(spark):
     assert 0.0 < leaf["confidence_score"] < hub["confidence_score"] < 1.0
     assert hub["confidence_level"] in ("high", "medium")
     assert leaf["confidence_level"] == "low"
+
+
+def test_epistemic_status_classification(spark):
+    """ADR-610 measurement: affirmative semantic types land positive
+    (axis-aligned), contradictory ones negative, PLACED is HISTORICAL
+    by the temporal-name rule, and every status is from the closed set."""
+    from knowledge_graph_system_spark.operators.scores import (
+        epistemic_status_measurement,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r["rel_type"]: r for r in
+            epistemic_status_measurement(spark, SF_DIR).collect()}
+    closed = {"WELL_GROUNDED", "MIXED_GROUNDING", "WEAK_GROUNDING",
+              "POORLY_GROUNDED", "CONTRADICTED", "HISTORICAL",
+              "INSUFFICIENT_DATA"}
+    assert {r["epistemic_status"] for r in rows.values()} <= closed
+    assert rows["PLACED"]["epistemic_status"] == "HISTORICAL"
+    for t in ("L0", "L2", "L4"):  # affirmative family: positive grounding
+        assert rows[t]["avg_grounding"] > 0, t
+    for t in ("L1", "L3", "L5"):  # contradictory family: negative
+        assert rows[t]["avg_grounding"] < 0, t
