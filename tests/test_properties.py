@@ -78,3 +78,50 @@ def test_validator_rejects_deep_nesting(body, depth):
         raise AssertionError("deep nesting accepted")
     except ProgramValidationError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Cypher WHERE parser: OR/AND precedence holds for arbitrary flat trees
+# ---------------------------------------------------------------------------
+
+_cmp = st.sampled_from([">", "<", ">=", "<=", "=", "<>"])
+_val = st.integers(min_value=-99, max_value=99)
+_leaf = st.tuples(_cmp, _val)
+_conj = st.lists(_leaf, min_size=1, max_size=3)
+_tree = st.lists(_conj, min_size=1, max_size=3)
+
+
+@given(_tree)
+@settings(max_examples=60, deadline=None)
+def test_where_or_and_precedence_matches_reference_tree(spark, tree):
+    """Render a random [[leaf AND leaf...] OR [...]] tree to WHERE text,
+    compile through the Cypher parser, and compare against the Column
+    built directly with the same precedence — string-identical plans.
+    Column construction only; no Spark jobs."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.plans.cypher import _compile_where, _Scope
+
+    scope = _Scope(cols={"n.weight": "n__weight"})
+    spark_ops = {
+        ">": lambda c, v: c > v, "<": lambda c, v: c < v,
+        ">=": lambda c, v: c >= v, "<=": lambda c, v: c <= v,
+        "=": lambda c, v: c == v, "<>": lambda c, v: c != v,
+    }
+    text = " OR ".join(
+        " AND ".join(f"n.weight {op} {val}" for op, val in conj)
+        for conj in tree
+    )
+    got = _compile_where(scope, text)
+    col = F.col("n__weight")
+    expect = reduce(
+        lambda a, b: a | b,
+        [
+            reduce(lambda a, b: a & b,
+                   [spark_ops[op](col, F.lit(val)) for op, val in conj])
+            for conj in tree
+        ],
+    )
+    assert str(got) == str(expect)
