@@ -112,6 +112,13 @@ class Ctx:
 # Invariant after each round: no registered query's most recent driver
 # row is older than ONE round. The tail (everything past slot 50) must
 # be exactly the set recorded last round.
+#
+# CAPACITY (r6 planning): 96 registered queries leave 46 outside this
+# round's window — all r4-recorded. Next round's window must therefore
+# hold those 46 plus new/changed, i.e. AT MOST 4 new or changed
+# registered queries in round 6 without breaking the invariant. New
+# library capability beyond that budget should ship as lib + pytest
+# and join the registry the following round.
 _RECORD_FIRST = [
     # ---- new this round (r5)
     "p7_cypher_unwind",
