@@ -54,37 +54,19 @@ _PROPOSAL_SCHEMA = ("kind", "verb", "subject", "target", "score")
 def annealing_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One annealing cycle → proposal rows (kind, verb, subject, target,
     score). Composes A9 protection, J5 affinity, and A1 degrees."""
-    from .scores import a9_ontology_protection
+    from .scores import protection_with_affinity
     from .traversal import degrees
 
     ctx = Ctx.get(spark, sf_dir)
 
-    # -- demotion: A9 scores + best affinity partner per ontology
-    scores = a9_ontology_protection(spark, sf_dir)
-    c, o, l = ctx.tables["customer"], ctx.tables["orders"], ctx.tables["lineitem"]
-    membership = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    totals = membership.groupBy("seg").agg(F.count("*").alias("total"))
-    a, b = membership.alias("a"), membership.alias("b")
-    ta, tb = totals.alias("ta"), totals.alias("tb")
-    aff = (
-        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.seg") != F.col("b.seg")))
-        .groupBy(F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"))
-        .agg(F.count("*").alias("shared"))
-        .join(F.broadcast(ta), F.col("seg_a") == F.col("ta.seg"))
-        .join(F.broadcast(tb), F.col("seg_b") == F.col("tb.seg"))
-        .select(
-            "seg_a", "seg_b",
-            F.round(
-                F.col("shared") / F.least(F.col("ta.total"), F.col("tb.total")).cast("double"),
-                6,
-            ).alias("affinity"),
-        )
+    # -- demotion: A9 scores + best affinity partner per ontology; the
+    # affinity frame is the one A9 itself was computed from (shared via
+    # protection_with_affinity — no second membership self-join), with
+    # the decision-rule comparison on the ROUNDED value so both engines
+    # thresold identically
+    scores, aff_raw = protection_with_affinity(spark, sf_dir)
+    aff = aff_raw.select(
+        "seg_a", "seg_b", F.round("affinity", 6).alias("affinity")
     )
     wa = Window.partitionBy("seg_a").orderBy(F.col("affinity").desc(), F.col("seg_b"))
     top_aff = (
@@ -187,11 +169,14 @@ membership AS (
 totals AS (SELECT seg, count(*) AS total FROM membership GROUP BY seg),
 aff AS (
   SELECT a.seg AS seg_a, b.seg AS seg_b,
-         round(count(*) / CAST(least(ta.total, tb.total) AS DOUBLE), 6) AS affinity
+         count(*) / CAST(least(ta.total, tb.total) AS DOUBLE) AS affinity
   FROM membership a JOIN membership b ON a.pk = b.pk AND a.seg <> b.seg
   JOIN totals ta ON ta.seg = a.seg JOIN totals tb ON tb.seg = b.seg
   GROUP BY a.seg, b.seg, ta.total, tb.total
 ),
+-- exposure must see the UNROUNDED affinity (A9 parity); only the
+-- decision rule thresholds on the rounded value
+aff_r AS (SELECT seg_a, seg_b, round(affinity, 6) AS affinity FROM aff),
 activity AS (
   SELECT ontology AS seg, n_sources / CAST((SELECT max(n_sources) FROM mass_t) AS DOUBLE) AS act
   FROM mass_t
@@ -211,8 +196,8 @@ prot AS (
 ),
 top_aff AS (
   SELECT seg_a AS ontology, seg_b, affinity FROM (
-    SELECT aff.*, row_number() OVER (PARTITION BY seg_a ORDER BY affinity DESC, seg_b) AS rn
-    FROM aff) WHERE rn = 1
+    SELECT aff_r.*, row_number() OVER (PARTITION BY seg_a ORDER BY affinity DESC, seg_b) AS rn
+    FROM aff_r) WHERE rn = 1
 ),
 demo AS (
   SELECT 'demotion' AS kind,

@@ -236,9 +236,8 @@ def a8_ontology_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ontology_coherence(ctx.nodes_emb)
 
 
-@query(
-    "a9_ontology_protection",
-    oracle=graph_ctes()
+_A9_ORACLE = (
+    graph_ctes()
     + ","
     + _MASS_ORACLE.lstrip()
     + ","
@@ -273,12 +272,17 @@ SELECT m.ontology, m.mass, c.coherence,
 FROM mass_t m
 JOIN coher c ON c.ontology = m.ontology
 JOIN exposure e ON e.ontology = m.ontology
-""",
+"""
 )
-def a9_ontology_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: protection = sigmoid(mass×coherence) − 0.6×exposure, exposure =
-    affinity-weighted neighbor activity (`ontology_scorer.py:125-220`).
-    Composes A7 + A8 + J5 outputs with pure column math."""
+
+
+def protection_with_affinity(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """A9 scores plus the UNROUNDED affinity frame they were computed
+    from — shared so annealing does not recompute the membership
+    self-join (the expensive half of the cycle). Returns (scores, aff);
+    aff columns: seg_a, seg_b, affinity."""
     ctx = Ctx.get(spark, sf_dir)
     mass = ontology_mass(ctx.tables).localCheckpoint(eager=True)  # used 3×
     coher = ontology_coherence(ctx.nodes_emb)
@@ -308,6 +312,7 @@ def a9_ontology_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "affinity"
             ),
         )
+        .localCheckpoint(eager=True)  # reused by exposure AND annealing
     )
     max_sources = mass.agg(F.max("n_sources").alias("mx"))
     activity = mass.join(F.broadcast(max_sources)).select(
@@ -325,7 +330,7 @@ def a9_ontology_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sig = 1.0 / (1.0 + F.exp(-(F.col("mass") * F.col("coherence"))))
-    return (
+    scores = (
         mass.select("ontology", "mass")
         .join(coher, "ontology")
         .join(exposure, "ontology")
@@ -337,6 +342,15 @@ def a9_ontology_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sig - 0.6 * F.col("exposure"), 6).alias("protection"),
         )
     )
+    return scores, aff
+
+
+@query("a9_ontology_protection", oracle=_A9_ORACLE)
+def a9_ontology_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: protection = sigmoid(mass×coherence) − 0.6×exposure, exposure =
+    affinity-weighted neighbor activity (`ontology_scorer.py:125-220`).
+    Composes A7 + A8 + J5 outputs with pure column math."""
+    return protection_with_affinity(spark, sf_dir)[0]
 
 
 # ---------------------------------------------------------------------------
