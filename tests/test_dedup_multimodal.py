@@ -302,3 +302,23 @@ def test_video_frame_sampling_stub(spark):
     from py4j.protocol import Py4JJavaError
     with pytest.raises(Exception):
         run_real_magic()
+
+
+def test_jpeg_bin_centers_never_flip(spark):
+    """The m_jpeg_decode oracle's safety premise, verified exhaustively:
+    EVERY bin-center flat color (8k+4, k=0..31) decodes with
+    floor(mean/8) == k at several heights — JPEG loss can never flip a
+    driver-gate bin."""
+    import numpy as np
+
+    from knowledge_graph_system_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for h in (1, 7, 16, 48):
+        for k in range(32):
+            v = 8 * k + 4
+            img = np.full((h, 16, 3), v, dtype=np.uint8)
+            dec = decode_jpeg(encode_jpeg(img))
+            assert dec.shape == (h, 16, 3)
+            for c in range(3):
+                mean = float(dec[:, :, c].mean())
+                assert int(mean // 8) == k, (h, k, c, mean)

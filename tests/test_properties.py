@@ -125,3 +125,31 @@ def test_where_or_and_precedence_matches_reference_tree(spark, tree):
         ],
     )
     assert str(got) == str(expect)
+
+
+_label = st.sampled_from([None, "Customer", "Order", "Part"])
+_direction = st.sampled_from(["->", "<-", "-"])
+_rel = st.sampled_from([None, "PLACED", "L0"])
+
+
+@given(st.lists(st.tuples(_direction, _rel, _label), min_size=0, max_size=3))
+@settings(max_examples=80, deadline=None)
+def test_cypher_pattern_parse_roundtrip(chain):
+    """Render a random linear pattern, parse it, and check the parsed
+    structure matches what was rendered — node count, labels, edge
+    directions, rel types. Pure parsing, no Spark."""
+    from knowledge_graph_system_spark.plans.cypher import _parse_pattern
+
+    text = "(n0)"
+    for i, (direction, rel, label) in enumerate(chain, start=1):
+        e = f"[:{rel}]" if rel else ""
+        arrow = {"->": f"-{e}->", "<-": f"<-{e}-", "-": f"-{e}-"}[direction]
+        lbl = f":{label}" if label else ""
+        text += f"{arrow}(n{i}{lbl})"
+    nodes, edges, _ = _parse_pattern(text)
+    assert len(nodes) == len(chain) + 1
+    assert len(edges) == len(chain)
+    for i, (direction, rel, label) in enumerate(chain):
+        assert edges[i].rel_type == rel
+        assert edges[i].direction == {"->": "out", "<-": "in", "-": "both"}[direction]
+        assert nodes[i + 1].label == label
