@@ -30,7 +30,7 @@ HEADLINE = [
     "d_simhash",               # bitwise near-dup clustering
     "v2_chunk_search",         # chunk-scan + vector score + stale flag
     "x2_skew_naive_join",      # hot-key shuffle join, unsalted baseline
-    "x2_skew_salted_join",     # same join, salted 8x — must beat naive
+    "x2_skew_salted_join",     # same join, salted 32x — must beat naive
 ]
 
 
