@@ -21,13 +21,29 @@ already implements:
   the interpolation is LINEAR (deterministic mock, same endpoints and
   zone cuts `annealing_manager.py:1076-1118`).
 
-The LLM verb decision is mocked deterministically (U1/U4 policy):
-  protection < t AND coherence < 0      → DISSOLVE into 'primordial'
-  protection < t AND top affinity ≥ 0.5 → MERGE into that partner
-  protection < t otherwise              → ESCALATE to review
-  top-degree concept ≥ floor            → CLEAVE (new nucleus)
-  pressure signal                       → ADJUST_CONTROL (zone label)
-No execution, no mutation — proposals only, exactly like the reference.
+The LLM verb decision is mocked deterministically (U1/U4 policy) and
+covers the reference's FULL closed six-verb vocabulary
+(`annealing_decision_service.py` system prompt). For each demotion
+candidate (protection < t), an ordered cascade:
+  coherence < −0.001 (beyond noise floor)   → DISSOLVE into 'primordial'
+  coherence < 0, hub dominance ≥ 0.0065     → RENAME to the hub concept
+    (the ontology's top-degree concept owns enough of its degree mass
+     that the name should follow the hub)
+  coherence < 0 otherwise                   → ESCALATE to review
+  re-score protection + 10·coherence ≥ 0    → NO_ACTION (candidate
+    clears the bar once coherence is re-weighted — the reference's
+    "re-evaluate before acting" branch)
+  re-score ≥ −0.05 AND top affinity ≥ 0.5   → MERGE into that partner
+    (recoverable, and a strong partner exists)
+  otherwise                                 → ESCALATE to review
+Plus, outside the demotion family:
+  top-degree concept ≥ floor                → CLEAVE (new nucleus)
+  pressure signal                           → ADJUST_CONTROL (zone label)
+Thresholds are fixture-calibrated the same way MERGE_AFFINITY always
+was; the point is a deterministic, oracle-reproducible stand-in for
+the LLM's judgment, not its cleverness. Proposals only — execution is
+the separate executor below, exactly like the reference's
+propose→review→execute split.
 """
 
 from __future__ import annotations
@@ -43,6 +59,10 @@ from ..sources.graph_view import graph_ctes
 DEMOTION_THRESHOLD = 0.15   # reference default (`run_annealing_cycle`)
 MERGE_AFFINITY = 0.5
 MIN_DEGREE = 40
+DISSOLVE_COHERENCE = -0.001  # incoherence beyond the noise floor
+RENAME_DOMINANCE = 0.0065    # hub's share of its ontology's degree mass
+RESCUE_WEIGHT = 10.0         # coherence re-weight in the NO_ACTION re-score
+MERGE_RESCUE_FLOOR = -0.05   # re-score above which MERGE beats ESCALATE
 PRIMORDIAL = "primordial"   # reference primordial_pool_name
 PRESSURE_COMFORT_MIN = 10.0
 PRESSURE_COMFORT_MAX = 80.0
@@ -59,11 +79,35 @@ def annealing_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ctx = Ctx.get(spark, sf_dir)
 
+    # node + degree frame, shared by the RENAME dominance signal and the
+    # promotion scan (one degree aggregation per cycle)
+    deg = degrees(ctx.edges)
+    named = ctx.nodes.select("node_id", "name", "ontology").join(deg, "node_id")
+
+    # hub dominance: each ontology's top-degree concept and its share of
+    # the ontology's total degree mass (the RENAME signal — reference
+    # RENAME proposals fire when an ontology's name has drifted from its
+    # actual center of gravity, `annealing_manager.py:70-150` vocabulary)
+    wd1 = Window.partitionBy("ontology").orderBy(
+        F.col("total_degree").desc(), F.col("node_id")
+    )
+    tot = named.groupBy("ontology").agg(F.sum("total_degree").alias("_tot"))
+    hub = (
+        named.withColumn("rn", F.row_number().over(wd1))
+        .filter(F.col("rn") == 1)
+        .join(tot, "ontology")
+        .select(
+            "ontology",
+            F.col("name").alias("hub_name"),
+            F.round(F.col("total_degree") / F.col("_tot"), 6).alias("dominance"),
+        )
+    )
+
     # -- demotion: A9 scores + best affinity partner per ontology; the
     # affinity frame is the one A9 itself was computed from (shared via
     # protection_with_affinity — no second membership self-join), with
-    # the decision-rule comparison on the ROUNDED value so both engines
-    # thresold identically
+    # the decision-rule comparisons on ROUNDED values so both engines
+    # threshold identically
     scores, aff_raw = protection_with_affinity(spark, sf_dir)
     aff = aff_raw.select(
         "seg_a", "seg_b", F.round("affinity", 6).alias("affinity")
@@ -74,18 +118,44 @@ def annealing_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(F.col("seg_a").alias("ontology"), "seg_b", "affinity")
     )
+    rescored = F.round(
+        F.col("protection") + F.lit(RESCUE_WEIGHT) * F.col("coherence"), 6
+    )
     demo = (
         scores.filter(F.col("protection") < DEMOTION_THRESHOLD)
         .join(top_aff, "ontology", "left")
+        .join(F.broadcast(hub), "ontology", "left")
         .select(
             F.lit("demotion").alias("kind"),
-            F.when(F.col("coherence") < 0.0, "DISSOLVE")
-            .when(F.col("affinity") >= MERGE_AFFINITY, "MERGE")
+            F.when(F.col("coherence") < DISSOLVE_COHERENCE, "DISSOLVE")
+            .when(
+                (F.col("coherence") < 0.0)
+                & (F.col("dominance") >= RENAME_DOMINANCE),
+                "RENAME",
+            )
+            .when(F.col("coherence") < 0.0, "ESCALATE")
+            .when(rescored >= 0.0, "NO_ACTION")
+            .when(
+                (rescored >= MERGE_RESCUE_FLOOR)
+                & (F.col("affinity") >= MERGE_AFFINITY),
+                "MERGE",
+            )
             .otherwise("ESCALATE")
             .alias("verb"),
             F.col("ontology").alias("subject"),
-            F.when(F.col("coherence") < 0.0, PRIMORDIAL)
-            .when(F.col("affinity") >= MERGE_AFFINITY, F.col("seg_b"))
+            F.when(F.col("coherence") < DISSOLVE_COHERENCE, PRIMORDIAL)
+            .when(
+                (F.col("coherence") < 0.0)
+                & (F.col("dominance") >= RENAME_DOMINANCE),
+                F.col("hub_name"),
+            )
+            .when(F.col("coherence") < 0.0, "review")
+            .when(rescored >= 0.0, "none")
+            .when(
+                (rescored >= MERGE_RESCUE_FLOOR)
+                & (F.col("affinity") >= MERGE_AFFINITY),
+                F.col("seg_b"),
+            )
             .otherwise("review")
             .alias("target"),
             F.col("protection").alias("score"),
@@ -94,8 +164,6 @@ def annealing_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- promotion: per-ontology top-10 degree concepts above the floor,
     # excluding names that already ARE an ontology
-    deg = degrees(ctx.edges)
-    named = ctx.nodes.select("node_id", "name", "ontology").join(deg, "node_id")
     onto_names = ctx.nodes.select(
         F.lower(F.col("ontology")).alias("lname")
     ).distinct()
@@ -199,24 +267,44 @@ top_aff AS (
     SELECT aff_r.*, row_number() OVER (PARTITION BY seg_a ORDER BY affinity DESC, seg_b) AS rn
     FROM aff_r) WHERE rn = 1
 ),
-demo AS (
-  SELECT 'demotion' AS kind,
-         CASE WHEN p.coherence < 0.0 THEN 'DISSOLVE'
-              WHEN t.affinity >= {MERGE_AFFINITY} THEN 'MERGE'
-              ELSE 'ESCALATE' END AS verb,
-         p.ontology AS subject,
-         CASE WHEN p.coherence < 0.0 THEN '{PRIMORDIAL}'
-              WHEN t.affinity >= {MERGE_AFFINITY} THEN t.seg_b
-              ELSE 'review' END AS target,
-         p.protection AS score
-  FROM prot p LEFT JOIN top_aff t ON t.ontology = p.ontology
-  WHERE p.protection < {DEMOTION_THRESHOLD}
-),
 deg AS (
   SELECT node_id, sum(c) AS total_degree FROM (
     SELECT src AS node_id, count(*) AS c FROM edges GROUP BY src
     UNION ALL
     SELECT dst, count(*) FROM edges GROUP BY dst) GROUP BY node_id
+),
+dom AS (
+  SELECT ontology, name AS hub_name,
+         round(total_degree / CAST(tot AS DOUBLE), 6) AS dominance
+  FROM (
+    SELECT n.ontology, n.name, d.total_degree,
+           sum(d.total_degree) OVER (PARTITION BY n.ontology) AS tot,
+           row_number() OVER (PARTITION BY n.ontology
+                              ORDER BY d.total_degree DESC, n.node_id) AS rn
+    FROM nodes n JOIN deg d ON d.node_id = n.node_id
+  ) WHERE rn = 1
+),
+demo AS (
+  SELECT 'demotion' AS kind,
+         CASE WHEN p.coherence < {DISSOLVE_COHERENCE} THEN 'DISSOLVE'
+              WHEN p.coherence < 0.0 AND dm.dominance >= {RENAME_DOMINANCE} THEN 'RENAME'
+              WHEN p.coherence < 0.0 THEN 'ESCALATE'
+              WHEN round(p.protection + {RESCUE_WEIGHT} * p.coherence, 6) >= 0.0 THEN 'NO_ACTION'
+              WHEN round(p.protection + {RESCUE_WEIGHT} * p.coherence, 6) >= {MERGE_RESCUE_FLOOR}
+                   AND t.affinity >= {MERGE_AFFINITY} THEN 'MERGE'
+              ELSE 'ESCALATE' END AS verb,
+         p.ontology AS subject,
+         CASE WHEN p.coherence < {DISSOLVE_COHERENCE} THEN '{PRIMORDIAL}'
+              WHEN p.coherence < 0.0 AND dm.dominance >= {RENAME_DOMINANCE} THEN dm.hub_name
+              WHEN p.coherence < 0.0 THEN 'review'
+              WHEN round(p.protection + {RESCUE_WEIGHT} * p.coherence, 6) >= 0.0 THEN 'none'
+              WHEN round(p.protection + {RESCUE_WEIGHT} * p.coherence, 6) >= {MERGE_RESCUE_FLOOR}
+                   AND t.affinity >= {MERGE_AFFINITY} THEN t.seg_b
+              ELSE 'review' END AS target,
+         p.protection AS score
+  FROM prot p LEFT JOIN top_aff t ON t.ontology = p.ontology
+  LEFT JOIN dom dm ON dm.ontology = p.ontology
+  WHERE p.protection < {DEMOTION_THRESHOLD}
 ),
 onames AS (SELECT DISTINCT lower(ontology) AS lname FROM nodes),
 promo AS (
@@ -276,55 +364,110 @@ def an_annealing_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def execute_demotions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the cycle's auto-approvable demotion verbs to the node
-    table (`proposal_executor.py:295-650`): DISSOLVE routes the
-    ontology's members to the primordial pool, MERGE reassigns them to
-    the affinity partner, ESCALATE leaves the graph untouched (it waits
-    for review — the hitl half of the reference's flow). CLEAVE is
-    review-gated in the reference and is not auto-executed here either.
+def execute_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the cycle's executable verbs to the node table
+    (`proposal_executor.py:295-650`):
+
+    - DISSOLVE routes the ontology's members to the primordial pool;
+    - MERGE reassigns them to the affinity partner;
+    - RENAME relabels the ontology to its hub concept's name;
+    - CLEAVE (review-gated in the reference; here the deterministic
+      approval mock approves exactly the top-scoring proposal, ties by
+      subject) carves a new ontology named after the nucleus concept
+      out of the nucleus plus its 1-hop neighborhood — the reference's
+      new-nucleus membership rewrite;
+    - ESCALATE and NO_ACTION leave the graph untouched (the hitl half
+      of the reference's flow).
+
+    A cleaved node wins over a demotion rewrite of its old ontology
+    (the new nucleus pulls its neighborhood regardless — reference
+    executes CLEAVE as a standalone transaction after demotions).
     Returns the post-execution ontology distribution — a full before/
     after diff would need the whole node table; the distribution is the
     deterministic summary the catalog rebuild (S8) would re-index."""
     ctx = Ctx.get(spark, sf_dir)
+    props = annealing_proposals(spark, sf_dir)
     demos = (
-        annealing_proposals(spark, sf_dir)
-        .filter(F.col("kind") == "demotion")
+        props.filter(F.col("kind") == "demotion")
         .select(F.col("subject").alias("ontology"), "verb", "target")
+    )
+    # approval mock: the single top-scoring CLEAVE proposal is approved
+    wc = Window.orderBy(F.col("score").desc(), F.col("subject"))
+    cleave = (
+        props.filter(F.col("verb") == "CLEAVE")
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("subject").alias("nucleus"), F.col("target").alias("new_onto"))
+    )
+    e = ctx.edges
+    moved = (
+        e.join(F.broadcast(cleave), e["src"] == F.col("nucleus"))
+        .select(F.col("dst").alias("node_id"), "new_onto")
+        .unionByName(
+            e.join(F.broadcast(cleave), e["dst"] == F.col("nucleus")).select(
+                F.col("src").alias("node_id"), "new_onto"
+            )
+        )
+        .unionByName(cleave.select(F.col("nucleus").alias("node_id"), "new_onto"))
+        .groupBy("node_id")
+        .agg(F.min("new_onto").alias("new_onto"))
     )
     rewritten = (
         ctx.nodes.join(F.broadcast(demos), "ontology", "left")
+        .join(F.broadcast(moved), "node_id", "left")
         .select(
             "node_id",
-            F.when(F.col("verb") == "DISSOLVE", PRIMORDIAL)
-            .when(F.col("verb") == "MERGE", F.col("target"))
-            .otherwise(F.col("ontology"))
-            .alias("ontology"),
+            F.coalesce(
+                F.col("new_onto"),
+                F.when(F.col("verb") == "DISSOLVE", PRIMORDIAL)
+                .when(F.col("verb").isin("MERGE", "RENAME"), F.col("target"))
+                .otherwise(F.col("ontology")),
+            ).alias("ontology"),
         )
     )
     return rewritten.groupBy("ontology").agg(F.count("*").alias("n_nodes"))
 
 
 def _exec_oracle() -> str:
-    # reuse the full cycle oracle up to `demo`, then rewrite + count
+    # reuse the full cycle oracle's CTE prefix (everything before the
+    # final proposal-union SELECT), then approve + rewrite + count
     base = _oracle()
     cut = base.index("SELECT * FROM demo")
     return (
         base[:cut]
-        + """
-SELECT CASE WHEN d.verb = 'DISSOLVE' THEN 'primordial'
-            WHEN d.verb = 'MERGE' THEN d.target
+        + """,
+cleave AS (
+  SELECT subject AS nucleus, target AS new_onto FROM (
+    SELECT promo.*, row_number() OVER (ORDER BY score DESC, subject) AS rn
+    FROM promo) WHERE rn = 1
+),
+moved AS (
+  SELECT node_id, min(new_onto) AS new_onto FROM (
+    SELECT e.dst AS node_id, c.new_onto FROM edges e JOIN cleave c ON e.src = c.nucleus
+    UNION ALL
+    SELECT e.src, c.new_onto FROM edges e JOIN cleave c ON e.dst = c.nucleus
+    UNION ALL
+    SELECT nucleus, new_onto FROM cleave
+  ) GROUP BY node_id
+)
+SELECT CASE WHEN m.new_onto IS NOT NULL THEN m.new_onto
+            WHEN d.verb = 'DISSOLVE' THEN 'primordial'
+            WHEN d.verb IN ('MERGE', 'RENAME') THEN d.target
             ELSE n.ontology END AS ontology,
        CAST(count(*) AS BIGINT) AS n_nodes
 FROM nodes n LEFT JOIN demo d ON d.subject = n.ontology
+LEFT JOIN moved m ON m.node_id = n.node_id
 GROUP BY 1
 """
     )
 
 
-@query("an_execute_demotions", oracle=_exec_oracle())
-def an_execute_demotions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The executor half of the annealing loop: the cycle's DISSOLVE /
-    MERGE decisions applied to ontology membership, ESCALATE (and the
-    review-gated CLEAVE) untouched — post-execution ontology counts."""
-    return execute_demotions(spark, sf_dir)
+@query("an_execute_proposals", oracle=_exec_oracle())
+def an_execute_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executor half of the annealing loop (r5's
+    `an_execute_demotions`, renamed now that it covers the full
+    executable vocabulary): DISSOLVE / MERGE / RENAME applied to
+    ontology membership, the approved CLEAVE's new-nucleus neighborhood
+    rewrite, ESCALATE / NO_ACTION untouched — post-execution ontology
+    counts."""
+    return execute_proposals(spark, sf_dir)

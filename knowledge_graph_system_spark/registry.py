@@ -129,7 +129,7 @@ _RECORD_FIRST = [
     "m_audio_decode",
     "st_ingest_e2e",
     "an_annealing_cycle",
-    "an_execute_demotions",
+    "an_execute_proposals",
     "ep_status_measurement",
     # ---- changed this round (r5): skew fixture amplified + checksum
     # column, PCA sign canonicalization (engine + oracle), Cypher
