@@ -590,37 +590,212 @@ def m_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sample_video_frames(docs: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling PLUMBING (schema, batching, partitioning) —
-    the codec itself is a declared stub: no ffmpeg in this container, so
-    payloads are treated as a deterministic fake container whose
-    "frames" are 1 KiB byte windows. A real deployment swaps
-    `_fake_frames` for an ffmpeg/pyav call; nothing else changes.
-    Raises NotImplementedError for payloads carrying a real container
-    magic (they would silently mis-decode otherwise)."""
-    _REAL_MAGICS = (b"\x00\x00\x00\x18ftyp", b"\x00\x00\x00\x20ftyp", b"\x1aE\xdf\xa3")
+# ---------------------------------------------------------------------------
+# Video: real MJPEG-in-AVI codec (r5's declared stub retired). The RIFF
+# chunk walk is the same container discipline as decode_wav above; each
+# '00dc' frame is decoded by the from-scratch baseline JPEG codec
+# (`functions/jpeg.py`). Zero new dependencies — matching the
+# reference's image-pipeline posture
+# (`api/app/workers/ingestion_worker.py:209-330`).
+# ---------------------------------------------------------------------------
 
-    def _fake_frames(raw: bytes) -> list[tuple[int, int]]:
-        if any(raw.startswith(m) for m in _REAL_MAGICS):
-            raise NotImplementedError(
-                "real MP4/MKV decode needs ffmpeg/pyav — not in this container"
-            )
-        return [
-            (i * every_ms, sum(raw[i * 1024 : (i + 1) * 1024]) % 997)
-            for i in range(max(1, -(-len(raw) // 1024)))
-        ]
+_AVI_W = 16
+_AVI_FPS = 4
+_AVI_MAX_FRAMES = 8
+
+
+def encode_avi_mjpeg(frames: list, fps: int = _AVI_FPS) -> bytes:
+    """Minimal RIFF/AVI writer for an MJPEG video stream: hdrl (avih +
+    strl/strh/strf), movi with one '00dc' JPEG chunk per frame, and an
+    idx1 index. All frames must share the first frame's dimensions —
+    one AVI stream has fixed dims, like a real container."""
+    import struct
+
+    from ..functions.jpeg import encode_jpeg
+
+    h, w = frames[0].shape[:2]
+    blobs = [encode_jpeg(f) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""  # chunks are word-aligned
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0x10,  # usec/frame, maxbytes, padding, HASINDEX
+        len(blobs), 0, 1, max(map(len, blobs)), w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4h",
+        b"vids", b"MJPG", 0, 0, 0,
+        0, 1, fps, 0, len(blobs), max(map(len, blobs)), 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = b"".join(chunk(b"00dc", b) for b in blobs)
+    movi = lst(b"movi", movi_chunks)
+    idx, off = [], 4  # offsets are relative to the 'movi' fourcc
+    for b in blobs:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(raw: bytes) -> dict:
+    """Minimal RIFF/AVI reader: walks the chunk tree (word-aligned, the
+    decode_wav discipline), parses avih/strh/strf, decodes every movi
+    '00dc' frame with the baseline JPEG decoder, and cross-checks each
+    decoded frame against the header dims and dwTotalFrames. MJPEG
+    video streams only — any other fccHandler/biCompression raises at
+    the declared boundary instead of mis-decoding."""
+    import struct
+
+    from ..functions.jpeg import decode_jpeg
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI container")
+
+    hdr: dict = {}
+    dc: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + length)
+            elif cid == b"avih":
+                v = struct.unpack("<14I", buf[body_start : body_start + 56])
+                hdr["total_frames"], hdr["width"], hdr["height"] = v[4], v[8], v[9]
+            elif cid == b"strh":
+                fcc_type, fcc_handler, *_rest = struct.unpack(
+                    "<4s4sIHH8I4h", buf[body_start : body_start + 56]
+                )
+                if fcc_type == b"vids":
+                    if fcc_handler != b"MJPG":
+                        raise NotImplementedError(
+                            f"only MJPEG AVI streams (handler={fcc_handler!r})"
+                        )
+                    ints = struct.unpack("<8I", buf[body_start + 16 : body_start + 48])
+                    hdr["scale"], hdr["rate"] = ints[1], ints[2]
+            elif cid == b"strf":
+                comp = buf[body_start + 16 : body_start + 20]
+                if comp != b"MJPG":
+                    raise NotImplementedError(f"only MJPG biCompression ({comp!r})")
+            elif cid == b"00dc":
+                dc.append(buf[body_start : body_start + length])
+            pos = body_start + length + (length % 2)
+
+    walk(raw, 12, len(raw))
+    if "scale" not in hdr or "total_frames" not in hdr:
+        raise ValueError("AVI missing avih or vids strh")
+    frames = [decode_jpeg(b) for b in dc]
+    if len(frames) != hdr["total_frames"]:
+        raise ValueError(
+            f"frame count mismatch: movi has {len(frames)}, avih says {hdr['total_frames']}"
+        )
+    for f in frames:
+        if f.shape[:2] != (hdr["height"], hdr["width"]):
+            raise ValueError(f"frame dims {f.shape[:2]} != header {(hdr['height'], hdr['width'])}")
+    return {
+        "width": hdr["width"],
+        "height": hdr["height"],
+        "scale": hdr["scale"],
+        "rate": hdr["rate"],
+        "frames": frames,
+    }
+
+
+def video_frame_features(docs: DataFrame) -> DataFrame:
+    """documents → MJPEG-in-AVI payload → real RIFF walk + per-frame
+    JPEG decode → one row per sampled frame, inside one Arrow-batched
+    mapInPandas. The fixture is tolerance-shaped exactly like
+    `jpeg_roundtrip_features`: every frame is flat bin-center color
+    (8k+4), so `floor(decoded_mean / 8)` survives baseline-JPEG loss
+    and the driver's exact hash gates the full container walk + codec.
+    Frame count tracks document length; dims are per-doc (one stream,
+    fixed dims); timestamps come from the DECODED strh scale/rate."""
+    import numpy as np
 
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: dict[str, list] = {k: [] for k in ("doc_id", "ts_ms", "frame_sig")}
+        rows: dict[str, list] = {
+            k: []
+            for k in ("doc_id", "frame_idx", "ts_ms", "width", "height", "qr", "qg", "qb")
+        }
         for pdf in batches:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for ts, sig in _fake_frames(text.encode("utf-8")):
-                    rows["doc_id"].append(int(doc_id))
-                    rows["ts_ms"].append(ts)
-                    rows["frame_sig"].append(sig)
+                did = int(doc_id)
+                n = min(_AVI_MAX_FRAMES, max(1, -(-len(text) // 128)))
+                h = 8 * (1 + did % 3)
+                frames = [
+                    np.full(
+                        (h, _AVI_W, 3),
+                        [
+                            8 * ((did * 37 + f * 11) % 32) + 4,
+                            8 * ((did * 53 + f * 13) % 32) + 4,
+                            8 * ((did * 71 + f * 17) % 32) + 4,
+                        ],
+                        dtype=np.uint8,
+                    )
+                    for f in range(n)
+                ]
+                dec = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+                for f, img in enumerate(dec["frames"]):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(f)
+                    rows["ts_ms"].append(f * 1000 * dec["scale"] // dec["rate"])
+                    rows["width"].append(dec["width"])
+                    rows["height"].append(img.shape[0])
+                    for key, c in zip(("qr", "qg", "qb"), range(3)):
+                        rows[key].append(int(float(img[:, :, c].mean()) // 8))
             yield pd.DataFrame(rows)
             rows = {k: [] for k in rows}
 
     return docs.select("doc_id", "text").mapInPandas(
-        batch, schema="doc_id long, ts_ms int, frame_sig int"
+        batch,
+        schema="doc_id long, frame_idx int, ts_ms int, width int, height int, "
+               "qr int, qg int, qb int",
     )
+
+
+@query(
+    "m_video_decode",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         least({_AVI_MAX_FRAMES}, greatest(1, CAST(ceil(length(text) / 128.0) AS INT))) AS nf
+  FROM documents
+),
+f AS (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM d)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 1000 // {_AVI_FPS} AS INT) AS ts_ms,
+       CAST({_AVI_W} AS INT) AS width,
+       CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+       CAST((doc_id * 37 + frame_idx * 11) % 32 AS INT) AS qr,
+       CAST((doc_id * 53 + frame_idx * 13) % 32 AS INT) AS qg,
+       CAST((doc_id * 71 + frame_idx * 17) % 32 AS INT) AS qb
+FROM f
+""",
+)
+def m_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 video path with a REAL codec end-to-end (VERDICT r5 task #4 —
+    the r5 declared stub retired): per document, build an MJPEG-in-AVI
+    container, walk the RIFF tree back, JPEG-decode every '00dc' frame,
+    and emit per-frame dims + timestamps + quantized channel means. The
+    oracle predicts every value straight from the documents table —
+    container walk, header parse, frame extraction, AND the jpeg
+    codec's marker/Huffman/dequant/IDCT path must all be correct for
+    the hash to agree (same bin-center tolerance argument as
+    `m_jpeg_decode`)."""
+    ctx = Ctx.get(spark, sf_dir)
+    return video_frame_features(ctx.tables["documents"])

@@ -113,70 +113,72 @@ class Ctx:
 # row is older than ONE round. The tail (everything past slot 50) must
 # be exactly the set recorded last round.
 #
-# CAPACITY (r6 planning): 96 registered queries leave 46 outside this
-# round's window — all r4-recorded. Next round's window must therefore
-# hold those 46 plus new/changed, i.e. AT MOST 4 new or changed
-# registered queries in round 6 without breaking the invariant. New
-# library capability beyond that budget should ship as lib + pytest
-# and join the registry the following round.
+# CAPACITY: 97 registered queries leave 47 outside this round's
+# window, so round 7 has AT MOST 3 new-or-changed registered queries
+# (47 r5-tail rows must rotate in). New library capability beyond that
+# budget ships as lib + pytest and joins the registry the following
+# round — this round that is Cypher CASE WHEN / EXISTS{} (see
+# plans/cypher.py), which registers in r7.
 _RECORD_FIRST = [
-    # ---- new this round (r5)
-    "p7_cypher_unwind",
-    "p7_cypher_union",
-    "so_dispatch_matrix",
-    "so_block_compiler",
-    "m_jpeg_decode",
-    "m_audio_decode",
-    "st_ingest_e2e",
+    # ---- new this round (r6): the MJPEG-in-AVI video codec (r5's
+    # declared stub retired)
+    "m_video_decode",
+    # ---- changed this round (r6): annealing decision mock now emits
+    # the full closed six-verb vocabulary (RENAME + NO_ACTION added);
+    # executor renamed an_execute_proposals and extended to RENAME +
+    # approved-CLEAVE rewrites; d_minhash_lsh bucket cap folded into a
+    # window count over the band exchange (plan change, same results)
     "an_annealing_cycle",
     "an_execute_proposals",
-    "ep_status_measurement",
-    # ---- changed this round (r5): skew fixture amplified + checksum
-    # column, PCA sign canonicalization (engine + oracle), Cypher
-    # compiler extended (UNWIND/collect/DISTINCT — p7_cypher_subset as
-    # the representative; all six cypher queries re-verified locally),
-    # dispatch surface extended (so_program_demo exercises legacy kinds)
-    "x2_skew_naive_join",
-    "x2_skew_salted_join",
-    "f5_projection",
-    "p7_cypher_subset",
-    "so_program_demo",
     "d_minhash_lsh",
-    # ---- last driver row is r3: rotate through the window
-    "d_embedding_neardup",
-    "j2_concepts_for_sources",
-    "j3_left_outer_enrich",
-    "j4_hydrate_ids",
-    "j5_cross_ontology_affinity",
-    "j8_stale_anti_join",
-    "j9_two_tier_matcher",
-    "a4_grounding",
-    "a7_ontology_mass",
-    "a8_ontology_coherence",
-    "a9_ontology_protection",
-    "a10_vocab_value",
-    "a11_semantic_diversity",
-    "o1_ontology_edges",
-    "g1_bfs_both_depth2_conf",
-    "g2_shortest_path",
-    "g3_k_shortest_paths",
-    "g4_subgraph",
-    "a1_degree_top20",
-    "lc_related",
-    "lc_connect_by_search",
-    "f7_centroids",
-    "t_langid_confusion",
-    "t_quality_score",
-    "t_token_counts",
-    "t_fingerprint",
-    "v8_threshold_hint",
-    "v5_smell_test",
-    "v2_chunk_search",
-    "v6_synonym_detection",
-    "v6b_merge_groups",
-    "v3_batch_cosine",
-    "md_blocks",
-    "p7_guarded_query",
+    # ---- last driver row is r4: rotate through the window (exactly
+    # the r5 non-window tail, same order)
+    "q1_pricing_summary",
+    "a2a3_confidence_score",
+    "a5_graph_stats",
+    "a6_category_distribution",
+    "a12_evidence_dedup",
+    "a13_best_chunk_per_source",
+    "a14_tfidf_naming",
+    "a15_lifetime_page",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "x1_asof_join",
+    "x2_range_join",
+    "s8_catalog_rebuild",
+    "f1_fuzzy_search",
+    "f2_regex_match",
+    "d_exact_dedup",
+    "d_simhash",
+    "d_dup_groups",
+    "p1_match_nodes",
+    "p3_epistemic_filter",
+    "p4_ontology_scope",
+    "p5_confidence_filter",
+    "p6_ordered_page",
+    "p8_strip_projection",
+    "j1_evidence_join",
+    "g1_bfs_out_depth3",
+    "m_decode_features",
+    "m_image_decode",
+    "f6_dbscan",
+    "u4_pruning_recommendations",
+    "t_corpus_filter",
+    "v1_vector_search",
+    "p7_cypher_varlen",
+    "p7_cypher_trail",
+    "p7_cypher_optional",
+    "p7_cypher_with",
+    "st_epoch_snapshot",
+    "sq_saved_query",
+    "s4_export_roundtrip",
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
+    "st_rollup",
+    "st_json_props",
 ]
 
 

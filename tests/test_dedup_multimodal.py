@@ -273,35 +273,67 @@ def test_wav_roundtrip_and_boundaries(spark):
         decode_wav(bad)
 
 
-def test_video_frame_sampling_stub(spark):
-    """Frame-sampling plumbing: deterministic fake frames per 1 KiB
-    window; real container magics refuse instead of mis-decoding."""
+def test_avi_mjpeg_roundtrip():
+    """Real MJPEG-in-AVI codec: container roundtrip preserves frame
+    count, dims, timing headers; frame pixels survive within JPEG
+    tolerance; non-AVI payloads and non-MJPEG streams refuse at the
+    declared boundary instead of mis-decoding."""
+    import struct
+
+    import numpy as np
     import pytest
 
     from knowledge_graph_system_spark.operators.multimodal import (
-        sample_video_frames,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
     )
 
-    docs = spark.createDataFrame(
-        [(1, "x" * 3000), (2, "y")], "doc_id long, text string"
+    frames = [
+        np.full((16, 16, 3), [8 * k + 4, 8 * ((k + 5) % 32) + 4, 100], dtype=np.uint8)
+        for k in (0, 13, 31)
+    ]
+    dec = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=4))
+    assert (dec["width"], dec["height"]) == (16, 16)
+    assert (dec["scale"], dec["rate"]) == (1, 4)
+    assert len(dec["frames"]) == 3
+    for orig, got in zip(frames, dec["frames"]):
+        assert got.shape == orig.shape
+        assert float(np.abs(got.astype(int) - orig.astype(int)).mean()) < 4.0
+
+    # MP4 magic is not RIFF → refuse
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_avi_mjpeg(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
+    # a RIFF/AVI with a non-MJPEG vids stream → refuse (no silent decode)
+    raw = bytearray(encode_avi_mjpeg(frames[:1]))
+    i = raw.index(b"vids")
+    raw[i + 4 : i + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        decode_avi_mjpeg(bytes(raw))
+    # corrupted frame count is caught by the avih cross-check
+    raw = bytearray(encode_avi_mjpeg(frames))
+    j = raw.index(b"avih") + 8 + 16  # dwTotalFrames
+    raw[j : j + 4] = struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="frame count"):
+        decode_avi_mjpeg(bytes(raw))
+
+
+def test_video_bin_centers_never_flip():
+    """The m_video_decode oracle's safety premise at the video fixture's
+    dims (8/16/24 high): every bin-center flat color decodes through
+    the AVI container + JPEG codec with floor(mean/8) == k."""
+    import numpy as np
+
+    from knowledge_graph_system_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
     )
-    rows = sample_video_frames(docs).collect()
-    by_doc = {}
-    for r in rows:
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    assert len(by_doc[1]) == 3  # ceil(3000/1024)
-    assert len(by_doc[2]) == 1
-    assert [r["ts_ms"] for r in sorted(by_doc[1], key=lambda r: r["ts_ms"])] == [0, 1000, 2000]
 
-    def run_real_magic():
-        bad = spark.createDataFrame(
-            [(3, "\x00\x00\x00\x18ftypisom-rest")], "doc_id long, text string"
-        )
-        return sample_video_frames(bad).collect()
-
-    from py4j.protocol import Py4JJavaError
-    with pytest.raises(Exception):
-        run_real_magic()
+    for h in (8, 16, 24):
+        frames = [np.full((h, 16, 3), 8 * k + 4, dtype=np.uint8) for k in range(32)]
+        dec = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+        for k, img in enumerate(dec["frames"]):
+            for c in range(3):
+                assert int(float(img[:, :, c].mean()) // 8) == k, (h, k, c)
 
 
 def test_jpeg_bin_centers_never_flip(spark):
