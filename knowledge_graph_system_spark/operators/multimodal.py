@@ -583,7 +583,16 @@ def m_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize a mono 16-bit PCM WAV (deterministic byte→sample map),
     parse the RIFF container back, and emit sample stats. The oracle
     recomputes every stat from the ascii codes — header parse, chunk
-    walk, and PCM decode must all be exact for the hash to agree."""
+    walk, and PCM decode must all be exact for the hash to agree.
+
+    FIXTURE ASSUMPTION (ADVICE r5): the oracle models samples as
+    per-CHARACTER codepoints while the engine encodes UTF-8 BYTES, and
+    the oracle's list_sum/len yields NULL rms on empty text where the
+    engine emits 0.0. The two agree exactly when every document is
+    non-empty pure ASCII — true of the driver's documents fixture at
+    every sf, and pinned by `test_documents_fixture_is_ascii_nonempty`
+    so a fixture change fails loudly in the suite rather than silently
+    in the driver gate."""
     ctx = Ctx.get(spark, sf_dir)
     return audio_features(ctx.tables["documents"]).withColumn(
         "rms", F.round("rms", 6)

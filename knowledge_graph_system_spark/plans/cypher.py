@@ -615,9 +615,15 @@ def _apply_unwind(
         if len({type(v) for v in vals}) > 1:
             raise GuardError("UNWIND list elements must share one type")
         arr = F.array(*[F.lit(v) for v in vals]) if vals else F.array()
-        if df is None:
+        # drop the synthetic range column ONLY when this clause created
+        # it — a user column that happens to be aliased 'id' (e.g.
+        # `WITH c.node_id AS id UNWIND [...] AS x`) must survive
+        created = df is None
+        if created:
             df = ctx.spark.range(1)
-        out = df.withColumn(alias, F.explode(arr)).drop("id")
+        out = df.withColumn(alias, F.explode(arr))
+        if created:
+            out = out.drop("id")
     else:
         if df is None:
             raise GuardError("UNWIND of a reference needs a preceding clause")

@@ -109,26 +109,34 @@ def streaming_ingest(spark: SparkSession, sf_dir: str, doc_limit: int = _DOC_LIM
         w2.withColumn("epoch", F.lit(2)).select(out_cols) \
             .write.mode("append").parquet(concept_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
 
-    epochs = spark.read.parquet(epoch_dir)
-    committed = (
-        epochs.filter(F.col("status") == "complete")
-        .agg(F.max("epoch").alias("c"))
-        .collect()[0]["c"]
-    )
-    committed = -1 if committed is None else committed
-    return (
-        spark.read.parquet(concept_dir)
-        .filter(F.col("epoch") <= committed)
-        .drop("embedding")
-    )
+        epochs = spark.read.parquet(epoch_dir)
+        committed = (
+            epochs.filter(F.col("status") == "complete")
+            .agg(F.max("epoch").alias("c"))
+            .collect()[0]["c"]
+        )
+        committed = -1 if committed is None else committed
+        # eager checkpoint: the snapshot must not depend on the working
+        # dir once it is removed below (ADVICE r5: mkdtemp leak)
+        return (
+            spark.read.parquet(concept_dir)
+            .filter(F.col("epoch") <= committed)
+            .drop("embedding")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _oracle() -> str:

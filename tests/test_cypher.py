@@ -220,6 +220,21 @@ def test_unwind_literal_prologue(cctx):
     ]
 
 
+def test_unwind_literal_preserves_user_id_column(cctx):
+    """ADVICE r5: a literal UNWIND after WITH must not drop a user
+    column that happens to be aliased 'id' — only the synthetic
+    spark.range column (created when UNWIND opens the query) is
+    dropped."""
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer {node_id: 'C1'}) "
+        "WITH c.node_id AS id "
+        "UNWIND [10, 20] AS x "
+        "RETURN id, x",
+    ).collect()
+    assert sorted((r["id"], r["x"]) for r in out) == [("C1", 10), ("C1", 20)]
+
+
 def test_unwind_collect_roundtrip(cctx):
     out = compile_cypher(
         cctx,

@@ -242,6 +242,26 @@ def test_jpeg_progressive_rejected():
         decode_jpeg(sof2)
 
 
+def test_documents_fixture_is_ascii_nonempty(spark):
+    """The m_audio_decode oracle's fixture assumption (ADVICE r5),
+    pinned: every document at the driver's gate scale factors is
+    non-empty pure ASCII, so the oracle's per-character codepoint model
+    matches the engine's UTF-8 byte encoding and its list_sum rms is
+    never NULL. If the fixture ever changes, this fails in the suite
+    instead of hash-mismatching in the driver gate."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.registry import Ctx
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = Ctx.get(spark, sf).tables["documents"]
+        bad = docs.filter(
+            (F.length("text") == 0) | (F.length("text").isNull())
+            | (F.octet_length("text") != F.length("text"))
+        ).count()
+        assert bad == 0, f"non-ASCII or empty document in {sf}"
+
+
 def test_wav_roundtrip_and_boundaries(spark):
     """Real RIFF/WAVE codec: exact roundtrip stats; declared boundaries
     raise instead of mis-decoding."""
