@@ -25,9 +25,14 @@ Supported subset (clause sequence):
         AND / OR with standard precedence (OR looser; no parentheses)
         string predicates: x STARTS WITH 'p' | ENDS WITH | CONTAINS
         null predicates: x IS NULL | x IS NOT NULL
+        [NOT] EXISTS { [MATCH] <pattern> [WHERE ...] }  correlated
+        semi/anti-join on shared node vars; must be a top-level AND
+        conjunct; uncorrelated EXISTS and EXISTS under OR rejected
   RETURN [DISTINCT] a.prop [AS x],
          count(*)/count|sum|avg|min|max|collect([DISTINCT] ref) [AS x]
          implicit Cypher grouping: non-aggregate items are the keys
+         CASE WHEN cond THEN val ... [ELSE val] END AS x  (generic
+         form only; conditions reuse the WHERE grammar; also in WITH)
   UNWIND [lit, ...] AS x | UNWIND listref AS x   explode: one row per
          element; listref may be a WITH alias bound to collect(...).
          May open the query (UNWIND [..] AS x MATCH ...).
@@ -190,6 +195,47 @@ def _literal_spans(s: str) -> list[tuple[int, int]]:
         else:
             i += 1
     return spans
+
+
+def _brace_depths(s: str) -> list[int]:
+    """Curly-brace nesting depth at each position (literal-aware):
+    property maps and EXISTS{} bodies sit at depth > 0."""
+    spans = _literal_spans(s)
+    depths, d = [0] * len(s), 0
+    for i, ch in enumerate(s):
+        if not any(a <= i < b for a, b in spans):
+            if ch == "{":
+                d += 1
+            elif ch == "}":
+                d = max(0, d - 1)
+                depths[i] = d
+                continue
+        depths[i] = d
+    return depths
+
+
+def _matches_outside_braces(s: str, pat: re.Pattern) -> list[re.Match]:
+    """Matches outside string literals AND outside {...} — clause
+    keywords inside an EXISTS{} body or a property map are not clause
+    boundaries."""
+    spans = _literal_spans(s)
+    depths = _brace_depths(s)
+    return [
+        m
+        for m in pat.finditer(s)
+        if not any(a <= m.start() < b for a, b in spans)
+        and depths[m.start()] == 0
+    ]
+
+
+def _split_outside_braces(s: str, sep: re.Pattern) -> list[str]:
+    cuts = _matches_outside_braces(s, sep)
+    out, pos = [], 0
+    for m in cuts:
+        out.append(s[pos : m.start()])
+        pos = m.end()
+    out.append(s[pos:])
+    return [p.strip() for p in out]
 
 
 def _matches_outside_literals(s: str, pat: re.Pattern) -> list[re.Match]:
@@ -431,7 +477,8 @@ def _split_clauses(executable: str) -> list[tuple[str, str]]:
     """Split into (kind, body) pairs; kinds: match | optional match |
     with | return. The RETURN body keeps its ORDER BY / LIMIT tail."""
     kws = [
-        m for m in _matches_outside_literals(executable, _CLAUSE_KW)
+        # brace-aware: MATCH/WHERE inside an EXISTS{} body is not a clause
+        m for m in _matches_outside_braces(executable, _CLAUSE_KW)
         # `STARTS WITH` / `ENDS WITH` string predicates contain the WITH
         # token — a `with` preceded by starts/ends is not a clause start
         if not (
@@ -455,6 +502,115 @@ def _split_clauses(executable: str) -> list[tuple[str, str]]:
     return clauses
 
 
+_EXISTS_OPEN = re.compile(r"(?P<neg>\bnot\s+)?\bexists\s*\{", re.IGNORECASE)
+
+
+def _extract_exists(where_text: str) -> tuple[str | None, list[tuple[bool, str]]]:
+    """Pull `[NOT] EXISTS { ... }` terms out of a WHERE expression.
+
+    Returns (residual WHERE or None, [(negated, body), ...]). EXISTS
+    terms must be top-level conjuncts — under OR the semi-join rewrite
+    is invalid, so that fails closed. Brace matching is literal-aware
+    (property maps inside the pattern nest)."""
+    spans = _literal_spans(where_text)
+    terms: list[tuple[bool, str]] = []
+    pieces: list[str] = []
+    pos = 0
+    while True:
+        ms = [
+            m for m in _EXISTS_OPEN.finditer(where_text, pos)
+            if not any(a <= m.start() < b for a, b in spans)
+        ]
+        if not ms:
+            pieces.append(where_text[pos:])
+            break
+        m = ms[0]
+        depth, i = 1, m.end()
+        while i < len(where_text) and depth:
+            if not any(a <= i < b for a, b in spans):
+                if where_text[i] == "{":
+                    depth += 1
+                elif where_text[i] == "}":
+                    depth -= 1
+            i += 1
+        if depth:
+            raise GuardError(f"unbalanced EXISTS braces: {where_text!r}")
+        terms.append((m.group("neg") is not None, where_text[m.end() : i - 1].strip()))
+        pieces.append(where_text[pos : m.start()])
+        pieces.append(" __exists__ ")  # placeholder for conjunct check
+        pos = i
+    flat = "".join(pieces)
+    if terms and _matches_outside_literals(flat, _OR_SPLIT):
+        raise GuardError("EXISTS{} must be a top-level AND conjunct, not under OR")
+    conjuncts = [
+        c for c in _split_outside_literals(flat, _AND_SPLIT)
+        if c and c != "__exists__"
+    ]
+    if any("__exists__" in c for c in conjuncts):
+        raise GuardError("EXISTS{} must be a whole conjunct")
+    residual = " AND ".join(conjuncts) if conjuncts else None
+    return residual, terms
+
+
+def _apply_exists(
+    ctx: Ctx,
+    df: DataFrame,
+    scope: _Scope,
+    terms: list[tuple[bool, str]],
+    anon: int,
+) -> tuple[DataFrame, int]:
+    """Apply `[NOT] EXISTS { [MATCH] pattern [WHERE conds] }` terms as
+    correlated left-semi / left-anti joins on the shared node
+    variables. Mirrors the reference's guarded read surface, which
+    accepts arbitrary read Cypher including EXISTS subqueries
+    (`api/app/services/cypher_guard.py:31-46` rejects only writes and
+    unbounded paths)."""
+    for negated, ex_body in terms:
+        inner = re.sub(r"^\s*match\b", "", ex_body, flags=re.IGNORECASE).strip()
+        iparts = _split_outside_literals(inner, _WHERE_SPLIT)
+        if len(iparts) > 2:
+            raise GuardError("multiple WHERE inside EXISTS{}")
+        pat_text = iparts[0]
+        sub_where = iparts[1] if len(iparts) > 1 else None
+        sub_scope = _Scope()
+        sub_df, entries, pat_nodes, edge_vars, anon = _compile_pattern(
+            ctx, sub_scope, pat_text, anon
+        )
+        sub_scope.cols.update(entries)
+        sub_scope.node_vars.update(pat_nodes)
+        sub_scope.all_vars.update(pat_nodes + edge_vars)
+        if sub_where:
+            sub_df = sub_df.filter(_compile_where(sub_scope, sub_where))
+        for v in edge_vars:
+            if v in scope.all_vars:
+                raise GuardError(
+                    f"EXISTS{{}} edge variable {v!r} shadows an outer variable"
+                )
+        for v in pat_nodes:
+            if v in scope.all_vars and v not in scope.node_vars:
+                raise GuardError(
+                    f"EXISTS{{}} variable {v!r} shadows a non-node outer alias"
+                )
+        shared = [v for v in pat_nodes if v in scope.node_vars]
+        if not shared:
+            raise GuardError(
+                "EXISTS{} pattern must share a node variable with the outer "
+                "clauses (uncorrelated EXISTS is rejected)"
+            )
+        keys = sub_df.select(
+            *[F.col(f"{v}__node_id").alias(f"__ex_{v}") for v in shared]
+        )
+        on = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(scope.resolve(f"{v}.node_id")) == F.col(f"__ex_{v}")
+                for v in shared
+            ],
+        )
+        df = df.join(keys, on, "left_anti" if negated else "left_semi")
+    return df, anon
+
+
 def _apply_match(
     ctx: Ctx,
     df: DataFrame | None,
@@ -463,10 +619,18 @@ def _apply_match(
     optional: bool,
     anon: int,
 ) -> tuple[DataFrame, int]:
-    parts = _split_outside_literals(body, _WHERE_SPLIT)
+    parts = _split_outside_braces(body, _WHERE_SPLIT)
     if len(parts) > 2:
         raise GuardError("multiple WHERE in one clause")
     pattern_text, where_text = parts[0], parts[1] if len(parts) > 1 else None
+
+    exists_terms: list[tuple[bool, str]] = []
+    if where_text:
+        where_text, exists_terms = _extract_exists(where_text)
+        if exists_terms and optional:
+            raise GuardError(
+                "EXISTS{} inside OPTIONAL MATCH WHERE is not supported"
+            )
 
     pf, entries, pat_nodes, edge_vars, anon = _compile_pattern(
         ctx, scope, pattern_text, anon
@@ -483,6 +647,8 @@ def _apply_match(
         out = pf
         if where_text:
             out = out.filter(_compile_where(scope, where_text))
+        if exists_terms:
+            out, anon = _apply_exists(ctx, out, scope, exists_terms, anon)
         return out, anon
 
     if not shared:
@@ -506,6 +672,8 @@ def _apply_match(
         scope.cols.update(entries)
         scope.node_vars.update(pat_nodes)
         scope.all_vars.update(pat_nodes + edge_vars)
+        if exists_terms:
+            out, anon = _apply_exists(ctx, out, scope, exists_terms, anon)
         return out, anon
     # rename shared vars' columns in the pattern frame so the join can
     # reference both sides by name; drop the duplicates after the join
@@ -542,6 +710,8 @@ def _apply_match(
     })
     scope.node_vars.update(new_nodes)
     scope.all_vars.update(new_nodes + edge_vars)
+    if exists_terms:
+        out, anon = _apply_exists(ctx, out, scope, exists_terms, anon)
     return out, anon
 
 
@@ -820,10 +990,71 @@ def _find_op_outside_literals(s: str, op: str) -> int:
     return -1
 
 
+_CASE_TOKEN = re.compile(r"\b(case|when|then|else|end)\b", re.IGNORECASE)
+
+
+def _value_expr(scope: _Scope, text: str):
+    """A CASE branch value: an in-scope reference or a literal."""
+    text = text.strip()
+    if _REF.fullmatch(text):
+        return F.col(scope.resolve(text))
+    return F.lit(_parse_literal(text))
+
+
+def _compile_case(scope: _Scope, body: str):
+    """Generic-form `CASE WHEN cond THEN val ... [ELSE val] END` →
+    chained F.when. Conditions reuse the full WHERE grammar; values are
+    references or literals. Simple-form CASE (an operand between CASE
+    and WHEN) and nested CASE fail closed. Without ELSE the result is
+    NULL, per openCypher."""
+    toks = _matches_outside_literals(body, _CASE_TOKEN)
+    kinds = [t.group(1).lower() for t in toks]
+    if kinds.count("case") > 1:
+        raise GuardError("nested CASE is not supported")
+    if kinds[0] != "case" or kinds[-1] != "end" or toks[-1].end() < len(body.rstrip()):
+        raise GuardError(f"malformed CASE expression: {body!r}")
+    if kinds[1] != "when" or body[toks[0].end() : toks[1].start()].strip():
+        raise GuardError(
+            "simple-form CASE (CASE expr WHEN ...) is not supported — "
+            "use CASE WHEN expr = val THEN ..."
+        )
+    expr, i = None, 1
+    branches: list[tuple] = []
+    else_val = None
+    while i < len(toks) - 1:
+        if kinds[i] == "when":
+            if i + 1 >= len(toks) or kinds[i + 1] != "then":
+                raise GuardError("CASE WHEN needs a THEN")
+            cond_text = body[toks[i].end() : toks[i + 1].start()]
+            val_end = toks[i + 2].start() if i + 2 < len(toks) else toks[-1].start()
+            val_text = body[toks[i + 1].end() : val_end]
+            branches.append((_compile_where(scope, cond_text), _value_expr(scope, val_text)))
+            i += 2
+        elif kinds[i] == "else":
+            else_val = _value_expr(scope, body[toks[i].end() : toks[i + 1].start()])
+            if kinds[i + 1] != "end":
+                raise GuardError("ELSE must be the last CASE branch")
+            i += 1
+        else:
+            raise GuardError(f"malformed CASE expression: {body!r}")
+    if not branches:
+        raise GuardError("CASE needs at least one WHEN branch")
+    expr = F.when(branches[0][0], branches[0][1])
+    for cond, val in branches[1:]:
+        expr = expr.when(cond, val)
+    if else_val is not None:
+        expr = expr.otherwise(else_val)
+    return expr
+
+
 def _compile_item(scope: _Scope, part: str) -> _Item:
     m = re.match(r"^(?P<body>.+?)(?:\s+as\s+(?P<alias>\w+))?$", part.strip(),
                  re.IGNORECASE | re.DOTALL)
     body, alias = m.group("body").strip(), m.group("alias")
+    if re.match(r"^\s*case\b", body, re.IGNORECASE):
+        if alias is None:
+            raise GuardError(f"CASE expressions need an alias (AS ...): {part!r}")
+        return _Item(_compile_case(scope, body), alias, False)
     am = re.match(
         r"^(?P<fn>\w+)\s*\(\s*(?P<distinct>distinct\s+)?"
         r"(?P<arg>\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",

@@ -403,3 +403,154 @@ def test_is_null_predicates(cctx):
     assert got_null == e.filter(F.col("confidence").isNull()).count()
     assert got_notnull == e.filter(F.col("confidence").isNotNull()).count()
     assert got_null > 0 and got_notnull > 0
+
+
+# ---------------------------------------------------------------------------
+# CASE WHEN + EXISTS{} (r6, lib-level — driver registration lands in r7)
+# ---------------------------------------------------------------------------
+
+
+def test_case_when_in_return(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) "
+        "RETURN c.node_id AS id, "
+        "CASE WHEN c.weight > 5000 THEN 'rich' "
+        "WHEN c.weight > 0 THEN 'ok' ELSE 'broke' END AS tier",
+    )
+    expect = (
+        cctx.nodes.filter(F.col("label") == "Customer")
+        .select(
+            F.col("node_id").alias("id"),
+            F.when(F.col("weight") > 5000, "rich")
+            .when(F.col("weight") > 0, "ok")
+            .otherwise("broke")
+            .alias("tier"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_case_without_else_yields_null(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) "
+        "RETURN c.node_id AS id, "
+        "CASE WHEN c.ontology = 'BUILDING' THEN 1 END AS flag",
+    ).collect()
+    vals = {r["flag"] for r in out}
+    assert vals == {1, None}
+
+
+def test_case_in_with_feeds_aggregation(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) "
+        "WITH CASE WHEN c.weight > 0 THEN 'pos' ELSE 'nonpos' END AS sign "
+        "RETURN sign, count(*) AS n",
+    ).collect()
+    got = {r["sign"]: r["n"] for r in out}
+    pos = cctx.nodes.filter((F.col("label") == "Customer") & (F.col("weight") > 0)).count()
+    total = cctx.nodes.filter(F.col("label") == "Customer").count()
+    assert got.get("pos", 0) == pos and got.get("nonpos", 0) == total - pos
+
+
+def test_case_rejections(cctx):
+    for q, msg in [
+        ("MATCH (c) RETURN CASE WHEN c.weight > 0 THEN 1 END", "alias"),
+        ("MATCH (c) RETURN CASE c.ontology WHEN 'A' THEN 1 END AS x", "simple-form"),
+        ("MATCH (c) RETURN CASE WHEN c.weight > 0 THEN "
+         "CASE WHEN c.weight > 1 THEN 2 END END AS x", "nested"),
+        ("MATCH (c) RETURN CASE WHEN c.weight > 0 THEN 1 AS x", "malformed"),
+        ("MATCH (c) RETURN CASE ELSE 1 END AS x", "simple-form|malformed|WHEN"),
+    ]:
+        with pytest.raises(GuardError, match=msg):
+            compile_cypher(cctx, q)
+
+
+def test_exists_semi_join(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) WHERE EXISTS { (c)-[:PLACED]->(o:Order) } "
+        "RETURN c.node_id AS id",
+    )
+    placed = (
+        cctx.edges.filter(F.col("rel_type") == "PLACED")
+        .select(F.col("src").alias("node_id"))
+        .distinct()
+    )
+    expect = (
+        cctx.nodes.filter(F.col("label") == "Customer")
+        .join(placed, "node_id", "left_semi")
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["node_id"] for r in expect.collect()
+    )
+
+
+def test_not_exists_anti_join(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) WHERE NOT EXISTS { (c)-[:PLACED]->(o:Order) } "
+        "RETURN c.node_id AS id",
+    )
+    placed = (
+        cctx.edges.filter(F.col("rel_type") == "PLACED")
+        .select(F.col("src").alias("node_id"))
+        .distinct()
+    )
+    expect = (
+        cctx.nodes.filter(F.col("label") == "Customer")
+        .join(placed, "node_id", "left_anti")
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["node_id"] for r in expect.collect()
+    )
+
+
+def test_exists_with_match_keyword_and_inner_where(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) "
+        "WHERE c.ontology = 'BUILDING' "
+        "AND EXISTS { MATCH (c)-[:PLACED]->(o:Order) WHERE o.ontology = '1-URGENT' } "
+        "RETURN c.node_id AS id",
+    )
+    urgent_orders = cctx.nodes.filter(
+        (F.col("label") == "Order") & (F.col("ontology") == "1-URGENT")
+    ).select(F.col("node_id").alias("dst"))
+    srcs = (
+        cctx.edges.filter(F.col("rel_type") == "PLACED")
+        .join(urgent_orders, "dst", "left_semi")
+        .select(F.col("src").alias("node_id"))
+        .distinct()
+    )
+    expect = (
+        cctx.nodes.filter(
+            (F.col("label") == "Customer") & (F.col("ontology") == "BUILDING")
+        ).join(srcs, "node_id", "left_semi")
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["node_id"] for r in expect.collect()
+    )
+
+
+def test_exists_rejections(cctx):
+    for q, msg in [
+        # uncorrelated
+        ("MATCH (c:Customer) WHERE EXISTS { (s:Supplier) } RETURN c.node_id AS id",
+         "share a node variable"),
+        # under OR
+        ("MATCH (c:Customer) WHERE c.weight > 0 OR "
+         "EXISTS { (c)-[:PLACED]->(o) } RETURN c.node_id AS id",
+         "not under OR"),
+        # inside OPTIONAL MATCH WHERE
+        ("MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+         "WHERE EXISTS { (o)-[:L0]->(p) } RETURN c.node_id AS id",
+         "OPTIONAL MATCH"),
+        # unbalanced braces
+        ("MATCH (c:Customer) WHERE EXISTS { (c)-[:PLACED]->(o:Order) "
+         "RETURN c.node_id AS id", "unbalanced|must end"),
+    ]:
+        with pytest.raises(GuardError, match=msg):
+            compile_cypher(cctx, q)
