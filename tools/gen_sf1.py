@@ -13,9 +13,14 @@ pairs quadratically (measured: >100x slowdown). Replica 0 keeps the
 original texts, so the source data's true near-dup pairs survive
 unchanged; total shingle/minhash volume still scales 10x.
 
+Events tile 10x users into the same wall-clock window (more concurrent
+sessions — the realistic stream scale-up); embeddings tile 10x vectors
+with a tiny per-replica direction perturbation (same labels, so IVF
+cell populations grow 10x like clustered real data).
+
 Usage: python tools/gen_sf1.py [out_dir]       (default /tmp/kg_sf1)
-Writes documents/customer/supplier/part/orders/lineitem parquet.
-Deterministic; ~170 MB; /root/testdata is never written.
+Writes every probe table as parquet (region/nation copied as-is).
+Deterministic; ~180 MB; /root/testdata is never written.
 """
 
 from __future__ import annotations
@@ -79,11 +84,42 @@ COPY (
 ) TO '{out_dir}/documents.parquet' (FORMAT parquet)
 """
     )
-    # shared dims / streams the probe queries don't scale: copy as-is
+    # events: 10x users in the same wall-clock window (the realistic
+    # stream scale-up — more concurrent sessions, not a longer tape);
+    # event_id offset keeps ids unique, user_id offset keeps replica
+    # sessions from merging
+    con.execute(
+        f"""
+COPY (
+  SELECT event_id + r * 100000 AS event_id, ts,
+         user_id + r * 1500 AS user_id, event_type, value, props
+  FROM '{SRC}/events.parquet', reps
+) TO '{out_dir}/events.parquet' (FORMAT parquet)
+"""
+    )
+    # embeddings: 10x vectors; replicas keep their label (IVF cell
+    # populations grow 10x — the clustered-data read) and get a tiny
+    # per-replica, per-dimension direction perturbation so copies are
+    # near- but not exact-duplicates (pure scaling would leave cosines
+    # bit-identical and make top-k tie-degenerate)
+    con.execute(
+        f"""
+COPY (
+  SELECT vec_id + r * 2000 AS vec_id,
+         CASE WHEN r = 0 THEN embedding ELSE
+           list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+                          t -> CAST(t[1] * (1.0 + 0.0001 * r * t[2]) AS FLOAT))
+         END AS embedding,
+         label
+  FROM '{SRC}/embeddings.parquet', reps
+) TO '{out_dir}/embeddings.parquet' (FORMAT parquet)
+"""
+    )
+    # shared dims the probe queries don't scale: copy as-is
     # (nation/region keys are referenced unchanged by the tiled tables)
     import shutil
 
-    for table in ("region", "nation", "events", "embeddings"):
+    for table in ("region", "nation"):
         shutil.copy(f"{SRC}/{table}.parquet", f"{out_dir}/{table}.parquet")
     print("wrote", out_dir)
 
