@@ -34,9 +34,26 @@ HEADLINE = [
 ]
 
 
+def wait_for_idle(max_wait_s: int = 180, target_load: float = 2.0) -> float:
+    """Idle-host protocol (VERDICT r5 #8): BENCH was load-contaminated
+    in 3 of 5 rounds because it ran right after 32-core test suites.
+    Wait (bounded) for loadavg_1m to drop below `target_load` before
+    measuring; the artifact records how long we waited so a still-hot
+    start is visible rather than silent."""
+    waited = 0.0
+    try:
+        while os.getloadavg()[0] >= target_load and waited < max_wait_s:
+            time.sleep(10)
+            waited += 10
+    except (OSError, AttributeError):
+        pass
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    idle_wait_s = wait_for_idle()
 
     from knowledge_graph_system_spark.registry import load_all
     from knowledge_graph_system_spark.session import get_spark
@@ -107,6 +124,7 @@ def main() -> None:
                     "cpu_probe_worst_s": round(max(probes), 3),
                     "loadavg_1m": round(load1, 2),
                     "loadavg_5m": round(load5, 2),
+                    "idle_wait_s": idle_wait_s,
                     "cpus": os.cpu_count(),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
