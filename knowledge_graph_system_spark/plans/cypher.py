@@ -21,21 +21,28 @@ Supported subset (clause sequence):
   WITH item [AS x], ...  [WHERE ...]              projected subquery;
          bare variables carry through, aggregates imply grouping,
          WHERE after aggregates = HAVING
-  WHERE a.prop <op> lit | a.prop <op> b.prop | alias <op> lit
-        AND / OR with standard precedence (OR looser; no parentheses)
-        string predicates: x STARTS WITH 'p' | ENDS WITH | CONTAINS
-        null predicates: x IS NULL | x IS NOT NULL
+  WHERE <expr>   full expression grammar (plans/expr.py) with standard
+        openCypher precedence: OR < XOR < AND < NOT < comparison <
+        + - < * / % < unary minus; parentheses; chained comparisons
+        (0 < x < 1); = <> < <= > >=; IS [NOT] NULL; [NOT] IN [list];
+        STARTS WITH / ENDS WITH / CONTAINS; regex =~ 'pat';
+        scalar functions (coalesce toLower toUpper trim split substring
+        left right size abs round toString ... — whitelist, fail
+        closed); CASE (generic AND simple form, nestable)
         [NOT] EXISTS { [MATCH] <pattern> [WHERE ...] }  correlated
         semi/anti-join on shared node vars; must be a top-level AND
-        conjunct; uncorrelated EXISTS and EXISTS under OR rejected
-  RETURN [DISTINCT] a.prop [AS x],
-         count(*)/count|sum|avg|min|max|collect([DISTINCT] ref) [AS x]
-         implicit Cypher grouping: non-aggregate items are the keys
-         CASE WHEN cond THEN val ... [ELSE val] END AS x  (generic
-         form only; conditions reuse the WHERE grammar; also in WITH)
-  UNWIND [lit, ...] AS x | UNWIND listref AS x   explode: one row per
-         element; listref may be a WITH alias bound to collect(...).
-         May open the query (UNWIND [..] AS x MATCH ...).
+        conjunct (a parenthesized OR *beside* it is fine); uncorrelated
+        EXISTS and EXISTS under OR rejected
+  RETURN [DISTINCT] <expr> [AS x], ...
+         aggregates count(*)/count|sum|avg|min|max|collect|stDev|stDevP
+         ([DISTINCT]) over any non-aggregate expression; arithmetic ON
+         aggregates (sum(x)/count(*)); implicit Cypher grouping:
+         non-aggregate items are the keys; bare refs and simple
+         aggregates keep default aliases, other expressions need AS
+  UNWIND [lit, ...] AS x | UNWIND listexpr AS x  explode: one row per
+         element; listexpr may be a WITH collect(...) alias or any
+         array expression (e.g. split(...)). May open the query
+         (UNWIND [..] AS x MATCH ...).
   ORDER BY item [ASC|DESC], ...   LIMIT n
   <query> UNION [ALL] <query>                     same column names;
          UNION dedups; mixing UNION/UNION ALL rejected; ORDER BY/LIMIT
@@ -81,6 +88,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
+from .expr import compile_expr
 from .guard import GuardError, scan_statement
 
 MAX_VAR_PATH = 10  # reference MAX_VARIABLE_PATH_LENGTH (V030)
@@ -118,11 +126,7 @@ _EDGE_PAT = re.compile(
 )
 
 _LITERAL = re.compile(r"'(?:[^']|'')*'|-?\d+(?:\.\d+)?|true|false", re.IGNORECASE)
-_CMP_OPS = ("<>", "<=", ">=", "=", "<", ">")
-_AGGS = {
-    "count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
-    "collect": F.collect_list,
-}
+_AGG_NAMES = {"count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp"}
 _REF = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
 
 
@@ -244,6 +248,46 @@ def _matches_outside_literals(s: str, pat: re.Pattern) -> list[re.Match]:
         m for m in pat.finditer(s)
         if not any(a <= m.start() < b for a, b in spans)
     ]
+
+
+def _nesting_depths(s: str) -> list[int]:
+    """Combined ()/[]/{} nesting depth at each position (literal-aware)."""
+    spans = _literal_spans(s)
+    depths, d = [0] * len(s), 0
+    for i, ch in enumerate(s):
+        if not any(a <= i < b for a, b in spans):
+            if ch in "([{":
+                d += 1
+            elif ch in ")]}":
+                d = max(0, d - 1)
+                depths[i] = d
+                continue
+        depths[i] = d
+    return depths
+
+
+def _matches_outside_nesting(s: str, pat: re.Pattern) -> list[re.Match]:
+    """Matches outside literals AND outside any ()/[]/{} nesting —
+    item commas inside function calls / list literals, and AND/OR
+    inside parenthesized conditions, are not split points."""
+    spans = _literal_spans(s)
+    depths = _nesting_depths(s)
+    return [
+        m
+        for m in pat.finditer(s)
+        if not any(a <= m.start() < b for a, b in spans)
+        and depths[m.start()] == 0
+    ]
+
+
+def _split_outside_nesting(s: str, sep: re.Pattern) -> list[str]:
+    cuts = _matches_outside_nesting(s, sep)
+    out, pos = [], 0
+    for m in cuts:
+        out.append(s[pos : m.start()])
+        pos = m.end()
+    out.append(s[pos:])
+    return [p.strip() for p in out if p.strip()]
 
 
 def _split_outside_literals(s: str, sep: re.Pattern) -> list[str]:
@@ -540,10 +584,12 @@ def _extract_exists(where_text: str) -> tuple[str | None, list[tuple[bool, str]]
         pieces.append(" __exists__ ")  # placeholder for conjunct check
         pos = i
     flat = "".join(pieces)
-    if terms and _matches_outside_literals(flat, _OR_SPLIT):
+    # nesting-aware: OR/AND inside a parenthesized condition is not a
+    # top-level connective — `(a OR b) AND EXISTS {...}` is legal
+    if terms and _matches_outside_nesting(flat, _OR_SPLIT):
         raise GuardError("EXISTS{} must be a top-level AND conjunct, not under OR")
     conjuncts = [
-        c for c in _split_outside_literals(flat, _AND_SPLIT)
+        c for c in _split_outside_nesting(flat, _AND_SPLIT)
         if c and c != "__exists__"
     ]
     if any("__exists__" in c for c in conjuncts):
@@ -726,7 +772,7 @@ def _apply_with(
     new = _Scope()
     key_cols: list = []   # carried/projected (grouping keys when aggregating)
     agg_cols: list = []
-    for part in _split_outside_literals(items_text, re.compile(r",")):
+    for part in _split_outside_nesting(items_text, re.compile(r",")):
         m = re.match(r"^(?P<body>.+?)(?:\s+as\s+(?P<alias>\w+))?$", part,
                      re.IGNORECASE | re.DOTALL)
         b, alias = m.group("body").strip(), m.group("alias")
@@ -797,9 +843,9 @@ def _apply_unwind(
     else:
         if df is None:
             raise GuardError("UNWIND of a reference needs a preceding clause")
-        if not _REF.fullmatch(expr):
-            raise GuardError(f"unsupported UNWIND expression {expr!r}")
-        out = df.withColumn(alias, F.explode(F.col(scope.resolve(expr))))
+        # any array-typed expression: a collect() alias, split(...), etc.
+        col, _ = compile_expr(scope, expr, allow_agg=False)
+        out = df.withColumn(alias, F.explode(col))
     scope.cols[alias] = alias
     scope.all_vars.add(alias)
     return out
@@ -873,7 +919,7 @@ def _compile_single(ctx: Ctx, executable: str) -> DataFrame:
         ret_text = dm.group("rest")
     items = [
         _compile_item(scope, part)
-        for part in _split_outside_literals(ret_text, re.compile(r","))
+        for part in _split_outside_nesting(ret_text, re.compile(r","))
     ]
     has_agg = any(it.is_agg for it in items)
     if has_agg:
@@ -888,7 +934,7 @@ def _compile_single(ctx: Ctx, executable: str) -> DataFrame:
     by = []
     if tail.group("order"):
         aliases = {it.alias: it for it in items}
-        for part in _split_outside_literals(tail.group("order"), re.compile(r",")):
+        for part in _split_outside_nesting(tail.group("order"), re.compile(r",")):
             m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", part.strip(), re.IGNORECASE)
             ref = m.group(1).strip()
             if ref in aliases:
@@ -899,9 +945,9 @@ def _compile_single(ctx: Ctx, executable: str) -> DataFrame:
                     "aggregating or using RETURN DISTINCT"
                 )
             else:
-                # ordering by a non-returned property: sort BEFORE the
-                # projection drops it (Cypher allows this)
-                col = F.col(scope.resolve(ref))
+                # ordering by a non-returned expression: sort BEFORE the
+                # projection drops its inputs (Cypher allows this)
+                col, _ = compile_expr(scope, ref, allow_agg=False)
             by.append(col.desc() if (m.group(2) or "").lower() == "desc" else col.asc())
     if by:
         df = df.orderBy(*by)
@@ -912,183 +958,48 @@ def _compile_single(ctx: Ctx, executable: str) -> DataFrame:
     return df
 
 
-_STR_PRED = re.compile(
-    r"\b(?P<op>starts\s+with|ends\s+with|contains)\b", re.IGNORECASE
-)
 _OR_SPLIT = re.compile(r"\bor\b", re.IGNORECASE)
 _AND_SPLIT = re.compile(r"\band\b", re.IGNORECASE)
 
 
 def _compile_where(scope: _Scope, text: str):
-    """WHERE expression with standard precedence: OR binds looser than
-    AND (`a AND b OR c` = `(a AND b) OR c`). Parentheses are not part of
-    the subset — fail closed via the condition parser."""
-    disjuncts = []
-    for d in _split_outside_literals(text, _OR_SPLIT):
-        terms = [
-            _compile_cond(scope, c)
-            for c in _split_outside_literals(d, _AND_SPLIT)
-        ]
-        disjuncts.append(reduce(lambda a, b: a & b, terms))
-    return reduce(lambda a, b: a | b, disjuncts)
+    """WHERE/HAVING boolean expression via the full expression parser
+    (`plans/expr.py`): standard precedence (OR < XOR < AND < NOT <
+    comparison), parentheses, IS [NOT] NULL, [NOT] IN, string
+    predicates, regex `=~`, arithmetic, scalar functions, CASE.
+    Aggregates are rejected in this position."""
+    col, _ = compile_expr(scope, text, allow_agg=False)
+    return col
 
 
-_NULL_PRED = re.compile(r"\bis\s+(?P<neg>not\s+)?null\s*$", re.IGNORECASE)
-
-
-def _compile_cond(scope: _Scope, cond: str):
-    nm = _NULL_PRED.search(cond)
-    if nm:
-        # IS [NOT] NULL — the reference's own search Cypher guards on it
-        # (`api/app/lib/age_client/query.py:35-119`: embedding IS NOT NULL)
-        col = F.col(scope.resolve(cond[: nm.start()]))
-        return col.isNotNull() if nm.group("neg") else col.isNull()
-    sp = _matches_outside_literals(cond, _STR_PRED)
-    if sp:
-        m = sp[0]
-        lhs = F.col(scope.resolve(cond[: m.start()]))
-        rhs = _parse_literal(cond[m.end():])
-        if not isinstance(rhs, str):
-            raise GuardError(
-                f"string predicate needs a string literal: {cond!r}"
-            )
-        op = re.sub(r"\s+", " ", m.group("op").lower())
-        return {
-            "starts with": lhs.startswith(rhs),
-            "ends with": lhs.endswith(rhs),
-            "contains": lhs.contains(rhs),
-        }[op]
-    for op in _CMP_OPS:
-        # careful: '<=' before '<' (ordered in _CMP_OPS)
-        idx = _find_op_outside_literals(cond, op)
-        if idx >= 0:
-            lhs = F.col(scope.resolve(cond[:idx]))
-            rtxt = cond[idx + len(op):].strip()
-            rhs = (
-                F.col(scope.resolve(rtxt))
-                if re.fullmatch(r"[A-Za-z_]\w*\.[A-Za-z_]\w*", rtxt)
-                else F.lit(_parse_literal(rtxt))
-            )
-            return {
-                "=": lhs == rhs, "<>": lhs != rhs, "<": lhs < rhs,
-                "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
-            }[op]
-    raise GuardError(f"unsupported condition {cond!r}")
-
-
-def _find_op_outside_literals(s: str, op: str) -> int:
-    spans = _literal_spans(s)
-    i = s.find(op)
-    while i >= 0:
-        if not any(a <= i < b for a, b in spans):
-            # don't mis-split '<>' / '<=' / '>=' at their middle char
-            if op in ("<", ">") and i + 1 < len(s) and s[i + 1] in "=>":
-                i = s.find(op, i + 2)
-                continue
-            return i
-        i = s.find(op, i + 1)
-    return -1
-
-
-_CASE_TOKEN = re.compile(r"\b(case|when|then|else|end)\b", re.IGNORECASE)
-
-
-def _value_expr(scope: _Scope, text: str):
-    """A CASE branch value: an in-scope reference or a literal."""
-    text = text.strip()
-    if _REF.fullmatch(text):
-        return F.col(scope.resolve(text))
-    return F.lit(_parse_literal(text))
-
-
-def _compile_case(scope: _Scope, body: str):
-    """Generic-form `CASE WHEN cond THEN val ... [ELSE val] END` →
-    chained F.when. Conditions reuse the full WHERE grammar; values are
-    references or literals. Simple-form CASE (an operand between CASE
-    and WHEN) and nested CASE fail closed. Without ELSE the result is
-    NULL, per openCypher."""
-    toks = _matches_outside_literals(body, _CASE_TOKEN)
-    kinds = [t.group(1).lower() for t in toks]
-    if kinds.count("case") > 1:
-        raise GuardError("nested CASE is not supported")
-    if kinds[0] != "case" or kinds[-1] != "end" or toks[-1].end() < len(body.rstrip()):
-        raise GuardError(f"malformed CASE expression: {body!r}")
-    if kinds[1] != "when" or body[toks[0].end() : toks[1].start()].strip():
-        raise GuardError(
-            "simple-form CASE (CASE expr WHEN ...) is not supported — "
-            "use CASE WHEN expr = val THEN ..."
-        )
-    expr, i = None, 1
-    branches: list[tuple] = []
-    else_val = None
-    while i < len(toks) - 1:
-        if kinds[i] == "when":
-            if i + 1 >= len(toks) or kinds[i + 1] != "then":
-                raise GuardError("CASE WHEN needs a THEN")
-            cond_text = body[toks[i].end() : toks[i + 1].start()]
-            val_end = toks[i + 2].start() if i + 2 < len(toks) else toks[-1].start()
-            val_text = body[toks[i + 1].end() : val_end]
-            branches.append((_compile_where(scope, cond_text), _value_expr(scope, val_text)))
-            i += 2
-        elif kinds[i] == "else":
-            else_val = _value_expr(scope, body[toks[i].end() : toks[i + 1].start()])
-            if kinds[i + 1] != "end":
-                raise GuardError("ELSE must be the last CASE branch")
-            i += 1
-        else:
-            raise GuardError(f"malformed CASE expression: {body!r}")
-    if not branches:
-        raise GuardError("CASE needs at least one WHEN branch")
-    expr = F.when(branches[0][0], branches[0][1])
-    for cond, val in branches[1:]:
-        expr = expr.when(cond, val)
-    if else_val is not None:
-        expr = expr.otherwise(else_val)
-    return expr
+_SIMPLE_AGG = re.compile(
+    r"^(?P<fn>\w+)\s*\(\s*(?:distinct\s+)?"
+    r"(?P<arg>\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
+    re.IGNORECASE,
+)
 
 
 def _compile_item(scope: _Scope, part: str) -> _Item:
+    """One RETURN/WITH item: any expression from the parser grammar.
+    Bare references and single simple-form aggregates keep their
+    historical default aliases; every other expression needs AS."""
     m = re.match(r"^(?P<body>.+?)(?:\s+as\s+(?P<alias>\w+))?$", part.strip(),
                  re.IGNORECASE | re.DOTALL)
     body, alias = m.group("body").strip(), m.group("alias")
-    if re.match(r"^\s*case\b", body, re.IGNORECASE):
-        if alias is None:
-            raise GuardError(f"CASE expressions need an alias (AS ...): {part!r}")
-        return _Item(_compile_case(scope, body), alias, False)
-    am = re.match(
-        r"^(?P<fn>\w+)\s*\(\s*(?P<distinct>distinct\s+)?"
-        r"(?P<arg>\*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\)$",
-        body,
-        re.IGNORECASE,
-    )
-    if am and am.group("fn").lower() in _AGGS:
-        fn = am.group("fn").lower()
-        arg = am.group("arg")
-        distinct = am.group("distinct") is not None
-        if arg == "*":
-            if fn != "count" or distinct:
-                raise GuardError(f"'*' argument only valid in count(*): {part!r}")
-            col = F.lit(1)
+    col, has_agg = compile_expr(scope, body, allow_agg=True)
+    if alias is None:
+        if _REF.fullmatch(body):
+            alias = body.replace(".", "_")
         else:
-            col = F.col(scope.resolve(arg))
-        if fn == "collect":
-            # sorted array: openCypher leaves collect order unspecified;
-            # sorting makes it deterministic and oracle-comparable
-            inner = F.collect_set(col) if distinct else F.collect_list(col)
-            expr = F.sort_array(inner)
-        elif fn == "count":
-            expr = F.countDistinct(col) if distinct else F.count(col)
-        elif fn == "sum" and distinct:
-            expr = F.sum_distinct(col)
-        elif fn == "avg" and distinct:
-            raise GuardError("avg(DISTINCT ...) is not supported")
-        else:
-            # min/max ignore DISTINCT (it cannot change the result)
-            expr = _AGGS[fn](col)
-        return _Item(expr, alias or f"{fn}_{'all' if arg == '*' else arg.replace('.', '_')}", True)
-    if _REF.fullmatch(body):
-        return _Item(F.col(scope.resolve(body)), alias or body.replace(".", "_"), False)
-    raise GuardError(f"unsupported RETURN item {part!r}")
+            am = _SIMPLE_AGG.match(body)
+            if am and am.group("fn").lower() in _AGG_NAMES:
+                fn, arg = am.group("fn").lower(), am.group("arg")
+                alias = f"{fn}_{'all' if arg == '*' else arg.replace('.', '_')}"
+            else:
+                raise GuardError(
+                    f"expressions need an alias (AS ...): {part!r}"
+                )
+    return _Item(col, alias, has_agg)
 
 
 def run_cypher(spark: SparkSession, sf_dir: str, cypher: str) -> DataFrame:

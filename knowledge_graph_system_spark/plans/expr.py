@@ -1,0 +1,525 @@
+"""Cypher expression compiler: tokenizer + Pratt-style recursive descent
+parser producing Spark Columns.
+
+The reference's guarded read surface accepts arbitrary read openCypher
+(`/root/reference/api/app/services/cypher_guard.py:31-46` rejects only
+write keywords and unbounded paths), so every expression form a read
+query can contain is in scope for parity. The earlier regex-only
+grammar (comparisons, string predicates, IS NULL, generic CASE) is
+replaced here by a real parser covering, with standard openCypher
+precedence:
+
+  OR < XOR < AND < NOT < comparison < additive < multiplicative < unary-
+  minus < primary
+
+  comparison:  = <> < <= > >=   (chainable: a < b < c = a<b AND b<c)
+               IS [NOT] NULL    [NOT] IN <list-expr>
+               STARTS WITH / ENDS WITH / CONTAINS     =~ (regex)
+  primary:     literals ('s', 1, 2.5, true, false, null), var / var.prop
+               references, [list, literals], ( parenthesized ),
+               CASE (generic AND simple form, nestable), function calls
+
+Function whitelist (fail closed on anything else):
+  aggregates   count sum avg min max collect stDev stDevP
+               (+ DISTINCT where meaningful; collect() returns a SORTED
+               array for determinism, as before)
+  scalar       coalesce toLower toUpper trim ltrim rtrim replace split
+               substring left right size char_length length reverse
+               head last abs round ceil floor sign sqrt exp log log10
+               toString toInteger toFloat toBoolean
+
+Documented deviations from openCypher (each fails toward SQL semantics,
+which is what the DuckDB oracles pin):
+  - `+` is numeric addition only (no string/list concatenation — Spark
+    cannot dispatch on the operand type at plan-build time);
+  - `/` on two integers is double division (SQL), not openCypher's
+    integer division;
+  - `size()` applies to arrays, `char_length()`/`length()` to strings
+    (openCypher's size-of-string form is deprecated there anyway);
+  - `round()` is the 1-arg form;
+  - aggregate arguments may be any non-aggregate expression, but one
+    item may not MIX aggregated and non-aggregated references
+    (openCypher would treat the bare reference as an implicit grouping
+    key inside the same item — rejected here, fail closed).
+
+Aggregation discipline: `compile_expr(..., allow_agg=True)` returns
+(column, has_agg); nested aggregates and aggregates in WHERE/CASE-
+inside-aggregate positions raise GuardError.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .guard import GuardError
+
+_TOK = re.compile(
+    r"\s*(?:"
+    r"(?P<str>'(?:[^']|'')*')"
+    r"|(?P<num>\d+\.\d+|\.\d+|\d+)"
+    r"|(?P<ident>[A-Za-z_]\w*)"
+    r"|(?P<op><>|<=|>=|=~|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|,|\.)"
+    r")"
+)
+
+_KEYWORDS = {
+    "and", "or", "xor", "not", "in", "is", "null", "true", "false",
+    "case", "when", "then", "else", "end", "distinct",
+    "starts", "ends", "with", "contains",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str  # str | num | ident | op | end
+    text: str
+
+    @property
+    def low(self) -> str:
+        return self.text.lower()
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOK.match(text, pos)
+        if not m:
+            rest = text[pos:].strip()
+            if not rest:
+                break
+            raise GuardError(f"unparseable expression at {rest[:30]!r}")
+        for kind in ("str", "num", "ident", "op"):
+            if m.group(kind) is not None:
+                toks.append(_Tok(kind, m.group(kind)))
+                break
+        pos = m.end()
+    toks.append(_Tok("end", ""))
+    return toks
+
+
+def _unquote(tok: str) -> str:
+    return tok[1:-1].replace("''", "'")
+
+
+def _num(tok: str):
+    return float(tok) if "." in tok else int(tok)
+
+
+_AGG_FNS = {"count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp"}
+
+# scalar whitelist: name -> (min_arity, max_arity, builder)
+_SCALARS: dict[str, tuple[int, int, object]] = {
+    "coalesce": (1, 99, lambda *a: F.coalesce(*a)),
+    "tolower": (1, 1, F.lower),
+    "toupper": (1, 1, F.upper),
+    "trim": (1, 1, F.trim),
+    "ltrim": (1, 1, F.ltrim),
+    "rtrim": (1, 1, F.rtrim),
+    "reverse": (1, 1, F.reverse),
+    "size": (1, 1, F.size),
+    "char_length": (1, 1, F.length),
+    "length": (1, 1, F.length),
+    "head": (1, 1, lambda c: F.element_at(c, 1)),
+    "last": (1, 1, lambda c: F.element_at(c, -1)),
+    "abs": (1, 1, F.abs),
+    "round": (1, 1, lambda c: F.round(c, 0)),
+    "ceil": (1, 1, F.ceil),
+    "floor": (1, 1, F.floor),
+    "sign": (1, 1, F.signum),
+    "sqrt": (1, 1, F.sqrt),
+    "exp": (1, 1, F.exp),
+    "log": (1, 1, F.log),
+    "log10": (1, 1, F.log10),
+    "tostring": (1, 1, lambda c: c.cast("string")),
+    "tointeger": (1, 1, lambda c: c.cast("long")),
+    "tofloat": (1, 1, lambda c: c.cast("double")),
+    "toboolean": (1, 1, lambda c: c.cast("boolean")),
+    "substring": (2, 3, None),  # custom: 0-based start
+    "left": (2, 2, None),       # version-gated below
+    "right": (2, 2, None),
+    "replace": (3, 3, None),
+    "split": (2, 2, None),      # custom: literal delimiter
+}
+
+_CMP = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+class _Parser:
+    def __init__(self, scope, text: str, allow_agg: bool):
+        self.scope = scope
+        self.text = text
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.allow_agg = allow_agg
+        self.agg_count = 0
+        self.in_agg = 0
+        self.plain_refs = 0
+
+    # ---- token stream -----------------------------------------------------
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        if t.kind != "end":
+            self.i += 1
+        return t
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "op" and t.text in ops
+
+    def eat_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str, what: str):
+        if not self.eat_op(op):
+            raise GuardError(
+                f"expected {op!r} in {what}, found {self.peek().text!r} "
+                f"in {self.text!r}"
+            )
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "ident" and t.low in kws
+
+    def eat_kw(self, kw: str) -> bool:
+        if self.at_kw(kw):
+            self.i += 1
+            return True
+        return False
+
+    # ---- grammar ----------------------------------------------------------
+    def expr(self) -> Column:
+        left = self.xor_expr()
+        while self.eat_kw("or"):
+            left = left | self.xor_expr()
+        return left
+
+    def xor_expr(self) -> Column:
+        left = self.and_expr()
+        while self.eat_kw("xor"):
+            # boolean XOR: exactly one side true (null-propagating !=)
+            left = left != self.and_expr()
+        return left
+
+    def and_expr(self) -> Column:
+        left = self.not_expr()
+        while self.eat_kw("and"):
+            left = left & self.not_expr()
+        return left
+
+    def not_expr(self) -> Column:
+        if self.eat_kw("not"):
+            return ~self.not_expr()
+        return self.comparison()
+
+    def comparison(self) -> Column:
+        cur = self.add_expr()
+        conds: list[Column] = []
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in _CMP:
+                op = self.next().text
+                rhs = self.add_expr()
+                conds.append(_CMP[op](cur, rhs))
+                cur = rhs  # chained a < b < c
+                continue
+            if t.kind == "op" and t.text == "=~":
+                self.next()
+                pat = self.peek()
+                if pat.kind != "str":
+                    raise GuardError(
+                        f"=~ needs a string-literal pattern in {self.text!r}"
+                    )
+                self.next()
+                cur = cur.rlike(_unquote(pat.text))
+                continue
+            if self.at_kw("is"):
+                if conds:
+                    raise GuardError(
+                        f"IS NULL cannot follow a comparison chain in {self.text!r}"
+                    )
+                self.next()
+                neg = self.eat_kw("not")
+                if not self.eat_kw("null"):
+                    raise GuardError(f"expected NULL after IS in {self.text!r}")
+                cur = cur.isNotNull() if neg else cur.isNull()
+                continue
+            if self.at_kw("in") or (
+                self.at_kw("not") and self.toks[self.i + 1].low == "in"
+            ):
+                neg = self.eat_kw("not")
+                self.eat_kw("in")
+                arr = self.add_expr()
+                test = F.array_contains(arr, cur)
+                cur = ~test if neg else test
+                continue
+            if self.at_kw("starts", "ends"):
+                which = self.next().low
+                if not self.eat_kw("with"):
+                    raise GuardError(
+                        f"expected WITH after {which.upper()} in {self.text!r}"
+                    )
+                rhs = self.add_expr()
+                cur = cur.startswith(rhs) if which == "starts" else cur.endswith(rhs)
+                continue
+            if self.at_kw("contains"):
+                self.next()
+                cur = cur.contains(self.add_expr())
+                continue
+            break
+        if conds:
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+        return cur
+
+    def add_expr(self) -> Column:
+        left = self.mul_expr()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            right = self.mul_expr()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def mul_expr(self) -> Column:
+        left = self.unary()
+        while self.at_op("*", "/", "%"):
+            op = self.next().text
+            right = self.unary()
+            left = {"*": left * right, "/": left / right, "%": left % right}[op]
+        return left
+
+    def unary(self) -> Column:
+        if self.at_op("-"):
+            # constant-fold a negated numeric literal: lit(-1), not
+            # negative(lit(1)) — same value, simpler plan
+            if self.toks[self.i + 1].kind == "num":
+                self.next()
+                return F.lit(-_num(self.next().text))
+            self.next()
+            return -self.unary()
+        if self.eat_op("+"):
+            return self.unary()
+        return self.primary()
+
+    def primary(self) -> Column:
+        t = self.peek()
+        if t.kind == "str":
+            self.next()
+            return F.lit(_unquote(t.text))
+        if t.kind == "num":
+            self.next()
+            return F.lit(_num(t.text))
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            inner = self.expr()
+            self.expect_op(")", "parenthesized expression")
+            return inner
+        if t.kind == "op" and t.text == "[":
+            return self.list_literal()
+        if t.kind == "ident":
+            low = t.low
+            if low == "null":
+                self.next()
+                return F.lit(None)
+            if low in ("true", "false"):
+                self.next()
+                return F.lit(low == "true")
+            if low == "case":
+                self.next()
+                return self.case_expr()
+            if self.toks[self.i + 1].kind == "op" and self.toks[self.i + 1].text == "(":
+                return self.func_call()
+            return self.reference()
+        raise GuardError(
+            f"unsupported expression at {t.text!r} in {self.text!r}"
+        )
+
+    def list_literal(self) -> Column:
+        self.expect_op("[", "list")
+        if self.eat_op("]"):
+            return F.array()
+        items = [self.expr()]
+        while self.eat_op(","):
+            items.append(self.expr())
+        self.expect_op("]", "list")
+        return F.array(*items)
+
+    def reference(self) -> Column:
+        var = self.next().text
+        if var.lower() in _KEYWORDS:
+            raise GuardError(f"unexpected keyword {var!r} in {self.text!r}")
+        ref = var
+        if self.eat_op("."):
+            prop = self.next()
+            if prop.kind != "ident":
+                raise GuardError(f"expected property after '.' in {self.text!r}")
+            ref = f"{var}.{prop.text}"
+        if self.in_agg == 0:
+            self.plain_refs += 1
+        return F.col(self.scope.resolve(ref))
+
+    def case_expr(self) -> Column:
+        test = None
+        if not self.at_kw("when", "else", "end"):
+            test = self.expr()  # simple form: CASE <expr> WHEN value ...
+        branches: list[tuple[Column, Column]] = []
+        while self.eat_kw("when"):
+            cond = self.expr()
+            if test is not None:
+                cond = test == cond
+            if not self.eat_kw("then"):
+                raise GuardError(
+                    f"malformed CASE: expected THEN, found {self.peek().text!r} "
+                    f"in {self.text!r}"
+                )
+            branches.append((cond, self.expr()))
+        if not branches:
+            raise GuardError("CASE needs at least one WHEN branch")
+        else_val = self.expr() if self.eat_kw("else") else None
+        if not self.eat_kw("end"):
+            raise GuardError(
+                f"malformed CASE: missing END (found {self.peek().text!r}) "
+                f"in {self.text!r}"
+            )
+        out = F.when(branches[0][0], branches[0][1])
+        for cond, val in branches[1:]:
+            out = out.when(cond, val)
+        if else_val is not None:
+            out = out.otherwise(else_val)
+        return out
+
+    def func_call(self) -> Column:
+        name = self.next().low
+        self.expect_op("(", f"{name}() call")
+        if name in _AGG_FNS:
+            return self.agg_call(name)
+        if name not in _SCALARS:
+            raise GuardError(f"unsupported function {name}() in {self.text!r}")
+        lo, hi, builder = _SCALARS[name]
+        if name == "split":
+            # delimiter must be a string LITERAL: Spark's split() takes a
+            # regex pattern, so the literal is escaped at compile time
+            arg = self.expr()
+            self.expect_op(",", "split()")
+            d = self.peek()
+            if d.kind != "str":
+                raise GuardError(
+                    f"split() needs a string-literal delimiter in {self.text!r}"
+                )
+            self.next()
+            self.expect_op(")", "split()")
+            return F.split(arg, re.escape(_unquote(d.text)))
+        args = [self.expr()]
+        while self.eat_op(","):
+            args.append(self.expr())
+        self.expect_op(")", f"{name}() call")
+        if not (lo <= len(args) <= hi):
+            raise GuardError(
+                f"{name}() takes {lo}"
+                + (f"..{hi}" if hi != lo else "")
+                + f" arguments, got {len(args)}"
+            )
+        if builder is not None:
+            return builder(*args)
+        if name == "substring":
+            start = args[1] + F.lit(1)  # Cypher is 0-based, SQL 1-based
+            if len(args) == 3:
+                return F.substr(args[0], start, args[2])
+            return F.substr(args[0], start)
+        if name == "left":
+            if hasattr(F, "left"):
+                return F.left(args[0], args[1])
+            return F.substr(args[0], F.lit(1), args[1])
+        if name == "right":
+            if hasattr(F, "right"):
+                return F.right(args[0], args[1])
+            return F.substr(args[0], -args[1])
+        if name == "replace":
+            if hasattr(F, "replace"):
+                return F.replace(args[0], args[1], args[2])
+            raise GuardError("replace() is not available in this Spark build")
+        raise AssertionError(name)
+
+    def agg_call(self, name: str) -> Column:
+        if not self.allow_agg:
+            raise GuardError(
+                f"aggregate {name}() is not allowed in this position "
+                f"(WHERE / inside another expression context): {self.text!r}"
+            )
+        if self.in_agg:
+            raise GuardError(f"nested aggregate {name}() in {self.text!r}")
+        distinct = self.eat_kw("distinct")
+        if self.at_op("*"):
+            self.next()
+            self.expect_op(")", "count(*)")
+            if name != "count" or distinct:
+                raise GuardError(
+                    f"'*' argument only valid in count(*): {self.text!r}"
+                )
+            self.agg_count += 1
+            return F.count(F.lit(1))
+        self.in_agg += 1
+        arg = self.expr()
+        self.in_agg -= 1
+        self.expect_op(")", f"{name}() call")
+        self.agg_count += 1
+        if name == "collect":
+            # sorted array: openCypher leaves collect order unspecified;
+            # sorting makes it deterministic and oracle-comparable
+            inner = F.collect_set(arg) if distinct else F.collect_list(arg)
+            return F.sort_array(inner)
+        if name == "count":
+            return F.count_distinct(arg) if distinct else F.count(arg)
+        if name == "sum" and distinct:
+            return F.sum_distinct(arg)
+        if name == "avg" and distinct:
+            raise GuardError("avg(DISTINCT ...) is not supported")
+        if name in ("stdev", "stdevp") and distinct:
+            raise GuardError(f"{name}(DISTINCT ...) is not supported")
+        fn = {
+            "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "stdev": F.stddev_samp, "stdevp": F.stddev_pop,
+        }[name]
+        return fn(arg)  # min/max ignore DISTINCT (it cannot change the result)
+
+
+def compile_expr(scope, text: str, allow_agg: bool = False) -> tuple[Column, bool]:
+    """Compile one Cypher expression. Returns (column, has_aggregate)."""
+    p = _Parser(scope, text, allow_agg)
+    col = p.expr()
+    t = p.peek()
+    if t.kind != "end":
+        raise GuardError(
+            f"malformed expression: unexpected {t.text!r} after a complete "
+            f"expression in {text!r}"
+        )
+    if p.agg_count and p.plain_refs:
+        raise GuardError(
+            "mixing aggregated and non-aggregated references in one "
+            f"expression is not supported: {text!r}"
+        )
+    return col, p.agg_count > 0
+
+
+def compile_bool(scope, text: str) -> Column:
+    """Compile a WHERE/HAVING-style boolean expression (no aggregates)."""
+    col, _ = compile_expr(scope, text, allow_agg=False)
+    return col

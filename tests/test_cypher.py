@@ -458,14 +458,40 @@ def test_case_in_with_feeds_aggregation(cctx):
 def test_case_rejections(cctx):
     for q, msg in [
         ("MATCH (c) RETURN CASE WHEN c.weight > 0 THEN 1 END", "alias"),
-        ("MATCH (c) RETURN CASE c.ontology WHEN 'A' THEN 1 END AS x", "simple-form"),
-        ("MATCH (c) RETURN CASE WHEN c.weight > 0 THEN "
-         "CASE WHEN c.weight > 1 THEN 2 END END AS x", "nested"),
         ("MATCH (c) RETURN CASE WHEN c.weight > 0 THEN 1 AS x", "malformed"),
-        ("MATCH (c) RETURN CASE ELSE 1 END AS x", "simple-form|malformed|WHEN"),
+        ("MATCH (c) RETURN CASE ELSE 1 END AS x", "WHEN"),
     ]:
         with pytest.raises(GuardError, match=msg):
             compile_cypher(cctx, q)
+
+
+def test_simple_form_case(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) RETURN CASE c.ontology WHEN 'BUILDING' THEN 1 "
+        "ELSE 0 END AS is_b, count(*) AS n",
+    ).collect()
+    got = {r["is_b"]: r["n"] for r in out}
+    b = cctx.nodes.filter(
+        (F.col("label") == "Customer") & (F.col("ontology") == "BUILDING")
+    ).count()
+    total = cctx.nodes.filter(F.col("label") == "Customer").count()
+    assert got.get(1, 0) == b and got.get(0, 0) == total - b
+
+
+def test_nested_case(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) RETURN CASE WHEN c.weight > 0 THEN "
+        "CASE WHEN c.weight > 0.5 THEN 'hi' ELSE 'lo' END "
+        "ELSE 'neg' END AS band, count(*) AS n",
+    ).collect()
+    got = {r["band"]: r["n"] for r in out}
+    cust = cctx.nodes.filter(F.col("label") == "Customer")
+    hi = cust.filter(F.col("weight") > 0.5).count()
+    lo = cust.filter((F.col("weight") > 0) & (F.col("weight") <= 0.5)).count()
+    neg = cust.filter(F.col("weight") <= 0).count()
+    assert got.get("hi", 0) == hi and got.get("lo", 0) == lo and got.get("neg", 0) == neg
 
 
 def test_exists_semi_join(cctx):
