@@ -1,0 +1,221 @@
+"""Deterministic sampling / splitting / corpus-mixing operators for
+training-data pipelines.
+
+A 100 TB corpus pipeline needs reproducible selection: the same
+document must land in the same train/val/test split on every run, on
+every cluster size, with no RNG state to ship. Everything here keys
+off a content-stable hash bucket
+
+    bucket(key) = CAST(substr(md5(key || salt), 1, 8) AS int base16) % 10000
+
+which is bit-identical between Spark (`conv(substring(md5(..)))`) and
+DuckDB (`('0x' || substr(md5(..),1,8))::BIGINT`), so every operator
+has an exact SQL oracle. No UDFs, no driver-side state:
+
+- `hash_split`       narrow map (zero shuffle): split assignment from
+                     cumulative weight thresholds over the bucket.
+- `stratified_sample` exact n-per-stratum: one shuffle on the stratum
+                     column (window row_number ordered by hash — a
+                     deterministic "random" order).
+- `domain_quota`     top-k per domain by a quality expression: one
+                     shuffle; the standard boilerplate-domain cap.
+- `corpus_mix`       per-group up/down-sampling to target weights:
+                     integer replication via explode(sequence) +
+                     fractional remainder by hash threshold. Narrow.
+
+The reference has no sampling surface (its corpus is one graph); these
+are the scale-path operators the 100 TB brief adds on top, alongside
+dedup (`operators/dedup.py`) and text stats (`operators/textstats.py`).
+
+Registry note: implemented + oracle-tested in r6 (tests/test_sampling.py
+runs Spark vs DuckDB inline); @query registration lands in r7 — the r6
+recording window is at its 4-slot budget (`registry.py:116-121`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic [0, 10000) bucket from md5 — engine-portable."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BUCKETS
+
+
+def bucket_sql(key_sql: str, salt: str = "") -> str:
+    """The DuckDB-side rendering of `hash_bucket` (oracle parity)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || '{salt}'),"
+        f" 1, 8)) AS BIGINT) % {_BUCKETS}"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign a deterministic split label from cumulative weight
+    thresholds over the hash bucket. Zero shuffle: a narrow projection,
+    so at 100 TB it fuses into whatever scan precedes it.
+
+    weights must sum to ~1.0; iteration order defines the threshold
+    order (use an explicit dict literal)."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(key), salt)
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", last)
+
+
+def hash_split_sql(
+    table: str, key: str, weights: dict[str, float], salt: str = "split"
+) -> str:
+    """DuckDB oracle for `hash_split` (same thresholds, same hash)."""
+    b = bucket_sql(key, salt)
+    cum, branches = 0.0, []
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        branches.append(f"WHEN {b} < {int(round(cum * _BUCKETS))} THEN '{name}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    n_per_stratum: int,
+    key: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
+    (deterministic, uniform over the stratum, stable under append-only
+    growth of OTHER strata). One shuffle on the stratum column; the
+    window never materializes more than a partition at a time.
+
+    Skew note: a giant stratum hashes to many partitions only after
+    AQE skew-split; for known-hot strata pre-salt the stratum key the
+    same way `functions/skew.py` salts join keys."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum).orderBy(
+        hash_bucket(F.col(key), salt), F.col(key)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def stratified_sample_sql(
+    table: str, stratum: str, n: int, key: str, salt: str = "strat"
+) -> str:
+    b = bucket_sql(key, salt)
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {stratum} ORDER BY {b}, {key}) AS __rn
+  FROM {table}
+) WHERE __rn <= {n}
+"""
+
+
+def domain_quota(
+    df: DataFrame,
+    domain: str,
+    quality: Column,
+    k: int,
+    key: str,
+) -> DataFrame:
+    """Keep the k highest-quality rows per domain (ties broken by key).
+    The standard guard against boilerplate domains flooding a crawl
+    corpus. One shuffle on domain; rank + filter is partition-local."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain).orderBy(quality.desc(), F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def corpus_mix(
+    df: DataFrame,
+    group: str,
+    rates: dict[str, float],
+    key: str,
+    salt: str = "mix",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Up/down-sample each group to a target rate. rate < 1 keeps a
+    deterministic hash-threshold subset; rate >= 1 emits floor(rate)
+    copies plus the fractional remainder by the same threshold. A
+    `mix_copy` column (0-based) disambiguates replicas downstream.
+
+    Narrow except the explode, which only amplifies up-sampled groups —
+    at 100 TB the common case (down-sampling boilerplate, up-sampling
+    rare high-quality sources) adds no shuffle at all."""
+    rate = None
+    for name, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for {name!r}")
+        cond = F.col(group) == name
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(
+        float(default_rate)
+    )
+    b = hash_bucket(F.col(key), salt)
+    whole = F.floor(rate).cast("int")
+    # explicit round: Spark CAST truncates but DuckDB CAST rounds, so
+    # the threshold must be rounded identically on both sides
+    frac_keep = (b < F.round((rate - whole) * _BUCKETS, 0).cast("bigint")).cast("int")
+    n_copies = whole + frac_keep
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("mix_copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
+def corpus_mix_sql(
+    table: str,
+    group: str,
+    rates: dict[str, float],
+    key: str,
+    salt: str = "mix",
+    default_rate: float = 1.0,
+) -> str:
+    b = bucket_sql(key, salt)
+    branches = " ".join(
+        f"WHEN {group} = '{n}' THEN CAST({r} AS DOUBLE)" for n, r in rates.items()
+    )
+    rate = f"CASE {branches} ELSE CAST({default_rate} AS DOUBLE) END"
+    return f"""
+WITH rated AS (
+  SELECT *,
+         CAST(floor({rate}) AS INT)
+         + CAST(({b}) < CAST(round(({rate} - floor({rate})) * {_BUCKETS}) AS BIGINT) AS INT)
+         AS __n
+  FROM {table}
+)
+SELECT * EXCLUDE (__n, u), CAST(u AS INT) AS mix_copy
+FROM rated, unnest(range(CAST(__n AS BIGINT))) AS t(u)
+WHERE __n > 0
+"""

@@ -1,0 +1,149 @@
+"""Sampling / splitting / corpus-mixing: Spark vs inline DuckDB oracle
+(bit-level row comparison — the same check tools/check_correctness.py
+will run once these register in r7) plus determinism and distribution
+properties."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.operators.sampling import (
+    corpus_mix,
+    corpus_mix_sql,
+    domain_quota,
+    hash_split,
+    hash_split_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _rows(df):
+    return sorted(
+        tuple(str(v) for v in row)
+        for row in (r for r in df.select(*sorted(df.columns)).collect())
+    )
+
+
+def _duck_rows(con, sql):
+    rel = con.sql(sql)
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rel.fetchall())
+
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_hash_split_matches_oracle(docs, duck):
+    got = _rows(hash_split(docs, "doc_id", WEIGHTS))
+    want = _duck_rows(duck, hash_split_sql("documents", "doc_id", WEIGHTS))
+    assert got == want
+
+
+def test_hash_split_proportions_and_determinism(docs):
+    out = hash_split(docs, "doc_id", WEIGHTS)
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(WEIGHTS)
+    # 500 docs: proportions within a loose tolerance of the weights
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.08)
+    # same assignment on a re-run (no RNG state)
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", WEIGHTS).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_hash_split_bad_weights(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_matches_oracle(docs, duck):
+    got = _rows(stratified_sample(docs, "lang", 10, "doc_id"))
+    want = _duck_rows(
+        duck, stratified_sample_sql("documents", "lang", 10, "doc_id")
+    )
+    assert got == want
+
+
+def test_stratified_sample_exact_counts(docs):
+    out = stratified_sample(docs, "lang", 10, "doc_id")
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_full in full.items():
+        assert sizes.get(lang, 0) == min(10, n_full)
+
+
+def test_stratified_sample_stable_under_other_strata(docs):
+    """Adding rows to OTHER strata must not change a stratum's sample
+    (hash order is within-stratum)."""
+    en = {r["doc_id"] for r in stratified_sample(docs, "lang", 5, "doc_id")
+          .filter(F.col("lang") == "en").collect()}
+    docs_fr_dropped = docs.filter(F.col("lang") != "fr")
+    en2 = {r["doc_id"] for r in stratified_sample(docs_fr_dropped, "lang", 5, "doc_id")
+           .filter(F.col("lang") == "en").collect()}
+    assert en == en2
+
+
+def test_domain_quota(docs):
+    out = domain_quota(docs, "source", F.col("n_chars"), 3, "doc_id")
+    sizes = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 3 for r in sizes)
+    # kept rows are the top-3 by n_chars (ties by doc_id) per source
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    expect = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    assert _rows(out) == _rows(expect)
+
+
+MIX = {"en": 2.5, "fr": 0.4, "de": 0.0}
+
+
+def test_corpus_mix_matches_oracle(docs, duck):
+    got = _rows(corpus_mix(docs, "lang", MIX, "doc_id"))
+    want = _duck_rows(duck, corpus_mix_sql("documents", "lang", MIX, "doc_id"))
+    assert got == want
+
+
+def test_corpus_mix_rates(docs):
+    out = corpus_mix(docs, "lang", MIX, "doc_id")
+    n_by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "de" not in n_by  # rate 0 drops the group
+    # up-sampled: every row gets >= 2 copies, fraction gets a 3rd
+    assert 2 * full["en"] <= n_by["en"] <= 3 * full["en"]
+    assert n_by["en"] / full["en"] == pytest.approx(2.5, abs=0.3)
+    # down-sampled
+    assert n_by["fr"] / full["fr"] == pytest.approx(0.4, abs=0.15)
+    # untouched groups default to rate 1.0
+    assert n_by["es"] == full["es"]
+    # copy ids are 0..n-1 per doc
+    copies = out.filter(F.col("lang") == "en").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("mix_copy").alias("mx"), F.min("mix_copy").alias("mn")
+    ).collect()
+    assert all(r["mn"] == 0 and r["mx"] == r["n"] - 1 for r in copies)
