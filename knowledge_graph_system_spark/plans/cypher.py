@@ -18,9 +18,12 @@ Supported subset (clause sequence):
          bounded var-length -[:T*0..3]->          (upper bound ≤ 10)
   OPTIONAL MATCH <pattern> [WHERE ...]            left join; WHERE is
          part of the optional match (null row when no match survives)
-  WITH item [AS x], ...  [WHERE ...]              projected subquery;
-         bare variables carry through, aggregates imply grouping,
-         WHERE after aggregates = HAVING
+  WITH item [AS x], ... [ORDER BY ... LIMIT n] [WHERE ...]   projected
+         subquery; bare variables carry through, aggregates imply
+         grouping, WHERE after aggregates = HAVING; ORDER BY+LIMIT
+         (only together — fail closed otherwise) is the mid-query
+         top-k, applied before WHERE per openCypher, planned as
+         TakeOrderedAndProject
   WHERE <expr>   full expression grammar (plans/expr.py) with standard
         openCypher precedence: OR < XOR < AND < NOT < comparison <
         + - < * / % < unary minus; parentheses; chained comparisons
@@ -769,6 +772,23 @@ def _apply_with(
         raise GuardError("multiple WHERE in one clause")
     items_text, having_text = parts[0], parts[1] if len(parts) > 1 else None
 
+    # WITH items [ORDER BY ... LIMIT n] [WHERE ...] — mid-query top-k.
+    # openCypher applies ORDER BY/LIMIT as part of the projection and
+    # WHERE after them. ORDER BY and LIMIT are only accepted TOGETHER:
+    # mid-query ordering without a row cap has no observable effect
+    # downstream (joins do not preserve order) but costs a global sort,
+    # and LIMIT without an order is a non-deterministic subset — both
+    # fail closed. Catalyst plans the pair as TakeOrderedAndProject.
+    tail = _RET_TAIL.match(items_text)
+    items_text = tail.group("ret")
+    order_text, limit_text = tail.group("order"), tail.group("limit")
+    if (order_text is None) != (limit_text is None):
+        raise GuardError(
+            "ORDER BY in WITH requires LIMIT (and LIMIT requires ORDER "
+            "BY): an unbounded mid-query sort has no observable effect "
+            "and an unordered LIMIT is non-deterministic"
+        )
+
     new = _Scope()
     key_cols: list = []   # carried/projected (grouping keys when aggregating)
     agg_cols: list = []
@@ -801,6 +821,15 @@ def _apply_with(
         out = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
     else:
         out = df.select(*key_cols)
+    if order_text:
+        by = []
+        for part in _split_outside_nesting(order_text, re.compile(r",")):
+            m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", part.strip(), re.IGNORECASE)
+            col, _ = compile_expr(new, m.group(1).strip(), allow_agg=False)
+            by.append(
+                col.desc() if (m.group(2) or "").lower() == "desc" else col.asc()
+            )
+        out = out.orderBy(*by).limit(int(limit_text))
     if having_text:
         out = out.filter(_compile_where(new, having_text))
     return out, new

@@ -276,3 +276,89 @@ def test_registered_cypher_queries_still_run(spark):
         "p7_cypher_unwind", "p7_guarded_query",
     ]:
         assert qs[name].fn(spark, SF_DIR).count() > 0, name
+
+
+def test_with_order_by_limit_topk(cctx):
+    """Mid-query top-k: top-3 ontologies by customer count, then a
+    second aggregation over only those (the 'top N then expand' read
+    shape)."""
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) WITH c.ontology AS o, count(*) AS n "
+        "ORDER BY n DESC, o LIMIT 3 RETURN o, n ORDER BY o",
+    ).collect()
+    expect = (
+        _cust(cctx)
+        .groupBy(F.col("ontology").alias("o"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "o")
+        .limit(3)
+        .orderBy("o")
+        .collect()
+    )
+    assert [(r["o"], r["n"]) for r in out] == [(r["o"], r["n"]) for r in expect]
+
+
+def test_with_order_by_limit_then_match(cctx):
+    """The top-k WITH feeds a further MATCH join: top-5 customers by
+    weight, then count their orders. (No fanout before the WITH —
+    openCypher's WITH keeps duplicate rows, so a pattern with an edge
+    would rank (c, o) rows, not customers.)"""
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) "
+        "WITH c ORDER BY c.weight DESC, c.node_id LIMIT 5 "
+        "MATCH (c)-[:PLACED]->(o:Order) RETURN c.node_id AS id, "
+        "count(*) AS n_orders",
+    ).collect()
+    placed = cctx.edges.filter(F.col("rel_type") == "PLACED")
+    top5 = _cust(cctx).orderBy(F.col("weight").desc(), "node_id").limit(5)
+    expect = {
+        r["node_id"]: r["n"]
+        for r in top5.join(placed.select(F.col("src").alias("node_id")), "node_id")
+        .groupBy("node_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["id"]: r["n_orders"] for r in out} == expect
+
+
+def test_with_order_by_before_where(cctx):
+    """openCypher order: WHERE filters AFTER ORDER BY/LIMIT — the
+    top-3 are chosen first, then filtered."""
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) WITH c.ontology AS o, count(*) AS n "
+        "ORDER BY n DESC, o LIMIT 3 WHERE n > 1 RETURN o, n ORDER BY o",
+    ).collect()
+    top3 = (
+        _cust(cctx)
+        .groupBy(F.col("ontology").alias("o"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "o")
+        .limit(3)
+        .filter(F.col("n") > 1)
+        .orderBy("o")
+        .collect()
+    )
+    assert [(r["o"], r["n"]) for r in out] == [(r["o"], r["n"]) for r in top3]
+
+
+def test_with_order_without_limit_rejected(cctx):
+    for q in [
+        "MATCH (c:Customer) WITH c.ontology AS o, count(*) AS n "
+        "ORDER BY n DESC RETURN o, n",
+        "MATCH (c:Customer) WITH c.ontology AS o, count(*) AS n "
+        "LIMIT 3 RETURN o, n",
+    ]:
+        with pytest.raises(GuardError, match="ORDER BY in WITH requires|requires ORDER"):
+            compile_cypher(cctx, q)
+
+
+def test_with_topk_plans_take_ordered(cctx):
+    plan = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) WITH c.ontology AS o, count(*) AS n "
+        "ORDER BY n DESC, o LIMIT 3 RETURN o, n",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
