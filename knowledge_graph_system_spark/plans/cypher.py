@@ -18,12 +18,13 @@ Supported subset (clause sequence):
          bounded var-length -[:T*0..3]->          (upper bound ≤ 10)
   OPTIONAL MATCH <pattern> [WHERE ...]            left join; WHERE is
          part of the optional match (null row when no match survives)
-  WITH item [AS x], ... [ORDER BY ... LIMIT n] [WHERE ...]   projected
-         subquery; bare variables carry through, aggregates imply
-         grouping, WHERE after aggregates = HAVING; ORDER BY+LIMIT
-         (only together — fail closed otherwise) is the mid-query
-         top-k, applied before WHERE per openCypher, planned as
-         TakeOrderedAndProject
+  WITH [DISTINCT] item [AS x], ... [ORDER BY ... LIMIT n] [WHERE ...]
+         projected subquery; bare variables carry through, aggregates
+         imply grouping, WHERE after aggregates = HAVING; DISTINCT
+         dedups the projection (entity-vs-match-row ranking); ORDER
+         BY+LIMIT (only together — fail closed otherwise) is the
+         mid-query top-k, applied after DISTINCT and before WHERE per
+         openCypher, planned as TakeOrderedAndProject
   WHERE <expr>   full expression grammar (plans/expr.py) with standard
         openCypher precedence: OR < XOR < AND < NOT < comparison <
         + - < * / % < unary minus; parentheses; chained comparisons
@@ -788,6 +789,14 @@ def _apply_with(
             "BY): an unbounded mid-query sort has no observable effect "
             "and an unordered LIMIT is non-deterministic"
         )
+    # WITH DISTINCT: dedup the projection (before ORDER BY/LIMIT).
+    # MATCH rows fan out per pattern match, so `WITH DISTINCT c` is how
+    # a query ranks ENTITIES rather than match rows before a top-k.
+    dm = re.match(r"^\s*distinct\b(?P<rest>.+)$", items_text,
+                  re.IGNORECASE | re.DOTALL)
+    with_distinct = dm is not None
+    if dm:
+        items_text = dm.group("rest")
 
     new = _Scope()
     key_cols: list = []   # carried/projected (grouping keys when aggregating)
@@ -818,9 +827,12 @@ def _apply_with(
         new.cols[it.alias] = it.alias
         new.all_vars.add(it.alias)
     if agg_cols:
+        # DISTINCT with aggregation is redundant (grouping dedups)
         out = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
     else:
         out = df.select(*key_cols)
+        if with_distinct:
+            out = out.dropDuplicates()
     if order_text:
         by = []
         for part in _split_outside_nesting(order_text, re.compile(r",")):

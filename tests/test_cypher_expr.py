@@ -362,3 +362,32 @@ def test_with_topk_plans_take_ordered(cctx):
         "ORDER BY n DESC, o LIMIT 3 RETURN o, n",
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_with_distinct_entity_ranking(cctx):
+    """WITH DISTINCT c dedups match rows so the top-k ranks customers,
+    not (customer, order) pairs."""
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH DISTINCT c ORDER BY c.weight DESC, c.node_id LIMIT 5 "
+        "RETURN c.node_id AS id",
+    ).collect()
+    placed = cctx.edges.filter(F.col("rel_type") == "PLACED")
+    expect = (
+        _cust(cctx)
+        .join(placed.select(F.col("src").alias("node_id")).distinct(), "node_id")
+        .orderBy(F.col("weight").desc(), "node_id")
+        .limit(5)
+        .collect()
+    )
+    assert [r["id"] for r in out] == [r["node_id"] for r in expect]
+
+
+def test_with_distinct_values(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) WITH DISTINCT c.ontology AS o RETURN o",
+    ).collect()
+    expect = {r["ontology"] for r in _cust(cctx).select("ontology").distinct().collect()}
+    assert {r["o"] for r in out} == expect and len(out) == len(expect)
