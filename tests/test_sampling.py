@@ -147,3 +147,21 @@ def test_corpus_mix_rates(docs):
         F.count("*").alias("n"), F.max("mix_copy").alias("mx"), F.min("mix_copy").alias("mn")
     ).collect()
     assert all(r["mn"] == 0 and r["mx"] == r["n"] - 1 for r in copies)
+
+
+def test_hash_split_is_narrow(docs):
+    """Split assignment must add NO exchange — it is a projection that
+    fuses into the scan at any scale."""
+    plan = (
+        hash_split(docs, "doc_id", WEIGHTS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_corpus_mix_is_narrow(docs):
+    plan = (
+        corpus_mix(docs, "lang", MIX, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
