@@ -75,15 +75,17 @@ def lsh_candidates(
     At the driver's scale factors the largest bucket is 28, so the cap
     leaves every checked result bit-identical.
 
-    The cap is computed as a window count over the band exchange — NOT
-    a second groupBy + semi-join (the r5 shape, whose extra aggregation
-    pass cost a measured ~0.8 s at sf0.1, VERDICT r5 #2): the window's
-    hash-partitioning on `band` is exactly the partitioning the
-    candidate self-join needs, so Catalyst reuses one exchange for the
-    count, the filter, and both join sides. WindowExec buffers one
-    bucket at a time with spill, so even a degenerate 100M-row bucket
-    at 100 TB cannot OOM a task — it spills, gets counted, and is
-    dropped by the filter."""
+    The cap also collapses candidate generation to ONE aggregation:
+    group the band exchange to a sorted member list (≤ max_bucket
+    elements by the filter, so per-group state is bounded — no OOM on a
+    degenerate bucket at 100 TB, oversize groups are dropped right
+    after the count), then emit the C(n,2) pairs with a pure array
+    expression. No band self-join at all — the r5 window-count + join
+    shape paid an exchange, a per-partition sort, AND a sort-merge join
+    over the same data; this shape pays the one exchange the count
+    needs anyway (timing parity at sf0.1, strictly fewer stages — see
+    SCALE_NOTES "Attribution of the four r5 slowdowns"). Sorting the
+    list first makes doc_a < doc_b hold by construction."""
     bands = sigs.select(
         id_col,
         *[
@@ -95,22 +97,20 @@ def lsh_candidates(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("band"),
     )
-    if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        stacked = (
-            stacked.withColumn("_n", F.count("*").over(Window.partitionBy("band")))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
-    a = stacked.select(F.col(id_col).alias("doc_a"), "band")
-    b = stacked.select(F.col(id_col).alias("doc_b"), "band")
-    return (
-        a.join(b, "band")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    grouped = stacked.groupBy("band").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    pairs = grouped.filter(F.size("ids") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")).distinct()
 
 
 def verify_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
@@ -221,10 +221,12 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = Ctx.get(spark, sf_dir)
     # materialize the shingle set once: it feeds the signature build AND
     # both sides of the verification join — without the checkpoint the
-    # explode+distinct shuffle re-runs 3× in one plan (33 s → 9 s at sf0.1)
+    # explode+distinct shuffle re-runs 3× in one plan (33 s → 9 s at sf0.1).
+    # candidates are NOT checkpointed: they feed exactly one downstream
+    # join, so the barrier bought nothing and cost a measured ~0.8 s
     sh = doc_shingles(ctx.tables["documents"]).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh)
-    cand = lsh_candidates(sigs).localCheckpoint(eager=True)
+    cand = lsh_candidates(sigs)
     return verify_jaccard(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
