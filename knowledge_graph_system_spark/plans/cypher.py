@@ -32,7 +32,9 @@ Supported subset (clause sequence):
         STARTS WITH / ENDS WITH / CONTAINS; regex =~ 'pat';
         scalar functions (coalesce toLower toUpper trim split substring
         left right size abs round toString ... — whitelist, fail
-        closed); CASE (generic AND simple form, nestable)
+        closed); graph accessors type(r) labels(n) id(n) over pattern
+        variables (sugar for r.rel_type / [n.label] / n.node_id);
+        CASE (generic AND simple form, nestable)
         [NOT] EXISTS { [MATCH] <pattern> [WHERE ...] }  correlated
         semi/anti-join on shared node vars; must be a top-level AND
         conjunct (a parenthesized OR *beside* it is fine); uncorrelated
@@ -47,7 +49,9 @@ Supported subset (clause sequence):
          element; listexpr may be a WITH collect(...) alias or any
          array expression (e.g. split(...)). May open the query
          (UNWIND [..] AS x MATCH ...).
-  ORDER BY item [ASC|DESC], ...   LIMIT n
+  ORDER BY item [ASC|DESC], ...  [SKIP n]  LIMIT n
+         SKIP (the reference's pagination idiom, concept_service.py:397)
+         requires ORDER BY and is final-RETURN only — fail closed
   <query> UNION [ALL] <query>                     same column names;
          UNION dedups; mixing UNION/UNION ALL rejected; ORDER BY/LIMIT
          inside arms rejected
@@ -116,6 +120,7 @@ _CLAUSE_KW = re.compile(
 _RET_TAIL = re.compile(
     r"^(?P<ret>.+?)"
     r"(?:\s+order\s+by\s+(?P<order>.+?))?"
+    r"(?:\s+skip\s+(?P<skip>\d+))?"
     r"(?:\s+limit\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -783,6 +788,11 @@ def _apply_with(
     tail = _RET_TAIL.match(items_text)
     items_text = tail.group("ret")
     order_text, limit_text = tail.group("order"), tail.group("limit")
+    if tail.group("skip"):
+        raise GuardError(
+            "SKIP is only supported on the final RETURN (mid-query "
+            "pagination has no stable order to offset into)"
+        )
     if (order_text is None) != (limit_text is None):
         raise GuardError(
             "ORDER BY in WITH requires LIMIT (and LIMIT requires ORDER "
@@ -992,6 +1002,14 @@ def _compile_single(ctx: Ctx, executable: str) -> DataFrame:
             by.append(col.desc() if (m.group(2) or "").lower() == "desc" else col.asc())
     if by:
         df = df.orderBy(*by)
+    if tail.group("skip"):
+        # the reference's pagination idiom (`api/app/services/
+        # concept_service.py:397` ORDER BY ... SKIP $offset LIMIT
+        # $limit). Without a total order the skipped prefix is
+        # arbitrary, so SKIP requires ORDER BY — fail closed.
+        if not by:
+            raise GuardError("SKIP requires ORDER BY (offset into an unordered result)")
+        df = df.offset(int(tail.group("skip")))
     if tail.group("limit"):
         df = df.limit(int(tail.group("limit")))
     if not projected:

@@ -27,6 +27,9 @@ Function whitelist (fail closed on anything else):
                substring left right size char_length length reverse
                head last abs round ceil floor sign sqrt exp log log10
                toString toInteger toFloat toBoolean
+  graph        type(r) labels(n) id(n) — accessors over a bare pattern
+               variable (sugar for r.rel_type / [n.label] / n.node_id;
+               fail closed on unbound vars or wrong entity kind)
 
 Documented deviations from openCypher (each fails toward SQL semantics,
 which is what the DuckDB oracles pin):
@@ -411,6 +414,8 @@ class _Parser:
         self.expect_op("(", f"{name}() call")
         if name in _AGG_FNS:
             return self.agg_call(name)
+        if name in ("type", "labels", "id"):
+            return self.graph_accessor(name)
         if name not in _SCALARS:
             raise GuardError(f"unsupported function {name}() in {self.text!r}")
         lo, hi, builder = _SCALARS[name]
@@ -457,6 +462,31 @@ class _Parser:
                 return F.replace(args[0], args[1], args[2])
             raise GuardError("replace() is not available in this Spark build")
         raise AssertionError(name)
+
+    def graph_accessor(self, name: str) -> Column:
+        """Graph entity accessors the reference's read Cypher uses
+        (`api/app/services/edge_service.py:271` `type(r)`,
+        `confidence_analyzer.py:505` `count(DISTINCT type(r))`,
+        `concept_service.py` `labels(c)`): sugar over the pattern
+        variable's bound columns — type(r) = r.rel_type, id(n) =
+        n.node_id, labels(n) = [n.label] (single-label model). The
+        argument must be a bare pattern variable; resolve() fails
+        closed if it is not bound (or bound to the wrong entity kind:
+        node vars carry no rel_type, edge vars no node_id)."""
+        t = self.peek()
+        if t.kind != "ident":
+            raise GuardError(
+                f"{name}() takes a single bare pattern variable in {self.text!r}"
+            )
+        var = self.next().text
+        self.expect_op(")", f"{name}() call")
+        if self.in_agg == 0:
+            self.plain_refs += 1
+        if name == "type":
+            return F.col(self.scope.resolve(f"{var}.rel_type"))
+        if name == "id":
+            return F.col(self.scope.resolve(f"{var}.node_id"))
+        return F.array(F.col(self.scope.resolve(f"{var}.label")))
 
     def agg_call(self, name: str) -> Column:
         if not self.allow_agg:

@@ -580,3 +580,70 @@ def test_exists_rejections(cctx):
     ]:
         with pytest.raises(GuardError, match=msg):
             compile_cypher(cctx, q)
+
+
+def test_type_accessor_groups_and_counts(cctx):
+    # reference idiom: `type(r)` in RETURN (edge_service.py:271) and
+    # `count(DISTINCT type(r))` (confidence_analyzer.py:505)
+    out = compile_cypher(
+        cctx, "MATCH (c:Customer)-[r]->(o) RETURN type(r) AS t, count(*) AS n"
+    )
+    rows = {r["t"]: r["n"] for r in out.collect()}
+    expect = {
+        r["rel_type"]: r["n"]
+        for r in cctx.edges.join(
+            cctx.nodes.filter(F.col("label") == "Customer").select(
+                F.col("node_id").alias("src")
+            ),
+            "src",
+        )
+        .groupBy("rel_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert rows == expect
+
+    distinct = compile_cypher(
+        cctx, "MATCH (c:Customer)-[r]->(o) RETURN count(DISTINCT type(r)) AS tc"
+    ).collect()
+    assert distinct[0]["tc"] == len(expect)
+
+
+def test_id_and_labels_accessors(cctx):
+    out = compile_cypher(
+        cctx, "MATCH (n:Region) RETURN id(n) AS i, labels(n) AS ls ORDER BY i"
+    ).collect()
+    expect = sorted(
+        r["node_id"]
+        for r in cctx.nodes.filter(F.col("label") == "Region").collect()
+    )
+    assert [r["i"] for r in out] == expect
+    assert all(r["ls"] == ["Region"] for r in out)
+
+
+def test_skip_paginates_after_order(cctx):
+    full = compile_cypher(
+        cctx, "MATCH (n:Customer) RETURN n.node_id AS i ORDER BY i LIMIT 7"
+    ).collect()
+    page = compile_cypher(
+        cctx, "MATCH (n:Customer) RETURN n.node_id AS i ORDER BY i SKIP 3 LIMIT 4"
+    ).collect()
+    assert [r["i"] for r in page] == [r["i"] for r in full][3:7]
+
+
+def test_accessor_and_skip_rejections(cctx):
+    for q, msg in [
+        # SKIP without a total order is an offset into arbitrary rows
+        ("MATCH (n:Customer) RETURN n.node_id AS i SKIP 3 LIMIT 2",
+         "SKIP requires ORDER BY"),
+        # mid-query pagination
+        ("MATCH (n:Customer) WITH n.node_id AS i SKIP 2 MATCH (m) RETURN i",
+         "final RETURN"),
+        # wrong entity kind, fail closed via scope resolution
+        ("MATCH (n:Customer) RETURN type(n) AS t", "n.rel_type"),
+        ("MATCH (n:Customer)-[r]->(m) RETURN id(r) AS i", "r.node_id"),
+        # accessor arg must be a bare variable
+        ("MATCH (n:Customer) RETURN type(n.name) AS t", "expected"),
+    ]:
+        with pytest.raises(GuardError, match=msg):
+            compile_cypher(cctx, q)
