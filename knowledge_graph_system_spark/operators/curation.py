@@ -23,8 +23,17 @@ engine's LLM-pipeline surface alongside `operators/dedup.py` and
   the packing shape large-corpus trainers actually use (per-shard
   packing), not a toy global loop.
 
-Everything is pure column expressions; both operators ship with exact
-DuckDB oracles (tests/test_curation.py runs both engines row-for-row).
+- `repetition_stats` / `repetition_filter`: the Gopher repetition
+  gates (top n-gram fraction, duplicated n-gram fraction) — computed
+  per-doc with a sorted-array run-length fold, ZERO shuffles.
+- `duplicate_span_stats`: cross-document exact n-gram span sharing
+  (substring-level dedup signal, complementing doc-level minhash).
+- `pii_redact`: email/IPv4/phone scrub via a regexp_replace chain,
+  patterns restricted to the RE2-and-Java-compatible subset.
+
+Everything is pure column expressions; every operator ships with an
+exact DuckDB oracle (tests/test_curation.py runs both engines
+row-for-row).
 
 Registry note: lib + pytest in r6; @query registration waits for a
 free recording-window slot (`registry.py:116-121`).
@@ -196,4 +205,257 @@ SELECT doc_id, n_tokens, pack_group,
        __start % {seq_len} AS bin_offset,
        (__start % {seq_len}) + n_tokens > {seq_len} AS spans_boundary
 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality stats (the Gopher rules: Rae et al. 2021,
+# "Scaling Language Models", Table A1 — fraction of content in the most
+# frequent n-gram and in duplicated n-grams). A doc whose text is
+# dominated by one repeated phrase is boilerplate; these two fractions
+# are the standard cheap detectors.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition metrics, computed WITHOUT any shuffle.
+
+    Returns (doc_id, n_grams, top_gram_frac, dup_gram_frac):
+      top_gram_frac = count(most frequent word n-gram) / total n-grams
+      dup_gram_frac = sum(counts of n-grams occurring >= 2) / total
+
+    Scale shape: per-doc metrics need no cross-row state, so instead of
+    explode -> groupBy(doc, gram) -> groupBy(doc) (two exchanges over
+    rows x grams), the gram array is sorted per row and run-lengths are
+    folded with an aggregate() higher-order function — an
+    embarrassingly parallel scan, zero exchanges, stays inside
+    whole-stage codegen. Docs shorter than n words report n_grams = 0
+    and NULL fractions."""
+    grams = word_ngrams(F.col(text_col), n)
+    # fold: acc = (prev gram, current run, max run, sum of runs > 1)
+    runs = F.expr(
+        """
+        aggregate(
+          sort_array(__grams),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+                       'maxrun', 0L, 'dupsum', 0L),
+          (acc, g) -> IF(acc.prev IS NOT NULL AND g = acc.prev,
+            named_struct('prev', g, 'run', acc.run + 1L,
+                         'maxrun', acc.maxrun, 'dupsum', acc.dupsum),
+            named_struct('prev', g, 'run', 1L,
+                         'maxrun', GREATEST(acc.maxrun, acc.run),
+                         'dupsum', acc.dupsum
+                                   + IF(acc.run > 1L, acc.run, 0L))),
+          acc -> named_struct(
+            'maxrun', GREATEST(acc.maxrun, acc.run),
+            'dupsum', acc.dupsum + IF(acc.run > 1L, acc.run, 0L))
+        )
+        """
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), grams.alias("__grams"))
+        .select(
+            "doc_id",
+            F.size("__grams").cast("bigint").alias("n_grams"),
+            runs.alias("__r"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("__r.maxrun") / F.col("n_grams"), 6),
+            ).alias("top_gram_frac"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("__r.dupsum") / F.col("n_grams"), 6),
+            ).alias("dup_gram_frac"),
+        )
+    )
+
+
+def repetition_sql(
+    table: str, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of repetition_stats (grouped counts — the oracle
+    need not be shuffle-free, only equal)."""
+    return f"""
+WITH g AS (
+  SELECT {table}.{id_col} AS doc_id,
+         array_to_string(w.words[u : u + {n - 1}], ' ') AS gram
+  FROM {table},
+       LATERAL (SELECT string_split({table}.{text_col}, ' ') AS words) w,
+       LATERAL (SELECT unnest(range(1, len(w.words) - {n} + 2)) AS u) t
+  WHERE len(w.words) >= {n}
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+s AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         max(cnt) AS maxc,
+         coalesce(sum(cnt) FILTER (cnt > 1), 0) AS dupsum
+  FROM c GROUP BY doc_id
+)
+SELECT d.{id_col} AS doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       round(s.maxc / CAST(s.n_grams AS DOUBLE), 6) AS top_gram_frac,
+       round(s.dupsum / CAST(s.n_grams AS DOUBLE), 6) AS dup_gram_frac
+FROM {table} d LEFT JOIN s ON s.doc_id = d.{id_col}
+"""
+
+
+def repetition_filter(
+    docs: DataFrame,
+    n: int = 2,
+    max_top_frac: float = 0.2,
+    max_dup_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs passing the Gopher repetition gates (NULL metrics — too
+    short to measure — pass, matching the P5 NULL-passes convention)."""
+    stats = repetition_stats(docs, n, id_col, text_col)
+    keep = stats.filter(
+        (F.col("top_gram_frac").isNull() | (F.col("top_gram_frac") <= max_top_frac))
+        & (F.col("dup_gram_frac").isNull() | (F.col("dup_gram_frac") <= max_dup_frac))
+    ).select("doc_id")
+    return docs.join(keep, docs[id_col] == keep["doc_id"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-span detection (substring-level exact dedup,
+# the Lee et al. 2021 "Deduplicating Training Data Makes Language
+# Models Better" signal): which of a doc's n-gram spans also occur in
+# ANY other document. Doc-level minhash (operators/dedup.py) finds
+# near-identical documents; this finds shared boilerplate spans inside
+# otherwise-distinct documents.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_span_stats(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc (n_spans, n_shared_spans, shared_frac): distinct n-gram
+    spans, and how many of them occur in at least one OTHER doc.
+
+    Scale shape: distinct (doc, gram) pairs -> gram doc-frequency by
+    one groupBy(gram) -> broadcast-free equi-join back on gram -> per-
+    doc aggregate. Two exchanges (gram, then doc_id), each linear in
+    rows x grams — never a doc x doc self-join. A gram shared by many
+    docs multiplies nothing: the doc-frequency table has one row per
+    gram, and the join key count equals the distinct-pair count."""
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    freq = dg.groupBy("gram").agg(F.count("*").alias("__df"))
+    per_doc = (
+        dg.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("__df") >= 2).cast("bigint")).alias("n_shared_spans"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(F.col("n_shared_spans") / F.col("n_spans"), 6),
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def duplicate_span_sql(
+    table: str, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+WITH dg AS (
+  SELECT DISTINCT {table}.{id_col} AS doc_id,
+         array_to_string(w.words[u : u + {n - 1}], ' ') AS gram
+  FROM {table},
+       LATERAL (SELECT string_split({table}.{text_col}, ' ') AS words) w,
+       LATERAL (SELECT unnest(range(1, len(w.words) - {n} + 2)) AS u) t
+  WHERE len(w.words) >= {n}
+),
+freq AS (SELECT gram, count(*) AS df FROM dg GROUP BY gram),
+per_doc AS (
+  SELECT dg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_spans
+  FROM dg JOIN freq f ON f.gram = dg.gram
+  GROUP BY dg.doc_id
+)
+SELECT d.{id_col} AS doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.n_shared_spans, 0) AS n_shared_spans,
+       CASE WHEN p.n_spans > 0
+            THEN round(p.n_shared_spans / CAST(p.n_spans AS DOUBLE), 6)
+       END AS shared_frac
+FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the standard scrub pass (emails, IPv4, phone-shaped
+# numbers) every public-web training corpus runs before training.
+# Pure regexp_replace chain — JVM-side, no UDF; patterns restricted to
+# the RE2-AND-Java-compatible subset so the DuckDB oracle is exact.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, text_redacted, n_email, n_ipv4, n_phone, n_pii).
+
+    Patterns apply in PII_PATTERNS order, each counting on the text as
+    already redacted by the previous stage (so an email's digits are
+    not re-counted as a phone). One projection, zero shuffles."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    out = df.select(
+        F.col(id_col).alias("doc_id"), cur.alias("text_redacted"), *counts
+    )
+    total = sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS[1:]),
+                F.col(f"n_{PII_PATTERNS[0][0]}"))
+    return out.withColumn("n_pii", total.cast("bigint"))
+
+
+def pii_redact_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    cur = text_col
+    count_cols = []
+    for name, pat, rep in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{esc}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{esc}', '{rep}', 'g')"
+    names = [f"n_{name}" for name, _, _ in PII_PATTERNS]
+    return f"""
+WITH r AS (
+  SELECT {id_col} AS doc_id, {cur} AS text_redacted,
+         {", ".join(count_cols)}
+  FROM {table}
+)
+SELECT doc_id, text_redacted, {", ".join(names)},
+       CAST({" + ".join(names)} AS BIGINT) AS n_pii
+FROM r
 """

@@ -123,3 +123,116 @@ def test_greedy_pack_fill_ratio(docs):
     for r in stats:
         # every bin before the last is fully covered by construction
         assert r["toks"] > r["last_bin"] * 2048
+
+
+# ---- repetition stats / duplicate spans / PII redaction -------------------
+
+
+def test_repetition_matches_oracle(docs, duck):
+    from knowledge_graph_system_spark.operators.curation import (
+        repetition_sql,
+        repetition_stats,
+    )
+
+    got = _rows(repetition_stats(docs, n=2))
+    want = _duck_rows(duck, repetition_sql("documents", n=2))
+    assert got == want and len(got) > 0
+
+
+def test_repetition_shuffle_free_plan(docs):
+    from knowledge_graph_system_spark.operators.curation import repetition_stats
+
+    plan = repetition_stats(docs, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-doc fold must not shuffle
+
+
+def test_repetition_known_values(spark):
+    from knowledge_graph_system_spark.operators.curation import (
+        repetition_filter,
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # 3 bigrams, all "spam spam"
+            (2, "a b c d"),               # 3 distinct bigrams
+            (3, "x"),                     # too short: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert rows[1]["n_grams"] == 3
+    assert rows[1]["top_gram_frac"] == 1.0 and rows[1]["dup_gram_frac"] == 1.0
+    assert rows[2]["top_gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[2]["dup_gram_frac"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["top_gram_frac"] is None
+    # filter: repeated doc fails, diverse + unmeasurable pass (NULL
+    # passes); top_frac threshold 0.5 because a 3-bigram doc's floor
+    # is 1/3 (tiny-doc artifact the default 0.2 gate would trip on)
+    kept = sorted(
+        r["doc_id"] for r in repetition_filter(df, n=2, max_top_frac=0.5).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_duplicate_spans_match_oracle(docs, duck):
+    from knowledge_graph_system_spark.operators.curation import (
+        duplicate_span_sql,
+        duplicate_span_stats,
+    )
+
+    got = _rows(duplicate_span_stats(docs, n=8))
+    want = _duck_rows(duck, duplicate_span_sql("documents", n=8))
+    assert got == want and len(got) > 0
+
+
+def test_duplicate_spans_semantics(spark):
+    from knowledge_graph_system_spark.operators.curation import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "lazy the quick brown fox sleeps"),  # shares "the quick brown fox"
+            (3, "completely different words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicate_span_stats(df, n=4).collect()}
+    assert rows[1]["n_shared_spans"] == 1  # "the quick brown fox"
+    assert rows[2]["n_shared_spans"] == 1
+    assert rows[3]["n_shared_spans"] == 0 and rows[3]["shared_frac"] == 0.0
+
+
+def test_pii_redact_matches_oracle(spark, duck):
+    from knowledge_graph_system_spark.operators.curation import (
+        pii_redact,
+        pii_redact_sql,
+    )
+
+    fixture = spark.createDataFrame(
+        [
+            (1, "contact me at alice.smith+x@example.co.uk or 10.0.0.1"),
+            (2, "call +123 456 7890 now or 555-123-4567"),
+            (3, "no pii here at all"),
+            (4, "a@b.io and 192.168.254.254 and 321 654 0987"),
+            (5, "edge cases: a@b@c.com 999.999.999.999 12-34-56"),
+        ],
+        ["doc_id", "text"],
+    )
+    duck.register("pii_docs", fixture.toPandas())
+    got = _rows(pii_redact(fixture))
+    want = _duck_rows(duck, pii_redact_sql("pii_docs"))
+    assert got == want
+    out = {r["doc_id"]: r for r in pii_redact(fixture).collect()}
+    assert out[1]["text_redacted"] == "contact me at <EMAIL> or <IP>"
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[3]["n_pii"] == 0
+    assert out[4]["n_pii"] == 3
+
+
+def test_pii_redact_no_shuffle_no_udf(spark):
+    from knowledge_graph_system_spark.operators.curation import pii_redact
+
+    df = spark.createDataFrame([(1, "x@y.zz")], ["doc_id", "text"])
+    plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
