@@ -34,6 +34,8 @@ Supported subset (clause sequence):
         left right size abs round toString ... — whitelist, fail
         closed); graph accessors type(r) labels(n) id(n) over pattern
         variables (sugar for r.rel_type / [n.label] / n.node_id);
+        list predicates any/all/none/single(x IN list WHERE pred) via
+        Spark higher-order functions (correlated predicates ok);
         CASE (generic AND simple form, nestable)
         [NOT] EXISTS { [MATCH] <pattern> [WHERE ...] }  correlated
         semi/anti-join on shared node vars; must be a top-level AND
@@ -622,7 +624,7 @@ def _apply_exists(
     unbounded paths)."""
     for negated, ex_body in terms:
         inner = re.sub(r"^\s*match\b", "", ex_body, flags=re.IGNORECASE).strip()
-        iparts = _split_outside_literals(inner, _WHERE_SPLIT)
+        iparts = _split_outside_nesting(inner, _WHERE_SPLIT)
         if len(iparts) > 2:
             raise GuardError("multiple WHERE inside EXISTS{}")
         pat_text = iparts[0]
@@ -674,7 +676,7 @@ def _apply_match(
     optional: bool,
     anon: int,
 ) -> tuple[DataFrame, int]:
-    parts = _split_outside_braces(body, _WHERE_SPLIT)
+    parts = _split_outside_nesting(body, _WHERE_SPLIT)
     if len(parts) > 2:
         raise GuardError("multiple WHERE in one clause")
     pattern_text, where_text = parts[0], parts[1] if len(parts) > 1 else None
@@ -773,7 +775,7 @@ def _apply_match(
 def _apply_with(
     df: DataFrame, scope: _Scope, body: str
 ) -> tuple[DataFrame, _Scope]:
-    parts = _split_outside_literals(body, _WHERE_SPLIT)
+    parts = _split_outside_nesting(body, _WHERE_SPLIT)
     if len(parts) > 2:
         raise GuardError("multiple WHERE in one clause")
     items_text, having_text = parts[0], parts[1] if len(parts) > 1 else None

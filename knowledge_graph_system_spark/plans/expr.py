@@ -30,6 +30,11 @@ Function whitelist (fail closed on anything else):
   graph        type(r) labels(n) id(n) — accessors over a bare pattern
                variable (sugar for r.rel_type / [n.label] / n.node_id;
                fail closed on unbound vars or wrong entity kind)
+  list preds   any/all/none/single(x IN list WHERE pred) → Spark
+               exists/forall/~exists/size(filter)=1 higher-order
+               functions (JVM-side, no explode); predicates may be
+               correlated with outer columns; nesting allowed with
+               distinct element vars (re-binding fails closed)
 
 Documented deviations from openCypher (each fails toward SQL semantics,
 which is what the DuckDB oracles pin):
@@ -168,6 +173,7 @@ class _Parser:
         self.agg_count = 0
         self.in_agg = 0
         self.plain_refs = 0
+        self.lambda_vars: dict[str, Column] = {}
 
     # ---- token stream -----------------------------------------------------
     def peek(self) -> _Tok:
@@ -369,6 +375,12 @@ class _Parser:
         var = self.next().text
         if var.lower() in _KEYWORDS:
             raise GuardError(f"unexpected keyword {var!r} in {self.text!r}")
+        if var in self.lambda_vars:
+            if self.peek().kind == "op" and self.peek().text == ".":
+                raise GuardError(
+                    f"list elements have no properties: {var!r} in {self.text!r}"
+                )
+            return self.lambda_vars[var]
         ref = var
         if self.eat_op("."):
             prop = self.next()
@@ -416,6 +428,8 @@ class _Parser:
             return self.agg_call(name)
         if name in ("type", "labels", "id"):
             return self.graph_accessor(name)
+        if name in ("any", "all", "none", "single"):
+            return self.list_predicate(name)
         if name not in _SCALARS:
             raise GuardError(f"unsupported function {name}() in {self.text!r}")
         lo, hi, builder = _SCALARS[name]
@@ -487,6 +501,49 @@ class _Parser:
         if name == "id":
             return F.col(self.scope.resolve(f"{var}.node_id"))
         return F.array(F.col(self.scope.resolve(f"{var}.label")))
+
+    def list_predicate(self, name: str) -> Column:
+        """openCypher list predicates any/all/none/single(x IN list
+        WHERE pred) → Spark higher-order functions exists/forall/
+        ~exists/size(filter)=1 — JVM-side per-row array evaluation, no
+        UDF, no explode. The predicate may reference outer scope
+        columns (correlated) alongside the element variable; the
+        element is bound as a lambda variable, shadowing any outer
+        name for the predicate's extent."""
+        t = self.peek()
+        if t.kind != "ident" or t.low in _KEYWORDS:
+            raise GuardError(
+                f"{name}() needs 'var IN list WHERE pred' in {self.text!r}"
+            )
+        var = self.next().text
+        if var in self.lambda_vars:
+            raise GuardError(f"nested list predicates cannot re-bind {var!r}")
+        if not self.eat_kw("in"):
+            raise GuardError(f"expected IN after {name}({var} in {self.text!r}")
+        lst = self.expr()
+        if not self.eat_kw("where"):
+            raise GuardError(f"expected WHERE in {name}(...) in {self.text!r}")
+
+        # Spark's higher-order builders invoke the lambda eagerly and
+        # exactly once, so the predicate is parsed in place with the
+        # element column bound for its extent.
+        def body(elem: Column) -> Column:
+            self.lambda_vars[var] = elem
+            try:
+                return self.expr()
+            finally:
+                del self.lambda_vars[var]
+
+        if name == "any":
+            out = F.exists(lst, body)
+        elif name == "all":
+            out = F.forall(lst, body)
+        elif name == "none":
+            out = ~F.exists(lst, body)
+        else:  # single
+            out = F.size(F.filter(lst, body)) == 1
+        self.expect_op(")", f"{name}() call")
+        return out
 
     def agg_call(self, name: str) -> Column:
         if not self.allow_agg:

@@ -647,3 +647,87 @@ def test_accessor_and_skip_rejections(cctx):
     ]:
         with pytest.raises(GuardError, match=msg):
             compile_cypher(cctx, q)
+
+
+def test_list_predicates(cctx):
+    # any(): match the specific customer whose name splits to this token
+    out = compile_cypher(
+        cctx,
+        "MATCH (n:Customer) WHERE any(w IN split(n.name, '#') "
+        "WHERE w = '000000001') RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in out] == ["Customer#000000001"]
+    n_cust = cctx.nodes.filter(F.col("label") == "Customer").count()
+    # all(): every split token is non-empty -> every customer passes
+    assert (
+        compile_cypher(
+            cctx,
+            "MATCH (n:Customer) WHERE all(w IN split(n.name, '#') "
+            "WHERE char_length(w) > 0) RETURN count(*) AS n",
+        ).collect()[0]["n"]
+        == n_cust
+    )
+    # none() with a CORRELATED predicate (outer column in the lambda)
+    assert (
+        compile_cypher(
+            cctx,
+            "MATCH (n:Customer) WHERE none(w IN split(n.name, '#') "
+            "WHERE w = n.ontology) RETURN count(*) AS n",
+        ).collect()[0]["n"]
+        == n_cust
+    )
+    # single(): exactly one token equals 'Customer' in every name
+    rows = compile_cypher(
+        cctx,
+        "MATCH (n:Customer) RETURN single(w IN split(n.name, '#') "
+        "WHERE w = 'Customer') AS s, count(*) AS n",
+    ).collect()
+    assert rows == [] or (rows[0]["s"] is True and rows[0]["n"] == n_cust)
+    # nesting with DISTINCT element vars is allowed
+    assert (
+        compile_cypher(
+            cctx,
+            "MATCH (n:Customer) WHERE any(a IN split(n.name, '#') "
+            "WHERE any(b IN ['Customer'] WHERE b = a)) RETURN count(*) AS n",
+        ).collect()[0]["n"]
+        == n_cust
+    )
+
+
+def test_list_predicate_rejections(cctx):
+    for q, msg in [
+        # re-binding the same element var in a nested predicate
+        ("MATCH (n:Customer) WHERE any(w IN split(n.name,'#') "
+         "WHERE any(w IN ['x'] WHERE w = 'x')) RETURN count(*) AS n",
+         "re-bind"),
+        # property access on a list element
+        ("MATCH (n:Customer) WHERE any(w IN split(n.name,'#') "
+         "WHERE w.x = 1) RETURN count(*) AS n",
+         "no properties"),
+        # malformed: missing 'var IN'
+        ("MATCH (n:Customer) WHERE any(split(n.name,'#')) "
+         "RETURN count(*) AS n", "expected IN"),
+    ]:
+        with pytest.raises(GuardError, match=msg):
+            compile_cypher(cctx, q)
+
+
+def test_inner_where_does_not_split_clauses(cctx):
+    """WHERE inside any(...) must not be taken for the clause-level
+    WHERE — in MATCH, in WITH (as HAVING position), and in EXISTS{}."""
+    # in WITH ... WHERE (having position after aggregate)
+    out = compile_cypher(
+        cctx,
+        "MATCH (n:Customer) WITH n.ontology AS seg, count(*) AS n "
+        "WHERE any(w IN ['BUILDING'] WHERE w = seg) "
+        "RETURN seg, n",
+    ).collect()
+    assert len(out) == 1 and out[0]["seg"] == "BUILDING"
+    # in EXISTS{} inner WHERE
+    out2 = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) WHERE EXISTS { (c)-[:PLACED]->(o:Order) "
+        "WHERE any(w IN ['O'] WHERE o.name STARTS WITH w) } "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert out2[0]["n"] > 0
