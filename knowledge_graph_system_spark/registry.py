@@ -117,8 +117,20 @@ class Ctx:
 # window, so round 7 has AT MOST 3 new-or-changed registered queries
 # (47 r5-tail rows must rotate in). New library capability beyond that
 # budget ships as lib + pytest and joins the registry the following
-# round — this round that is Cypher CASE WHEN / EXISTS{} (see
-# plans/cypher.py), which registers in r7.
+# round.
+#
+# r7 REGISTRATION PLAN (3 slots, covering the r6 lib backlog the way
+# so_program_demo covers SO1-SO5 — one composite query per family):
+#   1. cur_repetition_spans — repetition_stats ⋈ duplicate_span_stats
+#      over documents (Gopher gates + cross-doc span sharing, one
+#      result frame; oracles exist in operators/curation.py).
+#   2. cur_pii_redact — pii_redact over documents (pii_redact_sql).
+#   3. smp_split_mix — hash_split + corpus_mix composite over
+#      documents (bucket_sql twins in operators/sampling.py).
+# Cypher CASE/EXISTS{}/accessors/SKIP/list-predicates ride existing
+# p7_cypher_* slots as "changed" when any of those queries is edited
+# to exercise them; streaming_near_dup stays pytest-pinned (its parity
+# gate IS d_minhash_lsh, which is driver-graded).
 _RECORD_FIRST = [
     # ---- new this round (r6): the MJPEG-in-AVI video codec (r5's
     # declared stub retired)

@@ -209,3 +209,27 @@ def streaming_near_dup(
         return spark.read.parquet(pairs_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_dedup_within_watermark(
+    events_stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-bounded streaming exact-dedup: a duplicate arriving
+    within `delay` of the first occurrence is dropped; state for keys
+    older than the watermark is EVICTED (Spark's
+    dropDuplicatesWithinWatermark).
+
+    Complements `stateful.stream_first_seen` (dedup-forever,
+    unbounded state): at 100 TB/day a forever-dedup's state grows
+    without bound, while real duplicate arrivals cluster near the
+    original (retries, replays, at-least-once sources). This operator
+    is the bounded-state production default; first_seen remains for
+    genuinely global keys (content hashes already bounded by corpus
+    size). Exact-duplicate semantics only — near-dup needs the LSH
+    index path above."""
+    return events_stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )

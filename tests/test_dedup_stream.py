@@ -55,3 +55,59 @@ def test_no_duplicate_pair_rows(stream_pairs):
     pairs = [(r["doc_a"], r["doc_b"]) for r in stream_pairs]
     assert len(pairs) == len(set(pairs))
     assert all(a < b for a, b in pairs)
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """A duplicate key within the watermark window is dropped; a
+    duplicate far past it (state evicted) is re-admitted."""
+    import datetime as dt
+    import os
+    import time
+    import uuid
+
+    from knowledge_graph_system_spark.streaming.dedup_stream import (
+        stream_dedup_within_watermark,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write(sub, rows):
+        spark.createDataFrame(rows, "k string, ts timestamp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / sub))
+        time.sleep(1.1)
+
+    # batch 0: first occurrences; batch 1: near-duplicate of 'a' (dropped)
+    # plus an event 1h later that advances the watermark far past 'a';
+    # batch 2: unrelated key — state eviction applies at the batch's
+    # state commit, so the advanced watermark evicts 'a' HERE, one
+    # trigger after it advanced; batch 3: 'a' again -> re-admitted
+    write("b=0", [("a", t0), ("b", t0 + dt.timedelta(seconds=30))])
+    write("b=1", [("a", t0 + dt.timedelta(minutes=2)),
+                  ("w", t0 + dt.timedelta(hours=1))])
+    write("b=2", [("c", t0 + dt.timedelta(hours=1, seconds=30))])
+    write("b=3", [("a", t0 + dt.timedelta(hours=1, minutes=1))])
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "b=*"))
+    )
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup_within_watermark(stream, ["k"], "ts", "10 minutes")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["k"], r["ts"]) for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    )
+    ks = [k for k, _ in rows]
+    assert ks.count("a") == 2          # original + post-eviction re-admit
+    assert ks.count("b") == 1 and ks.count("w") == 1 and ks.count("c") == 1
+    a_times = [ts for k, ts in rows if k == "a"]
+    assert t0 in a_times and t0 + dt.timedelta(minutes=2) not in a_times
