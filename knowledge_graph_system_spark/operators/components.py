@@ -152,3 +152,22 @@ def d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("group_id"),
         (F.col("node") == F.col("comp")).alias("keeper"),
     )
+
+
+def dedup_apply(
+    docs: DataFrame, groups: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the canonical corpus: drop every non-keeper.
+
+    `groups` is d_dup_groups' output (doc_id, group_id, keeper) — only
+    docs that belong to SOME near-dup group appear in it, so the apply
+    is one left-anti join against the non-keeper rows; untouched docs
+    (the overwhelming majority at 100 TB) stream through without ever
+    joining. The anti-join's build side is the duplicate set, which is
+    corpus-small by definition — AQE broadcasts it."""
+    losers = groups.filter(~F.col("keeper")).select(
+        F.col("doc_id").alias("__loser_id")
+    )
+    return docs.join(
+        losers, docs[id_col] == losers["__loser_id"], "left_anti"
+    )

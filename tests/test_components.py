@@ -45,3 +45,49 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=1)
+
+
+def test_dedup_apply_materializes_canonical_corpus(spark):
+    """End-to-end apply: documents minus non-keepers, checked against
+    the d_dup_groups recursive-SQL oracle wrapped in an anti-join."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.components import (
+        d_dup_groups,
+        dedup_apply,
+    )
+    from knowledge_graph_system_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    groups = d_dup_groups(spark, SF_DIR)
+    kept = dedup_apply(docs, groups)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+            f"SELECT doc_id FROM ({QUERIES['d_dup_groups'].oracle}) WHERE NOT keeper)"
+        ).fetchall()
+    )
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert got == want
+    # structural invariants: one keeper per group survives; total =
+    # corpus - non-keepers; every kept grouped doc IS its group keeper
+    n_docs = docs.count()
+    n_losers = groups.filter("NOT keeper").count()
+    assert len(got) == n_docs - n_losers and n_losers > 0
+    surviving_grouped = groups.join(
+        kept.select("doc_id"), "doc_id", "left_semi"
+    )
+    assert surviving_grouped.filter("NOT keeper").count() == 0
+    assert (
+        surviving_grouped.count()
+        == groups.select("group_id").distinct().count()
+    )
+    con.close()
