@@ -63,10 +63,38 @@ class _Gen:
         v = self.r.choice(["en", "fr", "web", "x"])
         return f"'{v}'", f"'{v}'"
 
+    def listpred(self) -> tuple[str, str]:
+        """any/all/none/single(w IN split(col, d) WHERE pred) — Cypher
+        higher-order list predicates vs DuckDB list_filter counting."""
+        col_c, col_s = self.r.choice([(c, c.split(".")[1]) for c in _STR_COLS])
+        delim = self.r.choice(["r", "c", "0", "e"])
+        fn = self.r.choice(["any", "all", "none", "single"])
+        pred_c, pred_s = self.r.choice(
+            [
+                ("w = 'c0'", "w = 'c0'"),
+                ("w <> ''", "w <> ''"),
+                ("char_length(w) > 1", "length(w) > 1"),
+                ("w CONTAINS '1'", "contains(w, '1')"),
+            ]
+        )
+        lst_c = f"split({col_c}, '{delim}')"
+        lst_s = f"string_split({col_s}, '{delim}')"
+        cnt = f"len(list_filter({lst_s}, w -> {pred_s}))"
+        sql = {
+            "any": f"{cnt} > 0",
+            "all": f"{cnt} = len({lst_s})",
+            "none": f"{cnt} = 0",
+            "single": f"{cnt} = 1",
+        }[fn]
+        return f"{fn}(w IN {lst_c} WHERE {pred_c})", f"({sql})"
+
     def cmp(self, depth: int) -> tuple[str, str]:
         kind = self.r.choice(
-            ["numcmp", "strcmp", "strpred", "in_num", "in_str", "chain"]
+            ["numcmp", "strcmp", "strpred", "in_num", "in_str", "chain",
+             "listpred"]
         )
+        if kind == "listpred":
+            return self.listpred()
         if kind == "numcmp":
             a_c, a_s = self.num(depth)
             b_c, b_s = self.num(depth)
