@@ -47,3 +47,22 @@ def stream_interval_join(
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
     )
+
+
+def stream_enrich_static(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins against a
+    batch-side dimension — stateless (nothing buffered across
+    triggers; the dim is re-resolved per batch, so a dim refresh is
+    picked up without restarting the query).
+
+    Scale: the dim is broadcast when it fits (the common case —
+    user/catalog dims are small next to the event rate); a huge dim
+    falls back to a per-batch shuffle join, still stateless. The
+    stream side must keep its watermark column if a windowed aggregate
+    follows (enrichment is a projection, not a stateful op)."""
+    return events_stream.join(F.broadcast(dim), key, how)

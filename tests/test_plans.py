@@ -116,3 +116,25 @@ def test_multimodal_scans_prune_to_two_columns(spark, specs):
         assert m, plan[:500]
         cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert cols == {"doc_id", "text"}, (q, cols)
+
+
+def test_lsh_candidates_have_no_band_self_join(spark):
+    """r6 candidate shape: the bucket cap rides ONE aggregation whose
+    bounded sorted member lists expand to pairs via an array
+    expression — no SortMergeJoin on band, no WindowExec, and no
+    second aggregation pass over the band exchange."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cand = lsh_candidates(minhash_signatures(doc_shingles(docs)))
+    plan = _plan(cand)
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    # exactly one exchange carries the band key (the grouping); the
+    # only other exchange is the final pair distinct
+    assert plan.count("Exchange hashpartitioning(band") == 1

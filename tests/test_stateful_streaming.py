@@ -118,3 +118,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (r["click_id"], r["purchase_id"]) for r in spark.sql(f"SELECT * FROM {sink}").collect()
     }
     assert got == {(1, 2), (1, 6), (5, 6)}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Per-batch join against a static dim: matched rows enriched,
+    unmatched keep NULL (left join), processing stays stateless
+    (no stateOperators in progress)."""
+    import datetime as dt
+
+    from knowledge_graph_system_spark.streaming.joins import stream_enrich_static
+
+    t = dt.datetime(2024, 6, 1)
+    src = str(tmp_path / "enrich_src")
+    os.makedirs(src)
+    _write_batch(spark, src + "/b=0", [
+        (1, t, 7, "view", 1.0, "{}"),
+        (2, t, 8, "view", 2.0, "{}"),
+        (3, t, 9, "view", 3.0, "{}"),   # no dim row
+    ])
+
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "silver")], "user_id long, tier string"
+    )
+    sink = f"en_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_enrich_static(_stream(spark, src), dim)
+        .select("event_id", "user_id", "tier")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r["tier"] for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    assert rows == {1: "gold", 2: "silver", 3: None}
+    assert all(not p.get("stateOperators") for p in q.recentProgress)
