@@ -38,44 +38,56 @@ K1 = 1.2
 B = 0.75
 
 
-def bm25_search(
+def build_postings(
     docs: DataFrame,
-    query_terms: list[str],
-    top_k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k1: float = K1,
-    b: float = B,
-) -> DataFrame:
-    """Top-k documents by BM25 over whitespace terms.
+    vocabulary: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, lengths): the two reusable BM25 frames.
 
-    Returns (doc_id, score, n_hit_terms) ordered by score desc with
-    doc_id as the deterministic tie-break."""
-    terms = [t for t in query_terms if t]
-    if not terms:
-        raise ValueError("bm25_search needs at least one query term")
-
+    postings = (doc_id, term, tf); lengths = (doc_id, dl). At 100 TB
+    these are built ONCE (optionally restricted to a vocabulary),
+    written bucketed by term, and served to every query — the per-query
+    plan then starts from an indexed scan instead of a corpus explode.
+    `bm25_search` composes exactly these builders inline for the
+    build-and-query-in-one-pass case."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("__words"),
     )
     lengths = base.select("doc_id", F.size("__words").cast("bigint").alias("dl"))
+    exploded = base.select("doc_id", F.explode("__words").alias("term"))
+    if vocabulary is not None:
+        # restrict BEFORE the shuffle: aggregated volume is term-hits,
+        # not the corpus
+        exploded = exploded.filter(F.col("term").isin(vocabulary))
+    postings = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return postings, lengths
+
+
+def bm25_from_postings(
+    postings: DataFrame,
+    lengths: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score a query against prebuilt posting/length frames."""
+    terms = [t for t in query_terms if t]
+    if not terms:
+        raise ValueError("bm25 needs at least one query term")
     # corpus stats: one tiny aggregate (N, avgdl) — broadcast below
     corpus = lengths.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-
-    # explode once, filter to query terms BEFORE the shuffle
-    hits = (
-        base.select("doc_id", F.explode("__words").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    # df = rows per term in hits (already one row per (doc, term)) — a
-    # window count over the SMALL aggregated frame, so the corpus is
-    # exploded exactly once (a groupBy-then-join re-derivation would
-    # make Catalyst recompute the whole explode for the df branch)
+    hits = postings.filter(F.col("term").isin(terms))
+    # df = rows per term in hits (one row per (doc, term)) — a window
+    # count over the SMALL filtered frame, so a fused build+query plan
+    # explodes the corpus exactly once (a groupBy-then-join
+    # re-derivation would make Catalyst recompute the explode for the
+    # df branch; pinned by test_bm25_plan_shape)
     from pyspark.sql.window import Window
 
     with_df = hits.withColumn(
@@ -113,6 +125,28 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(top_k)
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k documents by BM25 over whitespace terms, build-and-query
+    in one pass (postings restricted to the query vocabulary before
+    any shuffle).
+
+    Returns (doc_id, score, n_hit_terms) ordered by score desc with
+    doc_id as the deterministic tie-break."""
+    terms = [t for t in query_terms if t]
+    if not terms:
+        raise ValueError("bm25_search needs at least one query term")
+    postings, lengths = build_postings(docs, id_col, text_col, vocabulary=terms)
+    return bm25_from_postings(postings, lengths, terms, top_k, k1, b)
 
 
 def bm25_sql(

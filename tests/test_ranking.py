@@ -86,3 +86,27 @@ def test_bm25_plan_shape(docs):
 def test_bm25_rejects_empty_query(docs):
     with pytest.raises(ValueError):
         bm25_search(docs, [])
+
+
+def test_prebuilt_postings_equal_fused(docs, spark, tmp_path):
+    """The offline-index path (postings built once, persisted, queried
+    later) returns exactly what the fused one-pass operator returns."""
+    from knowledge_graph_system_spark.operators.ranking import (
+        bm25_from_postings,
+        build_postings,
+    )
+
+    postings, lengths = build_postings(docs)
+    postings.write.mode("overwrite").parquet(str(tmp_path / "postings"))
+    lengths.write.mode("overwrite").parquet(str(tmp_path / "lengths"))
+    got = [
+        tuple(r)
+        for r in bm25_from_postings(
+            spark.read.parquet(str(tmp_path / "postings")),
+            spark.read.parquet(str(tmp_path / "lengths")),
+            QUERY,
+            top_k=15,
+        ).collect()
+    ]
+    want = [tuple(r) for r in bm25_search(docs, QUERY, top_k=15).collect()]
+    assert got == want
