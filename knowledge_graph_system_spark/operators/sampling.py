@@ -219,3 +219,51 @@ SELECT * EXCLUDE (__n, u), CAST(u AS INT) AS mix_copy
 FROM rated, unnest(range(CAST(__n AS BIGINT))) AS t(u)
 WHERE __n > 0
 """
+
+
+def quantile_filter(
+    df: DataFrame,
+    score: "Column | str",
+    keep_frac: float,
+    stratum: str | None = None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Keep the top `keep_frac` of rows by `score` — optionally within
+    each `stratum` (the standard per-domain quality cutoff: a global
+    cut would let one high-scoring domain crowd out every other).
+
+    Deterministic: ties on score break by `key`, and the boundary uses
+    cume_dist (rank/total) so the kept set is a pure function of the
+    data — re-runs, repartitions, and cluster sizes cannot change it.
+    One shuffle (the window partition); at 100 TB a known-hot stratum
+    takes the same pre-salting as any hot key (`functions/skew.py`)."""
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    from pyspark.sql import Window
+
+    sc = F.col(score) if isinstance(score, str) else score
+    w = (
+        Window.partitionBy(stratum) if stratum is not None else Window.partitionBy()
+    ).orderBy(sc.desc(), F.col(key).asc())
+    return (
+        df.withColumn("__cd", F.cume_dist().over(w))
+        .filter(F.col("__cd") <= keep_frac)
+        .drop("__cd")
+    )
+
+
+def quantile_filter_sql(
+    table: str,
+    score_sql: str,
+    keep_frac: float,
+    stratum: str | None = None,
+    key: str = "doc_id",
+) -> str:
+    part = f"PARTITION BY {stratum} " if stratum else ""
+    return f"""
+SELECT * EXCLUDE (__cd) FROM (
+  SELECT *, cume_dist() OVER (
+    {part}ORDER BY {score_sql} DESC, {key} ASC) AS __cd
+  FROM {table}
+) WHERE __cd <= {keep_frac}
+"""

@@ -165,3 +165,58 @@ def test_corpus_mix_is_narrow(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---- quantile filter ------------------------------------------------------
+
+
+def test_quantile_filter_matches_oracle(spark, duck):
+    from knowledge_graph_system_spark.operators.sampling import (
+        quantile_filter,
+        quantile_filter_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = _rows(quantile_filter(docs, "n_chars", 0.3, stratum="source"))
+    want = _duck_rows(
+        duck, quantile_filter_sql("documents", "n_chars", 0.3, stratum="source")
+    )
+    assert got == want and len(got) > 0
+    # global (no stratum) variant too
+    got_g = _rows(quantile_filter(docs, "n_chars", 0.25))
+    want_g = _duck_rows(duck, quantile_filter_sql("documents", "n_chars", 0.25))
+    assert got_g == want_g
+
+
+def test_quantile_filter_per_stratum_fraction(spark):
+    from knowledge_graph_system_spark.operators.sampling import quantile_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = quantile_filter(docs, "n_chars", 0.5, stratum="source")
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    kept_by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    for src, n in totals.items():
+        # cume_dist keeps ceil-ish(frac * n) with tie inflation only
+        assert 1 <= kept_by[src] <= n
+        assert abs(kept_by[src] - 0.5 * n) <= max(2, 0.1 * n)
+    # every kept row's score >= every dropped row's score within stratum
+    from pyspark.sql import Window
+    mins = kept.groupBy("source").agg(F.min("n_chars").alias("kept_min"))
+    dropped = docs.join(kept.select("doc_id"), "doc_id", "left_anti")
+    bad = (
+        dropped.join(mins, "source")
+        .filter(F.col("n_chars") > F.col("kept_min"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_quantile_filter_rejects_bad_frac(spark):
+    from knowledge_graph_system_spark.operators.sampling import quantile_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quantile_filter(docs, "n_chars", 0.0)
