@@ -171,3 +171,22 @@ def dedup_apply(
     return docs.join(
         losers, docs[id_col] == losers["__loser_id"], "left_anti"
     )
+
+
+def embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS in embedding space: d_embedding_neardup's
+    verified cosine pairs → distributed connected components →
+    (vec_id, group_id, keeper). The embedding twin of d_dup_groups —
+    the same two-stage contract (bucketed candidates, exact verify,
+    CC, one keeper per cluster) over the other similarity signal, so a
+    pipeline can dedup on EITHER lexical or semantic identity with the
+    same downstream apply (`dedup_apply`, keyed on vec_id)."""
+    from .dedup import d_embedding_neardup
+
+    pairs = d_embedding_neardup(spark, sf_dir)
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("group_id"),
+        (F.col("node") == F.col("comp")).alias("keeper"),
+    )

@@ -91,3 +91,29 @@ def test_dedup_apply_materializes_canonical_corpus(spark):
         == groups.select("group_id").distinct().count()
     )
     con.close()
+
+
+def test_embedding_dup_groups(spark):
+    """Embedding-space groups: every pair's two ends share a group,
+    group_id = min member, exactly one keeper per group."""
+    from knowledge_graph_system_spark.operators.components import (
+        embedding_dup_groups,
+    )
+    from knowledge_graph_system_spark.operators.dedup import d_embedding_neardup
+    from tests.conftest import SF_DIR
+
+    groups = embedding_dup_groups(spark, SF_DIR)
+    g = {r["vec_id"]: (r["group_id"], r["keeper"]) for r in groups.collect()}
+    pairs = [
+        (r["vec_a"], r["vec_b"]) for r in d_embedding_neardup(spark, SF_DIR).collect()
+    ]
+    assert len(pairs) > 0
+    for a, b in pairs:
+        assert g[a][0] == g[b][0]
+    by_group: dict[int, list[int]] = {}
+    for v, (gid, keeper) in g.items():
+        by_group.setdefault(gid, []).append((v, keeper))
+    for gid, members in by_group.items():
+        assert gid == min(v for v, _ in members)
+        assert sum(1 for v, k in members if k) == 1
+        assert all(k == (v == gid) for v, k in members)
