@@ -27,9 +27,12 @@ Function whitelist (fail closed on anything else):
                substring left right size char_length length reverse
                head last abs round ceil floor sign sqrt exp log log10
                toString toInteger toFloat toBoolean
-  graph        type(r) labels(n) id(n) — accessors over a bare pattern
-               variable (sugar for r.rel_type / [n.label] / n.node_id;
-               fail closed on unbound vars or wrong entity kind)
+  graph        type(r) labels(n) id(n) properties(x) keys(x) —
+               accessors over a bare pattern variable (sugar for
+               r.rel_type / [n.label] / n.node_id / a map or name
+               array of the var's bound props; properties() values
+               are string-cast — Spark maps are monomorphic; fail
+               closed on unbound vars or wrong entity kind)
   list preds   any/all/none/single(x IN list WHERE pred) → Spark
                exists/forall/~exists/size(filter)=1 higher-order
                functions (JVM-side, no explode); predicates may be
@@ -426,7 +429,7 @@ class _Parser:
         self.expect_op("(", f"{name}() call")
         if name in _AGG_FNS:
             return self.agg_call(name)
-        if name in ("type", "labels", "id"):
+        if name in ("type", "labels", "id", "properties", "keys"):
             return self.graph_accessor(name)
         if name in ("any", "all", "none", "single"):
             return self.list_predicate(name)
@@ -500,7 +503,27 @@ class _Parser:
             return F.col(self.scope.resolve(f"{var}.rel_type"))
         if name == "id":
             return F.col(self.scope.resolve(f"{var}.node_id"))
-        return F.array(F.col(self.scope.resolve(f"{var}.label")))
+        if name == "labels":
+            return F.array(F.col(self.scope.resolve(f"{var}.label")))
+        # properties(x) / keys(x): every prop the pattern bound for the
+        # variable, introspected from the scope (works for node AND
+        # edge vars). Deviation: properties() values are string-cast —
+        # Spark maps are monomorphic, openCypher maps are not.
+        cols = getattr(self.scope, "cols", None)
+        if not cols:
+            raise GuardError(f"{name}() needs a pattern scope in {self.text!r}")
+        props = sorted(
+            (r.split(".", 1)[1], c)
+            for r, c in cols.items()
+            if r.startswith(f"{var}.")
+        )
+        if not props:
+            raise GuardError(f"unknown reference {var!r} in {self.text!r}")
+        if name == "keys":
+            return F.array(*[F.lit(p) for p, _ in props])
+        return F.create_map(
+            *[x for p, c in props for x in (F.lit(p), F.col(c).cast("string"))]
+        )
 
     def list_predicate(self, name: str) -> Column:
         """openCypher list predicates any/all/none/single(x IN list

@@ -731,3 +731,18 @@ def test_inner_where_does_not_split_clauses(cctx):
         "RETURN count(*) AS n",
     ).collect()
     assert out2[0]["n"] > 0
+
+
+def test_properties_and_keys_accessors(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (n:Customer)-[r:PLACED]->(m) RETURN n.node_id AS i, keys(n) AS nk, "
+        "properties(r) AS rp ORDER BY i LIMIT 2",
+    ).collect()
+    assert len(out) == 2
+    assert out[0]["nk"] == ["label", "name", "node_id", "ontology", "weight"]
+    assert sorted(out[0]["rp"].keys()) == ["confidence", "rel_type"]
+    assert out[0]["rp"]["rel_type"] == "PLACED"
+    # properties on an unbound var fails closed
+    with pytest.raises(GuardError, match="unknown reference"):
+        compile_cypher(cctx, "MATCH (n:Customer) RETURN properties(z) AS p")
