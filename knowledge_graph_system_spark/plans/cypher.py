@@ -32,8 +32,9 @@ Supported subset (clause sequence):
         STARTS WITH / ENDS WITH / CONTAINS; regex =~ 'pat';
         scalar functions (coalesce toLower toUpper trim split substring
         left right size abs round toString ... — whitelist, fail
-        closed); graph accessors type(r) labels(n) id(n) over pattern
-        variables (sugar for r.rel_type / [n.label] / n.node_id);
+        closed); graph accessors type(r) labels(n) id(n)
+        properties(x) keys(x) over pattern variables (sugar for
+        r.rel_type / [n.label] / n.node_id / prop map or name array);
         list predicates any/all/none/single(x IN list WHERE pred) via
         Spark higher-order functions (correlated predicates ok);
         CASE (generic AND simple form, nestable)
