@@ -1,0 +1,70 @@
+"""Raw-feed ingestion: JSONL with malformed-record quarantine.
+
+Real document feeds arrive as JSONL, and at 100 TB some fraction of
+lines is always broken (truncated writes, encoding damage, schema
+drift). Dropping them silently corrupts provenance; failing the job on
+one bad line at terabyte scale is worse. The production contract is
+three-way: parse what parses, QUARANTINE the raw text of what doesn't
+(for replay after a fix), and report both counts.
+
+Spark-first: the JSON reader's PERMISSIVE mode with a corrupt-record
+column does the classification in the scan itself — no Python, no
+second pass over good rows. (The reference ingests via file upload +
+serializer with its own malformed handling, `api/app/lib/
+serialization/importer.py`; this is that duty for raw feeds.)
+
+Gotcha encoded here: Spark refuses queries that select ONLY the
+corrupt-record column from a JSON scan (the parser would need to
+re-run per filter), so the split frame is cached before filtering —
+one scan, both outputs, then the cache is dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    quarantine_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): parsed rows matching `schema`, and raw lines that
+    failed to parse (one column `raw`).
+
+    `schema` is the DDL for the EXPECTED fields (without the corrupt
+    column). A line that is valid JSON but misses a non-null field
+    still lands in `good` with NULLs — schema drift is a filter
+    decision for the caller, not a parse failure. If `quarantine_dir`
+    is given, bad raw lines are appended there as text for replay."""
+    full = f"{schema}, {_CORRUPT} string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    bad = df.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw")
+    )
+    if quarantine_dir is not None:
+        bad.write.mode("append").text(quarantine_dir)
+    return good, bad
+
+
+def ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
+    """One-row (n_good, n_bad, bad_frac) frame — the feed-health metric
+    a pipeline alerts on."""
+    spark = good.sparkSession
+    n_good, n_bad = good.count(), bad.count()
+    total = n_good + n_bad
+    return spark.createDataFrame(
+        [(n_good, n_bad, round(n_bad / total, 6) if total else 0.0)],
+        "n_good long, n_bad long, bad_frac double",
+    )
