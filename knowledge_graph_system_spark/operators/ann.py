@@ -160,3 +160,87 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, query many (the write-time shape the
+# fused ann_ivf_topk docstring promises). The index is (a) the vector
+# table written PARTITIONED BY cell and (b) the centroid table; a query
+# then reads ONLY its probed cells — directory-level partition pruning,
+# pinned by test via PartitionFilters in the scan.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(vectors: DataFrame, index_dir: str) -> None:
+    """Write the IVF index: vectors partitioned by cell + centroids.
+
+    `vectors` is (vec_id, label, v); the coarse quantizer is the
+    label-centroid (elementwise mean per label), matching the fused
+    ann_ivf_topk exactly so the two paths are result-identical. At
+    100 TB this runs once per corpus build; re-clustering is a rewrite
+    of this directory, not of the query code."""
+    cdim = (
+        vectors.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("cv"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, cv))), s -> s.cv)"
+        ).alias("cv")
+    )
+    vectors.withColumnRenamed("label", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{index_dir}/vectors")
+    cent.withColumnRenamed("label", "cell").write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = _TOPK,
+    nprobe: int = _NPROBE,
+) -> DataFrame:
+    """Query the persisted index: nearest-nprobe cells per query, then
+    an exact rerank over ONLY those cells' partitions.
+
+    The probed cell list is collected to the driver — bounded by
+    |queries| x nprobe (queries are a request batch, not a table) —
+    so the cell filter is a literal IN and the parquet scan prunes
+    whole directories (PartitionFilters, pinned by test)."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    probe_scored = cent.join(F.broadcast(queries)).withColumn(
+        "ccos",
+        F.expr(
+            "round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            " / nullif(sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+            " * sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x)), 0D), 6)"
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probe = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+        .localCheckpoint(eager=True)  # reused: cell list + rerank join
+    )
+    cells = [r["cell"] for r in probe.select("cell").distinct().collect()]
+
+    assigned = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "cell")
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
