@@ -68,3 +68,34 @@ def ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
         [(n_good, n_bad, round(n_bad / total, 6) if total else 0.0)],
         "n_good long, n_bad long, bad_frac double",
     )
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    quarantine_dir: str | None = None,
+    header: bool = False,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of read_jsonl_quarantine — same three-way contract
+    (parse / quarantine raw / report), same PERMISSIVE-scan
+    classification. Malformed = wrong field count or a failed type
+    cast; a NULL in a nullable field is data, not corruption."""
+    full = f"{schema}, {_CORRUPT} string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    bad = df.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw")
+    )
+    if quarantine_dir is not None:
+        bad.write.mode("append").text(quarantine_dir)
+    return good, bad

@@ -62,3 +62,20 @@ def test_clean_feed_has_empty_quarantine(spark, tmp_path):
         f.write('{"doc_id": 9, "text": "ok", "lang": "en"}\n')
     good, bad = read_jsonl_quarantine(spark, p, SCHEMA)
     assert good.count() == 1 and bad.count() == 0
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    from knowledge_graph_system_spark.sources.jsonl import read_csv_quarantine
+
+    p = str(tmp_path / "feed.csv")
+    with open(p, "w") as f:
+        f.write("1,alpha beta,en\n")
+        f.write("2,gamma,fr\n")
+        f.write("oops,not a long,de\n")      # type cast failure
+        f.write("4,delta,\n")                 # empty lang: NULL, not corrupt
+    good, bad = read_csv_quarantine(spark, p, SCHEMA)
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[4]["lang"] is None
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 1 and "oops" in raws[0]
