@@ -205,6 +205,23 @@ def _decode_bmp(raw: bytes) -> dict:
     return _stats(img, width, abs(height), "BGR")
 
 
+def _decode_bmp_pixels(raw: bytes):
+    import struct
+
+    import numpy as np
+
+    magic, _size, _r1, _r2, offset = struct.unpack("<2sIHHI", raw[:14])
+    (_hsize, width, height, _planes, bpp, comp) = struct.unpack("<IiiHHI", raw[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    row = (width * 3 + 3) // 4 * 4
+    px = np.frombuffer(raw, dtype=np.uint8, count=row * abs(height), offset=offset)
+    px = px.reshape(abs(height), row)[:, : width * 3]
+    if height > 0:
+        px = px[::-1]
+    return px.reshape(abs(height), width, 3), "BGR"
+
+
 def _decode_ppm(raw: bytes) -> dict:
     import numpy as np
 
@@ -228,6 +245,54 @@ def _decode_ppm(raw: bytes) -> dict:
         raise NotImplementedError("only 8-bit PPM")
     img = np.frombuffer(raw, dtype=np.uint8, count=width * height * 3, offset=i)
     return _stats(img.reshape(height, width, 3), width, height, "RGB")
+
+
+def decode_pixels(raw: bytes):
+    """Sniff + decode to a (H, W, C) uint8 array and its channel order
+    — the pixel-level entry the resize/crop stages build on (the stats
+    entry `decode_image` keeps its scalar contract)."""
+    import numpy as np
+
+    if raw[:2] == b"BM":
+        return _decode_bmp_pixels(raw)
+    if raw[:2] == b"P6":
+        # re-walk the P6 header (same comment-tolerant scan as
+        # _decode_ppm) and slice the pixel block
+        parts, i = [], 2
+        while len(parts) < 3:
+            while raw[i : i + 1].isspace():
+                i += 1
+            if raw[i : i + 1] == b"#":
+                while raw[i : i + 1] not in (b"\n", b""):
+                    i += 1
+                continue
+            j = i
+            while j < len(raw) and not raw[j : j + 1].isspace():
+                j += 1
+            parts.append(int(raw[i:j]))
+            i = j
+        i += 1
+        w, h, _ = parts
+        img = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=i)
+        return img.reshape(h, w, 3), "RGB"
+    if raw[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(raw)
+        return img, "RGB" if img.shape[2] == 3 else "L"
+    raise NotImplementedError("decode_pixels: BMP/PPM/baseline-JPEG only")
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Deterministic nearest-neighbor resize: source index =
+    floor(i * in / out) — pure integer arithmetic, so any two
+    executors (or the test's driver-side recompute) agree bit-for-bit."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
 
 
 def _decode_png(raw: bytes) -> dict:
@@ -808,3 +873,49 @@ def m_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     `m_jpeg_decode`)."""
     ctx = Ctx.get(spark, sf_dir)
     return video_frame_features(ctx.tables["documents"])
+
+
+def image_resize_features(
+    docs: DataFrame, out_h: int = 8, out_w: int = 8
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → per-channel means of the
+    RESIZED image, in one Arrow-batched mapInPandas (the standard
+    normalize-resolution step before batch embedding: a training
+    pipeline resizes to the model's input size, so the schema, batch
+    shape, and per-row pixel path here are exactly that stage).
+    Payloads mirror image_features (BMP or PPM tiled from the doc
+    bytes); output channel order is canonical RGB."""
+    import numpy as np
+
+    encoders = {"bmp": encode_bmp, "ppm": encode_ppm}
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k: [] for k in
+                                 ("doc_id", "fmt", "in_w", "in_h",
+                                  "out_w", "out_h", "mean_r", "mean_g",
+                                  "mean_b")}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                fmt = ("bmp", "ppm")[int(doc_id) % 2]
+                img, order = decode_pixels(encoders[fmt](text.encode("utf-8")))
+                small = resize_nearest(img, out_h, out_w)
+                if order == "BGR":
+                    small = small[:, :, ::-1]
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["in_w"].append(img.shape[1])
+                rows["in_h"].append(img.shape[0])
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["mean_r"].append(round(float(small[:, :, 0].mean()), 6))
+                rows["mean_g"].append(round(float(small[:, :, 1].mean()), 6))
+                rows["mean_b"].append(round(float(small[:, :, 2].mean()), 6))
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch,
+        schema="doc_id long, fmt string, in_w int, in_h int, "
+               "out_w int, out_h int, mean_r double, mean_g double, "
+               "mean_b double",
+    )

@@ -374,3 +374,50 @@ def test_jpeg_bin_centers_never_flip(spark):
             for c in range(3):
                 mean = float(dec[:, :, c].mean())
                 assert int(mean // 8) == k, (h, k, c, mean)
+
+
+def test_image_resize_features_exact(spark):
+    """Distributed resize == driver-side recompute, bit-for-bit: the
+    nearest-neighbor index map is pure integer arithmetic."""
+    import numpy as np
+
+    from knowledge_graph_system_spark.operators.multimodal import (
+        decode_pixels,
+        encode_bmp,
+        encode_ppm,
+        image_resize_features,
+        resize_nearest,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    out = {r["doc_id"]: r for r in image_resize_features(docs, 8, 8).collect()}
+    assert len(out) == 20
+    encoders = {"bmp": encode_bmp, "ppm": encode_ppm}
+    for r in docs.select("doc_id", "text").collect():
+        fmt = ("bmp", "ppm")[int(r["doc_id"]) % 2]
+        img, order = decode_pixels(encoders[fmt](r["text"].encode("utf-8")))
+        small = resize_nearest(img, 8, 8)
+        if order == "BGR":
+            small = small[:, :, ::-1]
+        got = out[r["doc_id"]]
+        assert (got["in_h"], got["in_w"]) == img.shape[:2]
+        assert got["mean_r"] == round(float(small[:, :, 0].mean()), 6)
+        assert got["mean_b"] == round(float(small[:, :, 2].mean()), 6)
+        assert (got["out_h"], got["out_w"]) == small.shape[:2] == (8, 8)
+
+
+def test_resize_nearest_semantics():
+    import numpy as np
+
+    from knowledge_graph_system_spark.operators.multimodal import resize_nearest
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    # identity when sizes match
+    assert (resize_nearest(img, 4, 6) == img).all()
+    # downscale picks floor(i * in / out) source rows/cols
+    half = resize_nearest(img, 2, 3)
+    assert (half == img[[0, 2]][:, [0, 2, 4]]).all()
+    # upscale repeats source pixels
+    up = resize_nearest(img, 8, 6)
+    assert (up[0] == up[1]).all() and (up[0] == img[0]).all()
