@@ -459,3 +459,82 @@ SELECT doc_id, text_redacted, {", ".join(names)},
        CAST({" + ".join(names)} AS BIGINT) AS n_pii
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# r7 registration candidates (see registry.py "r7 REGISTRATION PLAN"):
+# the driver-facing composites are built and oracle-tested NOW so r7's
+# 3-slot budget is a decorator change, not new code. The window order
+# cannot absorb them this round (50-slot invariant), so they stay
+# unregistered; tests/test_curation.py runs each against its oracle
+# exactly the way the driver will.
+# ---------------------------------------------------------------------------
+
+
+def cur_repetition_spans(spark, sf_dir: str):
+    """Composite driver query: Gopher repetition metrics ⋈ cross-doc
+    span stats per document (one frame, both quality signals)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = repetition_stats(docs, n=2)
+    spans = duplicate_span_stats(docs, n=8)
+    return rep.join(spans, "doc_id")
+
+
+def cur_repetition_spans_oracle() -> str:
+    rep = repetition_sql("documents", n=2)
+    spans = duplicate_span_sql("documents", n=8)
+    return f"""
+SELECT r.doc_id, r.n_grams, r.top_gram_frac, r.dup_gram_frac,
+       s.n_spans, s.n_shared_spans, s.shared_frac
+FROM ({rep}) r JOIN ({spans}) s ON s.doc_id = r.doc_id
+"""
+
+
+def cur_pii_redact(spark, sf_dir: str):
+    """Driver query: the PII scrub over documents (the synthetic corpus
+    is PII-free, so the hash compare pins text_redacted == text and
+    all-zero counts — the negative contract; the positive contract is
+    pinned by the constructed-fixture test)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pii_redact(docs)
+
+
+def cur_pii_redact_oracle() -> str:
+    return pii_redact_sql("documents")
+
+
+def smp_split_mix(spark, sf_dir: str):
+    """Composite driver query: deterministic train/val/test split, then
+    per-(split, lang) counts of a mixed corpus (web sources up-sampled
+    1.5x, src0 down-sampled 0.4x) — exercises hash_split + corpus_mix
+    in one aggregated, hash-stable result."""
+    from .sampling import corpus_mix, hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = corpus_mix(docs, "source", {"src0": 0.4, "src1": 1.5}, key="doc_id")
+    split = hash_split(
+        mixed, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def smp_split_mix_oracle() -> str:
+    from .sampling import corpus_mix_sql, hash_split_sql
+
+    mixed = corpus_mix_sql(
+        "documents", "source", {"src0": 0.4, "src1": 1.5}, key="doc_id"
+    )
+    split = hash_split_sql(f"({mixed})", "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ({split})
+GROUP BY split, lang
+"""

@@ -127,6 +127,10 @@ class Ctx:
 #   2. cur_pii_redact — pii_redact over documents (pii_redact_sql).
 #   3. smp_split_mix — hash_split + corpus_mix composite over
 #      documents (bucket_sql twins in operators/sampling.py).
+# All three candidates are ALREADY BUILT and driver-style oracle-
+# tested (operators/curation.py tail + tests/test_curation.py
+# test_r7_candidate_*): r7 adds the @query decorators and the three
+# window slots, nothing else.
 # Cypher CASE/EXISTS{}/accessors/SKIP/list-predicates ride existing
 # p7_cypher_* slots as "changed" when any of those queries is edited
 # to exercise them; streaming_near_dup stays pytest-pinned (its parity

@@ -236,3 +236,42 @@ def test_pii_redact_no_shuffle_no_udf(spark):
     df = spark.createDataFrame([(1, "x@y.zz")], ["doc_id", "text"])
     plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---- r7 registration candidates: driver-shaped oracle runs ----------------
+
+
+def _driver_style_compare(spark, duck, fn, oracle_sql):
+    """Exactly the driver's t2 compare: rows, sorted columns, cells."""
+    got = _rows(fn(spark, SF_DIR))
+    want = _duck_rows(duck, oracle_sql)
+    assert got == want and len(got) > 0
+
+
+def test_r7_candidate_repetition_spans(spark, duck):
+    from knowledge_graph_system_spark.operators.curation import (
+        cur_repetition_spans,
+        cur_repetition_spans_oracle,
+    )
+
+    _driver_style_compare(
+        spark, duck, cur_repetition_spans, cur_repetition_spans_oracle()
+    )
+
+
+def test_r7_candidate_pii_redact(spark, duck):
+    from knowledge_graph_system_spark.operators.curation import (
+        cur_pii_redact,
+        cur_pii_redact_oracle,
+    )
+
+    _driver_style_compare(spark, duck, cur_pii_redact, cur_pii_redact_oracle())
+
+
+def test_r7_candidate_split_mix(spark, duck):
+    from knowledge_graph_system_spark.operators.curation import (
+        smp_split_mix,
+        smp_split_mix_oracle,
+    )
+
+    _driver_style_compare(spark, duck, smp_split_mix, smp_split_mix_oracle())
