@@ -142,8 +142,10 @@ _RECORD_FIRST = [
     # ---- changed this round (r6): annealing decision mock now emits
     # the full closed six-verb vocabulary (RENAME + NO_ACTION added);
     # executor renamed an_execute_proposals and extended to RENAME +
-    # approved-CLEAVE rewrites; d_minhash_lsh bucket cap folded into a
-    # window count over the band exchange (plan change, same results)
+    # approved-CLEAVE rewrites; d_minhash_lsh candidate generation
+    # rewritten (capped sorted member lists -> C(n,2) array expansion,
+    # no band self-join, single-use barrier dropped — plan change,
+    # same results)
     "an_annealing_cycle",
     "an_execute_proposals",
     "d_minhash_lsh",
