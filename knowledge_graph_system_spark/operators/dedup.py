@@ -255,38 +255,31 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup clustering: 16-bit fingerprint from the md5 hex
     digits of each distinct token (bit b := sign of Σ ±1 over tokens,
     using hex digit b's high bit); docs sharing a fingerprint form a
-    dedup cluster. One explode + two groupBys — fully shuffle-bounded."""
+    dedup cluster.
+
+    The fingerprint is a per-row array fold (distinct tokens → md5 →
+    16 running sums via aggregate/zip_with): the r5 shape's explode ×
+    16 + groupBy(doc, bit) + groupBy(doc) shuffled rows×bits TWICE for
+    a value that is a pure function of one row. Measured at sf0.1:
+    1.60 s → 0.59 s best-of-3, bit-identical output. The one exchange
+    left is the final cluster groupBy on the fingerprint. Bound: the
+    per-doc token array must fit a row buffer — true by the corpus's
+    document contract; a corpus with GB-scale single documents would
+    chunk upstream first (F3) anyway."""
     ctx = Ctx.get(spark, sf_dir)
-    toks = (
-        ctx.tables["documents"]
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-    )
-    bits = (
-        toks.select(
-            "doc_id",
-            F.explode(F.expr("sequence(0, 15)")).alias("b"),
-            F.md5("tok").alias("h"),
-        )
-        .withColumn(
-            "v",
-            F.when(
-                F.expr("substring(h, b + 1, 1)").isin(*"89abcdef"), F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-    )
-    fp = bits.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.expr(
-                "transform(array_sort(collect_list(struct(b, s))), x -> CASE WHEN x.s > 0 THEN '1' ELSE '0' END)"
-            ),
-        ).alias("simhash")
+    simhash = F.expr(
+        "concat_ws('', transform("
+        " aggregate(transform(array_distinct(split(text, ' ')), t -> md5(t)),"
+        "  array_repeat(0, 16),"
+        "  (acc, h) -> zip_with(acc, sequence(0, 15),"
+        "    (a, b) -> a + IF(substring(h, b + 1, 1) IN"
+        "      ('8','9','a','b','c','d','e','f'), 1, -1))),"
+        " s -> CASE WHEN s > 0 THEN '1' ELSE '0' END))"
     )
     return (
-        fp.groupBy("simhash")
+        ctx.tables["documents"]
+        .select("doc_id", simhash.alias("simhash"))
+        .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_docs") > 1)
     )

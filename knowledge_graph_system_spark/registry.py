@@ -145,10 +145,13 @@ _RECORD_FIRST = [
     # approved-CLEAVE rewrites; d_minhash_lsh candidate generation
     # rewritten (capped sorted member lists -> C(n,2) array expansion,
     # no band self-join, single-use barrier dropped — plan change,
-    # same results)
+    # same results); d_simhash fingerprint folded per-row (explode×16
+    # + two groupBys -> one array aggregate, measured 1.60 s -> 0.59 s
+    # at sf0.1, bit-identical)
     "an_annealing_cycle",
     "an_execute_proposals",
     "d_minhash_lsh",
+    "d_simhash",
     # ---- last driver row is r4: rotate through the window (exactly
     # the r5 non-window tail, same order)
     "q1_pricing_summary",
@@ -169,7 +172,6 @@ _RECORD_FIRST = [
     "f1_fuzzy_search",
     "f2_regex_match",
     "d_exact_dedup",
-    "d_simhash",
     "d_dup_groups",
     "p1_match_nodes",
     "p3_epistemic_filter",
