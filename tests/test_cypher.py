@@ -746,3 +746,15 @@ def test_properties_and_keys_accessors(cctx):
     # properties on an unbound var fails closed
     with pytest.raises(GuardError, match="unknown reference"):
         compile_cypher(cctx, "MATCH (n:Customer) RETURN properties(z) AS p")
+
+
+def test_unwind_over_keys_accessor(cctx):
+    """Accessors compose with UNWIND: one row per bound prop per node."""
+    out = compile_cypher(
+        cctx, "MATCH (n:Customer) UNWIND keys(n) AS k RETURN k, count(*) AS n"
+    ).collect()
+    n_cust = cctx.nodes.filter(F.col("label") == "Customer").count()
+    assert sorted((r["k"], r["n"]) for r in out) == [
+        ("label", n_cust), ("name", n_cust), ("node_id", n_cust),
+        ("ontology", n_cust), ("weight", n_cust),
+    ]

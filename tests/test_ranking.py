@@ -110,3 +110,8 @@ def test_prebuilt_postings_equal_fused(docs, spark, tmp_path):
     ]
     want = [tuple(r) for r in bm25_search(docs, QUERY, top_k=15).collect()]
     assert got == want
+
+
+def test_bm25_no_hit_query_returns_empty(docs):
+    """Query terms absent from the corpus: empty result, no error."""
+    assert bm25_search(docs, ["zzzznotaword", "qqqqmissing"]).count() == 0
