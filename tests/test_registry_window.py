@@ -1,0 +1,30 @@
+"""Recording-window invariants: the driver records the FIRST 50
+registered queries, so ordering bugs silently corrupt the evidence
+stream (registry.py's alternation rule)."""
+
+from __future__ import annotations
+
+from knowledge_graph_system_spark import registry
+
+
+def test_record_first_names_are_registered():
+    names = set(registry.load_all())
+    missing = [n for n in registry._RECORD_FIRST if n not in names]
+    assert not missing, f"_RECORD_FIRST entries not registered: {missing}"
+
+
+def test_record_first_has_no_duplicates():
+    rf = registry._RECORD_FIRST
+    assert len(rf) == len(set(rf))
+
+
+def test_enumeration_starts_with_record_first():
+    ordered = list(registry.load_all())
+    assert ordered[: len(registry._RECORD_FIRST)] == registry._RECORD_FIRST
+
+
+def test_window_is_exactly_fifty():
+    """The explicit order must cover the driver's full 50-slot window —
+    a shorter list would let registration order (import side effects)
+    decide what gets recorded."""
+    assert len(registry._RECORD_FIRST) == 50
