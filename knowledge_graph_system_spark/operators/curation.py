@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
 from .sampling import bucket_sql, hash_bucket
 
 
@@ -538,3 +539,11 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n_rows,
 FROM ({split})
 GROUP BY split, lang
 """
+
+
+# r7: the three prepared composites take this round's free window slots
+# (registry.py "r7 REGISTRATION PLAN") — registration is exactly the
+# decorator application the plan promised, nothing else changed.
+query("cur_repetition_spans", oracle=cur_repetition_spans_oracle())(cur_repetition_spans)
+query("cur_pii_redact", oracle=cur_pii_redact_oracle())(cur_pii_redact)
+query("smp_split_mix", oracle=smp_split_mix_oracle())(smp_split_mix)

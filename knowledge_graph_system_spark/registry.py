@@ -111,94 +111,67 @@ class Ctx:
 #   4. bench headliners fill any remaining slots.
 # Invariant after each round: no registered query's most recent driver
 # row is older than ONE round. The tail (everything past slot 50) must
-# be exactly the set recorded last round.
+# be exactly the set recorded last round (minus any query that was
+# consolidated away — see the r7 consolidation note below).
 #
-# CAPACITY: 97 registered queries leave 47 outside this round's
-# window, so round 7 has AT MOST 3 new-or-changed registered queries
-# (47 r5-tail rows must rotate in). New library capability beyond that
-# budget ships as lib + pytest and joins the registry the following
-# round.
-#
-# r7 REGISTRATION PLAN (3 slots, covering the r6 lib backlog the way
-# so_program_demo covers SO1-SO5 — one composite query per family):
-#   1. cur_repetition_spans — repetition_stats ⋈ duplicate_span_stats
-#      over documents (Gopher gates + cross-doc span sharing, one
-#      result frame; oracles exist in operators/curation.py).
-#   2. cur_pii_redact — pii_redact over documents (pii_redact_sql).
-#   3. smp_split_mix — hash_split + corpus_mix composite over
-#      documents (bucket_sql twins in operators/sampling.py).
-# All three candidates are ALREADY BUILT and driver-style oracle-
-# tested (operators/curation.py tail + tests/test_curation.py
-# test_r7_candidate_*): r7 adds the @query decorators and the three
-# window slots, nothing else.
-# Cypher CASE/EXISTS{}/accessors/SKIP/list-predicates ride existing
-# p7_cypher_* slots as "changed" when any of those queries is edited
-# to exercise them; streaming_near_dup stays pytest-pinned (its parity
-# gate IS d_minhash_lsh, which is driver-graded).
+# r7 WINDOW: executes the r6-prepared plan exactly — the 3 composite
+# slots (cur_repetition_spans / cur_pii_redact / smp_split_mix, built
+# and driver-style oracle-tested in r6) plus the full 47-query r6
+# non-window tail = 50.
 _RECORD_FIRST = [
-    # ---- new this round (r6): the MJPEG-in-AVI video codec (r5's
-    # declared stub retired)
-    "m_video_decode",
-    # ---- changed this round (r6): annealing decision mock now emits
-    # the full closed six-verb vocabulary (RENAME + NO_ACTION added);
-    # executor renamed an_execute_proposals and extended to RENAME +
-    # approved-CLEAVE rewrites; d_minhash_lsh candidate generation
-    # rewritten (capped sorted member lists -> C(n,2) array expansion,
-    # no band self-join, single-use barrier dropped — plan change,
-    # same results); d_simhash fingerprint folded per-row (explode×16
-    # + two groupBys -> one array aggregate, measured 1.60 s -> 0.59 s
-    # at sf0.1, bit-identical)
-    "an_annealing_cycle",
-    "an_execute_proposals",
-    "d_minhash_lsh",
-    "d_simhash",
-    # ---- last driver row is r4: rotate through the window (exactly
-    # the r5 non-window tail, same order)
-    "q1_pricing_summary",
-    "a2a3_confidence_score",
-    "a5_graph_stats",
-    "a6_category_distribution",
-    "a12_evidence_dedup",
-    "a13_best_chunk_per_source",
-    "a14_tfidf_naming",
-    "a15_lifetime_page",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "x1_asof_join",
-    "x2_range_join",
-    "s8_catalog_rebuild",
-    "f1_fuzzy_search",
-    "f2_regex_match",
-    "d_exact_dedup",
-    "d_dup_groups",
-    "p1_match_nodes",
-    "p3_epistemic_filter",
-    "p4_ontology_scope",
-    "p5_confidence_filter",
-    "p6_ordered_page",
-    "p8_strip_projection",
-    "j1_evidence_join",
-    "g1_bfs_out_depth3",
-    "m_decode_features",
-    "m_image_decode",
-    "f6_dbscan",
-    "u4_pruning_recommendations",
-    "t_corpus_filter",
-    "v1_vector_search",
-    "p7_cypher_varlen",
-    "p7_cypher_trail",
-    "p7_cypher_optional",
-    "p7_cypher_with",
-    "st_epoch_snapshot",
-    "sq_saved_query",
-    "s4_export_roundtrip",
-    "st_tumbling_window",
-    "st_sliding_window",
-    "st_session_window",
-    "st_rollup",
-    "st_json_props",
+    # ---- new this round (r7): the three prepared composites
+    "cur_repetition_spans",
+    "cur_pii_redact",
+    "smp_split_mix",
+    # ---- last driver row is r5: rotate through the window (exactly
+    # the r6 non-window tail, same order)
+    "a4_grounding",
+    "a7_ontology_mass",
+    "a8_ontology_coherence",
+    "a9_ontology_protection",
+    "a10_vocab_value",
+    "a11_semantic_diversity",
+    "o1_ontology_edges",
+    "ep_status_measurement",
+    "d_embedding_neardup",
+    "j2_concepts_for_sources",
+    "j3_left_outer_enrich",
+    "j4_hydrate_ids",
+    "j5_cross_ontology_affinity",
+    "j8_stale_anti_join",
+    "j9_two_tier_matcher",
+    "x2_skew_naive_join",
+    "x2_skew_salted_join",
+    "g1_bfs_both_depth2_conf",
+    "g2_shortest_path",
+    "g3_k_shortest_paths",
+    "g4_subgraph",
+    "a1_degree_top20",
+    "lc_related",
+    "lc_connect_by_search",
+    "m_jpeg_decode",
+    "m_audio_decode",
+    "f5_projection",
+    "f7_centroids",
+    "so_program_demo",
+    "so_dispatch_matrix",
+    "t_langid_confusion",
+    "t_quality_score",
+    "t_token_counts",
+    "t_fingerprint",
+    "v8_threshold_hint",
+    "v5_smell_test",
+    "v2_chunk_search",
+    "v6_synonym_detection",
+    "v6b_merge_groups",
+    "v3_batch_cosine",
+    "md_blocks",
+    "so_block_compiler",
+    "p7_guarded_query",
+    "p7_cypher_subset",
+    "p7_cypher_union",
+    "p7_cypher_unwind",
+    "st_ingest_e2e",
 ]
 
 
@@ -211,6 +184,7 @@ def load_all() -> dict[str, QuerySpec]:
         asof,
         catalog,
         components,
+        curation,
         dedup,
         filters,
         joins,
