@@ -75,17 +75,22 @@ def lsh_candidates(
     At the driver's scale factors the largest bucket is 28, so the cap
     leaves every checked result bit-identical.
 
-    The cap also collapses candidate generation to ONE aggregation:
-    group the band exchange to a sorted member list (≤ max_bucket
-    elements by the filter, so per-group state is bounded — no OOM on a
-    degenerate bucket at 100 TB, oversize groups are dropped right
-    after the count), then emit the C(n,2) pairs with a pure array
-    expression. No band self-join at all — the r5 window-count + join
-    shape paid an exchange, a per-partition sort, AND a sort-merge join
-    over the same data; this shape pays the one exchange the count
-    needs anyway (timing parity at sf0.1, strictly fewer stages — see
-    SCALE_NOTES "Attribution of the four r5 slowdowns"). Sorting the
-    list first makes doc_a < doc_b hold by construction."""
+    Candidate generation is one band exchange: a window count over the
+    band partition enforces the cap BEFORE any list is materialized
+    (WindowExec buffers each band group in a spillable row array, so a
+    degenerate 100M-member bucket costs disk, never an aggregation
+    buffer — the r6 shape that applied the cap AFTER collect_list
+    accumulated the full bucket in one in-memory array, so its claimed
+    bound was false), then the surviving rows — provably ≤ max_bucket
+    per band — group to a sorted member list and expand to C(n,2)
+    pairs with a pure array expression. The groupBy rides the window's
+    partitioning, so the count adds a per-partition sort but NO second
+    exchange, and there is still no band self-join. With
+    max_bucket=None only the n >= 2 filter applies and the collect_list
+    state is unbounded — callers disabling the cap own that risk.
+    Sorting the list makes doc_a < doc_b hold by construction."""
+    from pyspark.sql import Window
+
     bands = sigs.select(
         id_col,
         *[
@@ -97,12 +102,13 @@ def lsh_candidates(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias("band"),
     )
-    grouped = stacked.groupBy("band").agg(
+    n = F.count("*").over(Window.partitionBy("band"))
+    keep = (n >= 2) if max_bucket is None else (n >= 2) & (n <= max_bucket)
+    capped = stacked.withColumn("__keep", keep).filter("__keep").drop("__keep")
+    grouped = capped.groupBy("band").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
-    pairs = grouped.filter(F.size("ids") >= 2).select(
+    pairs = grouped.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) ->"

@@ -119,12 +119,12 @@ def test_multimodal_scans_prune_to_two_columns(spark, specs):
 
 
 def test_lsh_candidates_have_no_band_self_join(spark):
-    """r6 candidate shape: the bucket cap rides ONE aggregation whose
-    bounded sorted member lists expand to pairs via an array
-    expression — no SortMergeJoin on band, no WindowExec, and no
-    second aggregation pass over the band exchange."""
-    from pyspark.sql import functions as F
-
+    """r7 candidate shape: the bucket cap is a WINDOW count applied
+    before any member list exists (WindowExec's spillable buffer is
+    the memory guard for degenerate buckets), the capped rows group to
+    bounded sorted lists that expand to pairs via an array expression,
+    and the groupBy rides the window's partitioning — no SortMergeJoin
+    on band and still exactly one band exchange."""
     from knowledge_graph_system_spark.operators.dedup import (
         doc_shingles,
         lsh_candidates,
@@ -134,7 +134,8 @@ def test_lsh_candidates_have_no_band_self_join(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     cand = lsh_candidates(minhash_signatures(doc_shingles(docs)))
     plan = _plan(cand)
-    assert "SortMergeJoin" not in plan and "Window" not in plan
-    # exactly one exchange carries the band key (the grouping); the
-    # only other exchange is the final pair distinct
+    assert "SortMergeJoin" not in plan
+    # the cap must sit in a window ABOVE the exchange, not in a
+    # post-collect filter: WindowExec present, one band exchange only
+    assert "Window" in plan
     assert plan.count("Exchange hashpartitioning(band") == 1
