@@ -83,10 +83,14 @@ def contamination_check(
         )
         .distinct()
     )
+    # no .distinct() on the train side: it would be a full (doc_id,
+    # gram) exchange over the whole corpus before the broadcast join,
+    # and the count_distinct aggregation below dedups anyway — the
+    # only train-side shuffle is the per-doc aggregation over HITS
     tr = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-    ).distinct()
+    )
     hits = tr.join(F.broadcast(ev), "gram")
     return (
         hits.groupBy("doc_id")

@@ -236,20 +236,57 @@ def quantile_filter(
     cume_dist (rank/total) so the kept set is a pure function of the
     data — re-runs, repartitions, and cluster sizes cannot change it.
     One shuffle (the window partition); at 100 TB a known-hot stratum
-    takes the same pre-salting as any hot key (`functions/skew.py`)."""
+    takes the same pre-salting as any hot key (`functions/skew.py`).
+
+    A stratum is REQUIRED: stratum=None would render the window as one
+    global partition — the whole table through a single task, fatal at
+    scale. For a corpus-wide cut use `quantile_filter_global`, which
+    trades the exact boundary for an approxQuantile threshold."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError("keep_frac must be in (0, 1]")
+    if stratum is None:
+        raise ValueError(
+            "quantile_filter requires a stratum (a global cume_dist window"
+            " is a single-partition plan); use quantile_filter_global for"
+            " a corpus-wide threshold cut"
+        )
     from pyspark.sql import Window
 
     sc = F.col(score) if isinstance(score, str) else score
-    w = (
-        Window.partitionBy(stratum) if stratum is not None else Window.partitionBy()
-    ).orderBy(sc.desc(), F.col(key).asc())
+    w = Window.partitionBy(stratum).orderBy(sc.desc(), F.col(key).asc())
     return (
         df.withColumn("__cd", F.cume_dist().over(w))
         .filter(F.col("__cd") <= keep_frac)
         .drop("__cd")
     )
+
+
+def quantile_filter_global(
+    df: DataFrame,
+    score: "Column | str",
+    keep_frac: float,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Corpus-wide quality cut that scales: an approxQuantile
+    (Greenwald-Khanna, one aggregation pass, no global sort) finds the
+    score threshold at the (1 - keep_frac) quantile, and a plain filter
+    keeps rows at or above it.
+
+    The trade vs `quantile_filter` is explicit: the kept FRACTION is
+    keep_frac only to within rel_err, boundary ties are ALL kept
+    (score >= threshold, no tie-break key), and the sketch's merge
+    order makes the threshold partitioning-sensitive at the rel_err
+    margin — so this path is for operational corpus cuts, while
+    reproducible experiment curation should cut per-stratum with the
+    exact operator."""
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    if keep_frac == 1.0:
+        return df
+    sc = F.col(score) if isinstance(score, str) else score
+    probed = df.withColumn("__score", sc.cast("double"))
+    [thr] = probed.stat.approxQuantile("__score", [1.0 - keep_frac], rel_err)
+    return probed.filter(F.col("__score") >= thr).drop("__score")
 
 
 def quantile_filter_sql(

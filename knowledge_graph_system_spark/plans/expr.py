@@ -252,6 +252,10 @@ class _Parser:
                 cur = rhs  # chained a < b < c
                 continue
             if t.kind == "op" and t.text == "=~":
+                if conds:
+                    raise GuardError(
+                        f"=~ cannot follow a comparison chain in {self.text!r}"
+                    )
                 self.next()
                 pat = self.peek()
                 if pat.kind != "str":
@@ -275,6 +279,13 @@ class _Parser:
             if self.at_kw("in") or (
                 self.at_kw("not") and self.toks[self.i + 1].low == "in"
             ):
+                # fail closed, like IS NULL above: silently returning
+                # only the chain (dropping the IN test) would ADMIT
+                # rows the predicate excludes
+                if conds:
+                    raise GuardError(
+                        f"IN cannot follow a comparison chain in {self.text!r}"
+                    )
                 neg = self.eat_kw("not")
                 self.eat_kw("in")
                 arr = self.add_expr()
@@ -282,6 +293,11 @@ class _Parser:
                 cur = ~test if neg else test
                 continue
             if self.at_kw("starts", "ends"):
+                if conds:
+                    raise GuardError(
+                        "STARTS/ENDS WITH cannot follow a comparison chain"
+                        f" in {self.text!r}"
+                    )
                 which = self.next().low
                 if not self.eat_kw("with"):
                     raise GuardError(
@@ -291,6 +307,10 @@ class _Parser:
                 cur = cur.startswith(rhs) if which == "starts" else cur.endswith(rhs)
                 continue
             if self.at_kw("contains"):
+                if conds:
+                    raise GuardError(
+                        f"CONTAINS cannot follow a comparison chain in {self.text!r}"
+                    )
                 self.next()
                 cur = cur.contains(self.add_expr())
                 continue

@@ -16,10 +16,15 @@ serialization/importer.py`; this is that duty for raw feeds.)
 Gotcha encoded here: Spark refuses queries that select ONLY the
 corrupt-record column from a JSON scan (the parser would need to
 re-run per filter), so the split frame is cached before filtering —
-one scan, both outputs, then the cache is dropped.
+one scan, both outputs. The cache lives until the CALLER invokes
+`QuarantinedFeed.release()` (good/bad are lazy views over it, so the
+reader cannot know when both have been consumed); a long-lived session
+that skips release() accumulates one cached scan per feed read.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,14 +32,33 @@ from pyspark.sql import functions as F
 _CORRUPT = "_corrupt_record"
 
 
+@dataclass
+class QuarantinedFeed:
+    """Result of a quarantine read: `good` (typed rows) and `bad` (raw
+    unparseable lines) are lazy views over one cached scan; call
+    `release()` after both are materialized to drop that cache.
+    Iterable as (good, bad) for unpacking."""
+
+    good: DataFrame
+    bad: DataFrame
+    _cached: DataFrame
+
+    def release(self) -> None:
+        self._cached.unpersist()
+
+    def __iter__(self):
+        return iter((self.good, self.bad))
+
+
 def read_jsonl_quarantine(
     spark: SparkSession,
     path: str,
     schema: str,
     quarantine_dir: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantinedFeed:
     """(good, bad): parsed rows matching `schema`, and raw lines that
-    failed to parse (one column `raw`).
+    failed to parse (one column `raw`); `.release()` drops the shared
+    scan cache once the caller has materialized both.
 
     `schema` is the DDL for the EXPECTED fields (without the corrupt
     column). A line that is valid JSON but misses a non-null field
@@ -55,7 +79,7 @@ def read_jsonl_quarantine(
     )
     if quarantine_dir is not None:
         bad.write.mode("append").text(quarantine_dir)
-    return good, bad
+    return QuarantinedFeed(good, bad, df)
 
 
 def ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
@@ -77,7 +101,7 @@ def read_csv_quarantine(
     quarantine_dir: str | None = None,
     header: bool = False,
     sep: str = ",",
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantinedFeed:
     """CSV twin of read_jsonl_quarantine — same three-way contract
     (parse / quarantine raw / report), same PERMISSIVE-scan
     classification. Malformed = wrong field count or a failed type
@@ -98,4 +122,4 @@ def read_csv_quarantine(
     )
     if quarantine_dir is not None:
         bad.write.mode("append").text(quarantine_dir)
-    return good, bad
+    return QuarantinedFeed(good, bad, df)

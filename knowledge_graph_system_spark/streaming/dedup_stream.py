@@ -21,10 +21,11 @@ Scale notes:
 - The band-bucket cap (`operators/dedup.py MAX_BUCKET`) applies to the
   COMBINED bucket (index + batch): degenerate boilerplate bands are
   dropped before any pair generation, keeping per-batch candidate
-  volume bounded even as the index grows. Per-band counts are
-  recomputed from the index here (one aggregate over the band store);
-  a production deployment would maintain them incrementally in the
-  same foreachBatch transaction.
+  volume bounded even as the index grows. The band store is pruned to
+  the batch's band keys by one broadcast semi-join BEFORE any count or
+  pair generation, so both stages work on (batch ∩ index) rows only;
+  at 100 TB the store would additionally be PARTITIONED BY a band
+  prefix so the semi-join prunes directories, not just rows.
 - Verification joins fetch ONLY candidate docs' shingles from the
   shingle store (semi-join pushdown on doc_id), so exact-jaccard cost
   is proportional to candidates, not history.
@@ -74,6 +75,18 @@ def _bands_of(sigs: DataFrame) -> DataFrame:
     )
 
 
+def _relevant_bands(bands_old: DataFrame, bands_new: DataFrame) -> DataFrame:
+    """The slice of the band store a batch can interact with: one
+    broadcast semi-join on the batch's (small) distinct band keys.
+    Everything downstream — cap count, cross-pair generation — reads
+    this frame, so per-batch state touched is O(batch ∩ index) rows
+    regardless of how large the accumulated index is
+    (test_dedup_stream.test_cap_count_input_is_batch_bounded pins it)."""
+    return bands_old.join(
+        F.broadcast(bands_new.select("band").distinct()), "band", "left_semi"
+    )
+
+
 def process_batch(
     batch_docs: DataFrame,
     band_dir: str,
@@ -96,10 +109,17 @@ def process_batch(
 
     if have_index:
         bands_old = spark.read.parquet(band_dir)
+        # ONE broadcast semi-join prunes the store to the batch's band
+        # keys, and the pruned frame is materialized once — the cap
+        # count and the cross pairs both read it, so per-batch work
+        # past the store scan is proportional to (batch ∩ index), not
+        # to history (the r6 shape aggregated the ENTIRE band store
+        # per micro-batch; test_dedup_stream pins flatness now)
+        bands_rel = _relevant_bands(bands_old, bands_new).localCheckpoint(eager=True)
         # combined per-band population decides the cap — a band already
         # degenerate in the index must not generate pairs with the batch
         combined_count = (
-            bands_old.groupBy("band").agg(F.count("*").alias("n_old"))
+            bands_rel.groupBy("band").agg(F.count("*").alias("n_old"))
             .join(
                 bands_new.groupBy("band").agg(F.count("*").alias("n_new")),
                 "band",
@@ -110,7 +130,7 @@ def process_batch(
         cross = (
             bands_new.join(combined_count, "band")
             .select(F.col("doc_id").alias("new_id"), "band")
-            .join(bands_old.withColumnRenamed("doc_id", "old_id"), "band")
+            .join(bands_rel.withColumnRenamed("doc_id", "old_id"), "band")
             .select(
                 F.least("new_id", "old_id").alias("doc_a"),
                 F.greatest("new_id", "old_id").alias("doc_b"),

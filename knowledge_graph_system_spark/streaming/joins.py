@@ -60,9 +60,11 @@ def stream_enrich_static(
     triggers; the dim is re-resolved per batch, so a dim refresh is
     picked up without restarting the query).
 
-    Scale: the dim is broadcast when it fits (the common case —
-    user/catalog dims are small next to the event rate); a huge dim
-    falls back to a per-batch shuffle join, still stateless. The
-    stream side must keep its watermark column if a windowed aggregate
-    follows (enrichment is a projection, not a stateful op)."""
-    return events_stream.join(F.broadcast(dim), key, how)
+    Scale: no broadcast hint — a hint would override the size
+    threshold and force even a huge dimension through the driver, so
+    the planner decides per batch via autoBroadcastJoinThreshold:
+    small dims (the common case) broadcast, an oversized dim falls
+    back to a per-batch shuffle join, still stateless. The stream side
+    must keep its watermark column if a windowed aggregate follows
+    (enrichment is a projection, not a stateful op)."""
+    return events_stream.join(dim, key, how)

@@ -73,6 +73,9 @@ def test_contamination_self_is_total(docs, duck):
 
 
 def test_contamination_broadcasts_eval(docs):
+    """Eval side broadcast AND the train side must reach that join
+    without any exchange — the corpus-wide (doc_id, gram) distinct
+    that r6 shipped was a full shuffle the aggregation made redundant."""
     ev = docs.filter(F.col("doc_id") % 25 == 0)
     tr = docs.filter(F.col("doc_id") % 25 != 0)
     plan = (
@@ -80,6 +83,14 @@ def test_contamination_broadcasts_eval(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+    # the streamed train subtree (printed between the join node and its
+    # BroadcastExchange build side) must be exchange-free: scan →
+    # explode → join, no corpus-wide distinct; the eval-side distinct
+    # exchange inside the broadcast subtree is over the tiny eval set
+    join_pos = plan.index("BroadcastHashJoin")
+    bx_pos = plan.index("BroadcastExchange", join_pos)
+    assert "Exchange hashpartitioning" not in plan[join_pos:bx_pos]
+    assert "FileScan" in plan[join_pos:bx_pos]
 
 
 def test_greedy_pack_matches_oracle(docs, duck):

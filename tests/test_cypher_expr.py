@@ -391,3 +391,19 @@ def test_with_distinct_values(cctx):
     ).collect()
     expect = {r["ontology"] for r in _cust(cctx).select("ontology").distinct().collect()}
     assert {r["o"] for r in out} == expect and len(out) == len(expect)
+
+
+def test_predicate_after_comparison_chain_fails_closed():
+    """A weaker-predicate bug class: WHERE 1 < n.x IN [2,3] must be
+    REJECTED, not silently reduced to 1 < n.x (which would admit rows
+    the full predicate excludes). Mirrors the existing IS NULL guard."""
+    scope = _FakeScope({"n.x": "x", "n.name": "nm"})
+    for bad in (
+        "1 < n.x IN [2, 3]",
+        "1 < n.name STARTS WITH 'a'",
+        "1 < n.name ENDS WITH 'a'",
+        "1 < n.name CONTAINS 'a'",
+        "1 < n.name =~ 'a.*'",
+    ):
+        with pytest.raises(GuardError, match="cannot follow a comparison chain"):
+            compile_expr(scope, bad)

@@ -111,3 +111,49 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     assert ks.count("b") == 1 and ks.count("w") == 1 and ks.count("c") == 1
     a_times = [ts for k, ts in rows if k == "a"]
     assert t0 in a_times and t0 + dt.timedelta(minutes=2) not in a_times
+
+
+def test_cap_count_input_is_batch_bounded(spark):
+    """The rows the cap count (and cross join) can see are the semi-
+    joined batch-relevant slice of the band store — FLAT as the index
+    grows, not O(history). Simulate 4 index generations: each adds
+    1000 rows of never-again-seen bands plus a constant 8-band overlap
+    with the incoming batch; the relevant slice must stay constant
+    while the store quadruples."""
+    from knowledge_graph_system_spark.streaming.dedup_stream import _relevant_bands
+
+    batch = spark.range(16).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("b0|shared"), (F.col("id") % 8).cast("string")).alias("band"),
+    )
+    store_rows, seen = [], []
+    for gen in range(4):
+        noise = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(f"b1|gen{gen}_"), F.col("id").cast("string")).alias("band"),
+        )
+        overlap = spark.range(8).select(
+            (F.col("id") + gen * 100).alias("doc_id"),
+            F.concat(F.lit("b0|shared"), F.col("id").cast("string")).alias("band"),
+        )
+        store_rows.append(noise.unionByName(overlap))
+        store = store_rows[0]
+        for s in store_rows[1:]:
+            store = store.unionByName(s)
+        seen.append(_relevant_bands(store, batch).count())
+    assert seen == [8, 16, 24, 32]  # grows with OVERLAP rows only
+    # the store itself grew 1008 -> 4032: relevant rows track the
+    # 8-per-generation overlap, not the 1000-per-generation noise
+
+
+def test_relevant_bands_semi_join_is_broadcast(spark):
+    from knowledge_graph_system_spark.streaming.dedup_stream import _relevant_bands
+
+    store = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("band")
+    )
+    batch = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("band")
+    )
+    plan = _relevant_bands(store, batch)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

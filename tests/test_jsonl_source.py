@@ -79,3 +79,14 @@ def test_csv_quarantine_split(spark, tmp_path):
     assert rows[4]["lang"] is None
     raws = [r["raw"] for r in bad.collect()]
     assert len(raws) == 1 and "oops" in raws[0]
+
+
+def test_release_drops_the_scan_cache(spark, tmp_path):
+    """The shared scan cache must leave executor storage on release()
+    — without it every feed read leaks one cached scan for the session
+    lifetime."""
+    feed = read_jsonl_quarantine(spark, _write_feed(tmp_path), SCHEMA)
+    feed.good.count(), feed.bad.count()
+    assert feed._cached.storageLevel.useMemory
+    feed.release()
+    assert not feed._cached.storageLevel.useMemory

@@ -182,10 +182,38 @@ def test_quantile_filter_matches_oracle(spark, duck):
         duck, quantile_filter_sql("documents", "n_chars", 0.3, stratum="source")
     )
     assert got == want and len(got) > 0
-    # global (no stratum) variant too
-    got_g = _rows(quantile_filter(docs, "n_chars", 0.25))
-    want_g = _duck_rows(duck, quantile_filter_sql("documents", "n_chars", 0.25))
-    assert got_g == want_g
+
+
+def test_quantile_filter_requires_stratum(spark):
+    """stratum=None would be a single-partition global window — the
+    operator refuses it and points at the threshold-based global
+    variant instead."""
+    import pytest as _pt
+
+    from knowledge_graph_system_spark.operators.sampling import quantile_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with _pt.raises(ValueError, match="quantile_filter_global"):
+        quantile_filter(docs, "n_chars", 0.25)
+
+
+def test_quantile_filter_global_threshold_cut(spark):
+    """The scalable global cut: kept fraction within the sketch
+    tolerance, the kept set is exactly {score >= threshold} (no
+    boundary-straddling row), and the plan has no Window at all."""
+    from knowledge_graph_system_spark.operators.sampling import (
+        quantile_filter_global,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = docs.count()
+    kept = quantile_filter_global(docs, "n_chars", 0.25, rel_err=0.001)
+    n_kept = kept.count()
+    assert abs(n_kept / total - 0.25) < 0.05  # ties + rel_err margin
+    thr = kept.agg(F.min("n_chars")).collect()[0][0]
+    assert docs.filter(F.col("n_chars") >= thr).count() == n_kept
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
 
 
 def test_quantile_filter_per_stratum_fraction(spark):
