@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..registry import Ctx, query
+from ..registry import QUERIES, Ctx, query
 
 _QUERY_IDS = [0, 1, 2]
 _TOPK = 10
@@ -244,3 +244,31 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+@query("ann_ivf_persisted", oracle=QUERIES["ann_ivf_topk"].oracle)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-once/query-many IVF path: build the partitioned index
+    (vectors PARTITIONED BY cell + centroid table) in a scratch dir,
+    then answer the same queries as `ann_ivf_topk` through
+    `ivf_topk_from_index` — result-identical to the fused path by
+    construction (same coarse quantizer, same rerank), so it shares
+    that oracle verbatim. The scan of the probed cells prunes whole
+    directories (PartitionFilters pinned in tests/test_ann.py); the
+    result is materialized before the scratch index is removed."""
+    import shutil
+    import tempfile
+
+    vecs = _vectors(Ctx.get(spark, sf_dir))
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        build_ivf_index(vecs, index_dir)
+        out = ivf_topk_from_index(spark, index_dir, queries).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return out

@@ -551,3 +551,68 @@ GROUP BY split, lang
 query("cur_repetition_spans", oracle=cur_repetition_spans_oracle())(cur_repetition_spans)
 query("cur_pii_redact", oracle=cur_pii_redact_oracle())(cur_pii_redact)
 query("smp_split_mix", oracle=smp_split_mix_oracle())(smp_split_mix)
+
+
+# ---------------------------------------------------------------------------
+# r7 backlog registrations (window headroom created by operators/
+# suites.py): the packing/quota composite and the decontamination row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cur_pack_quota",
+    oracle="""
+WITH q AS (
+  SELECT * EXCLUDE (__rn) FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS __rn
+    FROM documents
+  ) WHERE __rn <= 200
+),
+p AS (""" + greedy_pack_sql("q", 2048, 8) + """)
+SELECT pack_group,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(spans_boundary AS BIGINT)) AS BIGINT) AS n_spanning
+FROM p GROUP BY pack_group
+""",
+)
+def cur_pack_quota(spark, sf_dir: str) -> DataFrame:
+    """Composite driver query: domain quota (top-200 per source by
+    n_chars) feeding greedy sequence packing, summarized per pack
+    group — the quota→pack chain a token-budgeted corpus build runs.
+    Both stages shuffle once (domain window, pack-group window)."""
+    from .sampling import domain_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quota = domain_quota(docs, "source", F.col("n_chars"), 200, "doc_id")
+    packed = greedy_pack(quota, seq_len=2048, n_groups=8)
+    return packed.groupBy("pack_group").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("spans_boundary").cast("bigint")).alias("n_spanning"),
+    )
+
+
+@query(
+    "cur_contamination",
+    oracle=contamination_sql("tr", "ev", n=8).replace(
+        "WITH __tr_grams",
+        "WITH tr AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),\n"
+        "     ev AS (SELECT * FROM documents WHERE doc_id % 25 = 0),\n"
+        "     __tr_grams",
+        1,
+    ),
+)
+def cur_contamination(spark, sf_dir: str) -> DataFrame:
+    """Driver row for the decontamination check: every 25th document
+    plays the eval set, the rest the training corpus; output is the
+    per-contaminated-doc distinct shared 8-gram and eval-doc counts.
+    Eval n-grams broadcast; the train side reaches the join with no
+    exchange (plan pinned in tests/test_curation.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    tr = docs.filter(F.col("doc_id") % 25 != 0)
+    return contamination_check(tr, ev, n=8)

@@ -192,3 +192,24 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# r7 registration: the BM25 family's driver row (the lexical-ranker
+# surface shipped lib+pytest in r6; the differential DuckDB oracle in
+# tests/test_ranking.py is the same arithmetic as bm25_sql).
+# ---------------------------------------------------------------------------
+
+from ..registry import query  # noqa: E402
+
+_BM25_QUERY = ["spark", "join", "window"]
+
+
+@query("r_bm25_topk", oracle=bm25_sql("documents", _BM25_QUERY, top_k=20))
+def r_bm25_topk(spark, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed three-term query — the
+    fused build-and-query path (postings restricted to the query
+    vocabulary before any shuffle; df via a window over filtered hits;
+    TakeOrderedAndProject top-k)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, _BM25_QUERY, top_k=20)

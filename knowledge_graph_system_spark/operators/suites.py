@@ -1,0 +1,212 @@
+"""Registry consolidation suites: one driver query per always-green family.
+
+The driver records only the FIRST 50 registered queries per round, so a
+97-query registry left ~3 free slots per round — too few to drain the
+r6 operator backlog (VERDICT r6 "What's missing #1"). These suites fold
+single-primitive registered queries into one composite row per family,
+the way `so_program_demo` covers SO1-SO5: every member still runs, its
+EXACT registered oracle SQL still runs (embedded as a subquery of the
+composite oracle), and the member rows are tagged + mapped into one
+common typed shape, so no family loses oracle coverage while the
+registry shrinks by 24 rows.
+
+Mapping (member -> suite, member registration removed):
+  a7_ontology_mass, a8_ontology_coherence, a9_ontology_protection,
+  a10_vocab_value, a11_semantic_diversity      -> a_scores_suite
+  j2_concepts_for_sources, j3_left_outer_enrich, j4_hydrate_ids,
+  j8_stale_anti_join, j9_two_tier_matcher      -> j_enrich_suite
+  v2_chunk_search, v3_batch_cosine, v5_smell_test,
+  v6_synonym_detection, v6b_merge_groups,
+  v8_threshold_hint                            -> v_search_suite
+  t_langid_confusion, t_quality_score, t_token_counts,
+  t_fingerprint                                -> t_textstats_suite
+  p1_match_nodes, p3_epistemic_filter, p4_ontology_scope,
+  p5_confidence_filter, p6_ordered_page,
+  p8_strip_projection                          -> p_filter_matrix
+  st_tumbling_window, st_sliding_window, st_rollup -> st_windows_suite
+  f1_fuzzy_search, f2_regex_match              -> f_catalog_suite
+
+Shape: (probe, k1, k2: string; n1, n2, n3: bigint; x1..x4: double).
+Each member's columns map to slots with ONE expression string that both
+engines evaluate (`concat_ws`, `CAST` are identical in Spark SQL and
+DuckDB), so the Spark projection and the oracle projection cannot
+drift. Doubles pass through uncast member expressions that already
+hash-matched individually; new operations are string concat and exact
+integer casts only.
+
+Scale note: a suite runs its members sequentially in one driver slot —
+the members' plans are unchanged (each was individually plan-audited),
+and the final unionByName is a no-shuffle concatenation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import QUERIES, query
+
+_SLOTS = [
+    ("k1", "STRING"),
+    ("k2", "STRING"),
+    ("n1", "BIGINT"),
+    ("n2", "BIGINT"),
+    ("n3", "BIGINT"),
+    ("x1", "DOUBLE"),
+    ("x2", "DOUBLE"),
+    ("x3", "DOUBLE"),
+    ("x4", "DOUBLE"),
+]
+
+
+def _proj(probe: str, mapping: dict[str, str]) -> list[str]:
+    """The shared projection: literal probe tag + every slot cast from
+    its mapped expression (NULL when the member has no value for it)."""
+    out = [f"'{probe}' AS probe"]
+    for slot, typ in _SLOTS:
+        out.append(f"CAST({mapping.get(slot, 'NULL')} AS {typ}) AS {slot}")
+    return out
+
+
+def _make_suite(name: str, members: list[tuple[str, dict[str, str]]]):
+    """Build + register one suite from (member_query_name, slot_map)
+    rows. Captures each member's fn and oracle BEFORE the members are
+    de-registered below."""
+    captured = [(probe, QUERIES[probe].fn, QUERIES[probe].oracle, m) for probe, m in members]
+
+    def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [
+            fn(spark, sf_dir).selectExpr(*_proj(probe, m))
+            for probe, fn, _oracle, m in captured
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    suite.__name__ = name
+    oracle = "\nUNION ALL\n".join(
+        f"SELECT {', '.join(_proj(probe, m))} FROM ({sql})"
+        for probe, _fn, sql, m in captured
+    )
+    return query(name, oracle=oracle)(suite)
+
+
+# ---- family definitions ---------------------------------------------------
+
+a_scores_suite = _make_suite(
+    "a_scores_suite",
+    [
+        ("a7_ontology_mass",
+         dict(k1="ontology", n1="n_concepts", n2="n_sources", n3="n_rels", x1="mass")),
+        ("a8_ontology_coherence", dict(k1="ontology", x1="coherence")),
+        ("a9_ontology_protection",
+         dict(k1="ontology", x1="mass", x2="coherence", x3="exposure", x4="protection")),
+        ("a10_vocab_value", dict(k1="rel_type", n1="edge_count", x1="value_score")),
+        ("a11_semantic_diversity", dict(k1="node_id", x1="diversity", n1="n_pairs")),
+    ],
+)
+
+j_enrich_suite = _make_suite(
+    "j_enrich_suite",
+    [
+        ("j2_concepts_for_sources", dict(n1="o_orderkey", k1="part_names")),
+        ("j3_left_outer_enrich",
+         dict(n1="c_custkey", k1="c_name", n2="n_orders", x1="total_spend")),
+        ("j4_hydrate_ids",
+         dict(k1="node_id", k2="concat_ws('|', label, name, ontology)")),
+        ("j8_stale_anti_join", dict(k1="p_brand", n1="missing")),
+        ("j9_two_tier_matcher",
+         dict(n1="incoming_id", k1="node_id", x1="sim", k2="tier")),
+    ],
+)
+
+v_search_suite = _make_suite(
+    "v_search_suite",
+    [
+        ("v2_chunk_search",
+         dict(n1="doc_id", n2="chunk_index", x1="sim", n3="stale")),
+        ("v3_batch_cosine", dict(k1="query_seed", k2="node_id", x1="sim")),
+        ("v5_smell_test",
+         dict(k1="src", k2="concat_ws('|', dst, cognitive_leap)", x1="endpoint_sim")),
+        ("v6_synonym_detection",
+         dict(k1="rel_a", k2="concat_ws('|', rel_b, strength)", x1="sim")),
+        ("v6b_merge_groups",
+         dict(k1="rel_type", k2="concat_ws('|', canonical, action)", n1="group_size")),
+        ("v8_threshold_hint",
+         dict(n1="strict_hits", n2="relaxed_hits", x1="best_score")),
+    ],
+)
+
+t_textstats_suite = _make_suite(
+    "t_textstats_suite",
+    [
+        ("t_langid_confusion", dict(k1="lang", k2="predicted", n1="n")),
+        ("t_quality_score",
+         dict(n1="doc_id", k1="source", n2="n_words", n3="n_distinct",
+              x1="distinct_ratio", x2="avg_word_len", x3="quality")),
+        ("t_token_counts",
+         dict(k1="source", n1="n_docs", n2="ws_tokens", n3="alpha_tokens",
+              x1="total_chars")),
+        ("t_fingerprint", dict(n1="doc_id", k1="fingerprint", n2="n_shingles")),
+    ],
+)
+
+p_filter_matrix = _make_suite(
+    "p_filter_matrix",
+    [
+        ("p1_match_nodes",
+         dict(k1="node_id", k2="concat_ws('|', name, ontology)", x1="weight")),
+        ("p3_epistemic_filter", dict(k1="rel_type", n1="n_edges")),
+        ("p4_ontology_scope",
+         dict(k1="ontology", k2="label", n1="n", x1="total_weight")),
+        ("p5_confidence_filter", dict(k1="rel_type", n1="kept", n2="null_passed")),
+        ("p6_ordered_page",
+         dict(n1="o_orderkey", k1="o_orderstatus", x1="o_totalprice")),
+        ("p8_strip_projection",
+         dict(k1="node_id", k2="concat_ws('|', label, ontology)")),
+    ],
+)
+
+st_windows_suite = _make_suite(
+    "st_windows_suite",
+    [
+        ("st_tumbling_window",
+         dict(k1="window_start", k2="event_type", n1="n_events", x1="total_value")),
+        ("st_sliding_window",
+         dict(k1="window_start", n1="n_events", x1="total_value")),
+        ("st_rollup",
+         dict(k1="day", k2="event_type", n1="n_events", x1="total_value")),
+    ],
+)
+
+f_catalog_suite = _make_suite(
+    "f_catalog_suite",
+    [
+        ("f1_fuzzy_search", dict(k1="kind", k2="name", n1="child_count")),
+        ("f2_regex_match", dict(n1="p_partkey", k1="p_name")),
+    ],
+)
+
+
+# ---- de-register the folded members ---------------------------------------
+# Their fns, oracles, and pytest coverage are untouched; only the
+# individual driver rows disappear (the suites above carry the exact
+# same oracle SQL). This is what frees permanent recording-window
+# headroom: 31 member rows -> 7 suite rows.
+
+CONSOLIDATED = [
+    "a7_ontology_mass", "a8_ontology_coherence", "a9_ontology_protection",
+    "a10_vocab_value", "a11_semantic_diversity",
+    "j2_concepts_for_sources", "j3_left_outer_enrich", "j4_hydrate_ids",
+    "j8_stale_anti_join", "j9_two_tier_matcher",
+    "v2_chunk_search", "v3_batch_cosine", "v5_smell_test",
+    "v6_synonym_detection", "v6b_merge_groups", "v8_threshold_hint",
+    "t_langid_confusion", "t_quality_score", "t_token_counts", "t_fingerprint",
+    "p1_match_nodes", "p3_epistemic_filter", "p4_ontology_scope",
+    "p5_confidence_filter", "p6_ordered_page", "p8_strip_projection",
+    "st_tumbling_window", "st_sliding_window", "st_rollup",
+    "f1_fuzzy_search", "f2_regex_match",
+]
+
+for _n in CONSOLIDATED:
+    QUERIES.pop(_n)

@@ -123,3 +123,64 @@ def read_csv_quarantine(
     if quarantine_dir is not None:
         bad.write.mode("append").text(quarantine_dir)
     return QuarantinedFeed(good, bad, df)
+
+
+# ---------------------------------------------------------------------------
+# r7 registration: the quarantine contract as a driver row. The feed is
+# derived from the documents table itself (every 37th doc serialized
+# deliberately broken), so the DuckDB oracle predicts both the good-row
+# aggregates and the quarantine count from the parquet source alone.
+# ---------------------------------------------------------------------------
+
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "src_jsonl_quarantine",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 37 <> 0 GROUP BY lang
+UNION ALL
+SELECT '__quarantined__', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+FROM documents WHERE doc_id % 37 = 0
+""",
+)
+def src_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through a JSONL feed with every
+    37th line corrupted (truncated JSON), read it back through the
+    PERMISSIVE quarantine scan, and return per-lang good-row aggregates
+    plus one '__quarantined__' row carrying the bad-line count. The
+    result is materialized before the scratch feed dir is removed and
+    the scan cache released."""
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars"))
+    broken = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(", BROKEN")
+    )
+    feed_dir = tempfile.mkdtemp(prefix="jsonl_feed_")
+    try:
+        docs.select(
+            F.when(F.col("doc_id") % 37 == 0, broken).otherwise(line).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(feed_dir + "/feed")
+        feed = read_jsonl_quarantine(
+            spark,
+            feed_dir + "/feed",
+            "doc_id long, lang string, source string, n_chars long",
+        )
+        n_bad = feed.bad.count()
+        good_agg = feed.good.groupBy("lang").agg(
+            F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+        )
+        quarantined = spark.createDataFrame(
+            [("__quarantined__", n_bad, None)],
+            "lang string, n_docs long, total_chars long",
+        )
+        out = good_agg.unionByName(quarantined).localCheckpoint(eager=True)
+        feed.release()
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+    return out
