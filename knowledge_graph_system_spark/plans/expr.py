@@ -38,6 +38,9 @@ Function whitelist (fail closed on anything else):
                functions (JVM-side, no explode); predicates may be
                correlated with outer columns; nesting allowed with
                distinct element vars (re-binding fails closed)
+  list compr   [x IN list WHERE pred | expr] → filter()/transform()
+               (either part optional); reduce(acc = init, x IN list |
+               expr) → aggregate() — same lambda-binding rules
 
 Documented deviations from openCypher (each fails toward SQL semantics,
 which is what the DuckDB oracles pin):
@@ -73,7 +76,7 @@ _TOK = re.compile(
     r"(?P<str>'(?:[^']|'')*')"
     r"|(?P<num>\d+\.\d+|\.\d+|\d+)"
     r"|(?P<ident>[A-Za-z_]\w*)"
-    r"|(?P<op><>|<=|>=|=~|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|,|\.)"
+    r"|(?P<op><>|<=|>=|=~|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|,|\.|\|)"
     r")"
 )
 
@@ -365,6 +368,18 @@ class _Parser:
             self.expect_op(")", "parenthesized expression")
             return inner
         if t.kind == "op" and t.text == "[":
+            # `[x IN list ...]` is a comprehension, per openCypher — a
+            # one-element literal list holding a membership test needs
+            # parens: `[(x IN list)]` (documented deviation-free: the
+            # spec resolves the ambiguity the same way)
+            nxt, nxt2 = self.toks[self.i + 1], self.toks[self.i + 2]
+            if (
+                nxt.kind == "ident"
+                and nxt.low not in _KEYWORDS
+                and nxt2.kind == "ident"
+                and nxt2.low == "in"
+            ):
+                return self.list_comprehension()
             return self.list_literal()
         if t.kind == "ident":
             low = t.low
@@ -453,6 +468,8 @@ class _Parser:
             return self.graph_accessor(name)
         if name in ("any", "all", "none", "single"):
             return self.list_predicate(name)
+        if name == "reduce":
+            return self.reduce_call()
         if name not in _SCALARS:
             raise GuardError(f"unsupported function {name}() in {self.text!r}")
         lo, hi, builder = _SCALARS[name]
@@ -586,6 +603,86 @@ class _Parser:
         else:  # single
             out = F.size(F.filter(lst, body)) == 1
         self.expect_op(")", f"{name}() call")
+        return out
+
+    def _bound(self, var: str, elem: Column):
+        """Parse one sub-expression with `var` bound to `elem` for its
+        extent (the Spark higher-order builders invoke each lambda
+        eagerly and exactly once, so sequential parsing stays aligned
+        with the token stream)."""
+        self.lambda_vars[var] = elem
+        try:
+            return self.expr()
+        finally:
+            del self.lambda_vars[var]
+
+    def list_comprehension(self) -> Column:
+        """`[x IN list WHERE pred | expr]` → Spark filter()/transform()
+        higher-order functions — JVM-side, no UDF, no explode. WHERE
+        and the projection are each optional; `[x IN list]` is a plain
+        copy. The element variable shadows outer names for its extent
+        and cannot re-bind an enclosing lambda variable."""
+        self.expect_op("[", "list comprehension")
+        var = self.next().text
+        if var in self.lambda_vars:
+            raise GuardError(
+                f"nested comprehension cannot re-bind {var!r} in {self.text!r}"
+            )
+        if not self.eat_kw("in"):
+            raise GuardError(f"expected IN in comprehension in {self.text!r}")
+        out = self.expr()
+        if self.eat_kw("where"):
+            out = F.filter(out, lambda e: self._bound(var, e))
+        if self.eat_op("|"):
+            out = F.transform(out, lambda e: self._bound(var, e))
+        self.expect_op("]", "list comprehension")
+        return out
+
+    def reduce_call(self) -> Column:
+        """`reduce(acc = init, x IN list | expr)` → Spark aggregate()
+        higher-order function. Both the accumulator and element
+        variables bind for the merge expression's extent; the result
+        type is the merge expression's type (openCypher's is the
+        accumulator's — write the merge so both agree, which the
+        DuckDB differential pins)."""
+        acc = self.next()
+        if acc.kind != "ident" or acc.low in _KEYWORDS:
+            raise GuardError(
+                f"reduce() needs 'acc = init, x IN list | expr' in {self.text!r}"
+            )
+        if not (self.peek().kind == "op" and self.peek().text == "="):
+            raise GuardError(f"expected = after reduce({acc.text} in {self.text!r}")
+        self.next()
+        init = self.expr()
+        self.expect_op(",", "reduce()")
+        var_t = self.peek()
+        if var_t.kind != "ident" or var_t.low in _KEYWORDS:
+            raise GuardError(f"reduce() needs an element variable in {self.text!r}")
+        var = self.next().text
+        if var == acc.text:
+            raise GuardError(
+                f"reduce() accumulator and element must differ in {self.text!r}"
+            )
+        if var in self.lambda_vars or acc.text in self.lambda_vars:
+            raise GuardError(
+                f"reduce() cannot re-bind an enclosing lambda variable in {self.text!r}"
+            )
+        if not self.eat_kw("in"):
+            raise GuardError(f"expected IN in reduce() in {self.text!r}")
+        lst = self.expr()
+        if not (self.peek().kind == "op" and self.peek().text == "|"):
+            raise GuardError(f"expected | before reduce() merge in {self.text!r}")
+        self.next()
+
+        def merge(a: Column, x: Column) -> Column:
+            self.lambda_vars[acc.text] = a
+            return self._bound(var, x)
+
+        try:
+            out = F.aggregate(lst, init, merge)
+        finally:
+            self.lambda_vars.pop(acc.text, None)
+        self.expect_op(")", "reduce() call")
         return out
 
     def agg_call(self, name: str) -> Column:

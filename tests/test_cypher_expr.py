@@ -407,3 +407,68 @@ def test_predicate_after_comparison_chain_fails_closed():
     ):
         with pytest.raises(GuardError, match="cannot follow a comparison chain"):
             compile_expr(scope, bad)
+
+
+def test_list_comprehension_semantics(cctx, spark):
+    """[x IN list WHERE p | e] over a split column: filter + transform
+    composed, either part optional."""
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) RETURN c.node_id AS id, "
+        "[w IN split(c.name, '#') WHERE char_length(w) > 1 | toUpper(w)] AS ws "
+        "LIMIT 20",
+    ).collect()
+    base = {
+        r["node_id"]: r["name"]
+        for r in _cust(cctx).limit(1000).collect()
+    }
+    for r in out:
+        want = [w.upper() for w in base[r["id"]].split("#") if len(w) > 1]
+        assert r["ws"] == want
+
+
+def test_list_comprehension_copy_form(cctx):
+    rows = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) RETURN c.node_id AS id, "
+        "[w IN split(c.name, '#')] AS ws LIMIT 5",
+    ).collect()
+    for r in rows:
+        assert isinstance(r["ws"], list) and len(r["ws"]) >= 1
+
+
+def test_reduce_semantics(cctx):
+    rows = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) RETURN c.name AS name, "
+        "reduce(acc = 0, w IN split(c.name, '#') | acc + char_length(w)) AS n "
+        "LIMIT 20",
+    ).collect()
+    for r in rows:
+        assert r["n"] == sum(len(w) for w in r["name"].split("#"))
+
+
+def test_comprehension_and_reduce_fail_closed():
+    scope = _FakeScope({"n.name": "nm"})
+    for bad in (
+        "[w IN split(n.name, 'x') WHERE [w IN split(n.name, 'y') | w]]",  # re-bind
+        "reduce(acc = 0, acc IN split(n.name, 'x') | acc + 1)",  # acc == var
+        "reduce(0, w IN split(n.name, 'x') | w)",  # missing acc =
+        "reduce(acc = 0, w IN split(n.name, 'x'))",  # missing | merge
+        "[w IN split(n.name, 'x') WHERE w CONTAINS 'a' | reduce(w = 0, q IN "
+        "split(n.name, 'y') | w + 1)]",  # reduce re-binds comprehension var
+    ):
+        with pytest.raises(GuardError):
+            compile_expr(scope, bad)
+
+
+def test_comprehension_stays_jvm_side(cctx):
+    """The compiled plan must contain no Python evaluation — the
+    comprehension/reduce compile to Spark higher-order functions."""
+    df = compile_cypher(
+        cctx,
+        "MATCH (c:Customer) RETURN "
+        "reduce(acc = 0, w IN split(c.name, '#') | acc + char_length(w)) AS n",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan

@@ -88,6 +88,52 @@ class _Gen:
         }[fn]
         return f"{fn}(w IN {lst_c} WHERE {pred_c})", f"({sql})"
 
+    def listcomp(self) -> tuple[str, str]:
+        """[w IN split(col, d) WHERE pred | expr] — comprehension vs
+        DuckDB list_filter/list_transform (either part may be absent)."""
+        col_c, col_s = self.r.choice([(c, c.split(".")[1]) for c in _STR_COLS])
+        delim = self.r.choice(["r", "c", "0", "e"])
+        lst_c, lst_s = f"split({col_c}, '{delim}')", f"string_split({col_s}, '{delim}')"
+        pred_c, pred_s = self.r.choice(
+            [("w <> ''", "w <> ''"), ("char_length(w) > 1", "length(w) > 1")]
+        )
+        proj_c, proj_s = self.r.choice(
+            [("toUpper(w)", "upper(w)"), ("char_length(w)", "length(w)")]
+        )
+        form = self.r.choice(["where", "proj", "both"])
+        if form == "where":
+            return (
+                f"[w IN {lst_c} WHERE {pred_c}]",
+                f"list_filter({lst_s}, w -> {pred_s})",
+            )
+        if form == "proj":
+            return (
+                f"[w IN {lst_c} | {proj_c}]",
+                f"list_transform({lst_s}, w -> {proj_s})",
+            )
+        return (
+            f"[w IN {lst_c} WHERE {pred_c} | {proj_c}]",
+            f"list_transform(list_filter({lst_s}, w -> {pred_s}), w -> {proj_s})",
+        )
+
+    def reduce_expr(self) -> tuple[str, str]:
+        """reduce(acc = init, w IN split(col, d) | acc + f(w)) vs the
+        DuckDB sum-over-transform equivalent."""
+        col_c, col_s = self.r.choice([(c, c.split(".")[1]) for c in _STR_COLS])
+        delim = self.r.choice(["r", "c", "0", "e"])
+        init = self.r.choice([0, 7])
+        body_c, body_s = self.r.choice(
+            [
+                ("char_length(w)", "length(w)"),
+                ("char_length(w) * 2", "length(w) * 2"),
+            ]
+        )
+        return (
+            f"reduce(acc = {init}, w IN split({col_c}, '{delim}') | acc + {body_c})",
+            f"({init} + coalesce(list_sum(list_transform("
+            f"string_split({col_s}, '{delim}'), w -> {body_s})), 0))",
+        )
+
     def cmp(self, depth: int) -> tuple[str, str]:
         kind = self.r.choice(
             ["numcmp", "strcmp", "strpred", "in_num", "in_str", "chain",
@@ -175,10 +221,15 @@ def test_expression_parser_matches_duckdb(spark):
     exprs = []
     while len(exprs) < N_EXPRS:
         depth = rng.choice([1, 2, 3])
-        if rng.random() < 0.7:
+        roll = rng.random()
+        if roll < 0.6:
             exprs.append(gen.boolean(depth))
-        else:
+        elif roll < 0.8:
             exprs.append(gen.num(depth))
+        elif roll < 0.9:
+            exprs.append(gen.listcomp())
+        else:
+            exprs.append(gen.reduce_expr())
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     scope = _DocScope()
