@@ -1,0 +1,206 @@
+"""From-scratch BPE: learned merge table + tokenizer-real token counts.
+
+The engine's packing / mixing / quota operators budget in `n_tokens`,
+but `t_token_counts` counts WHITESPACE tokens — systematically
+miscalibrated against the BPE tokens a training pipeline actually
+budgets (VERDICT r6 "What's missing #3"). This module implements the
+public greedy-merge BPE algorithm (Sennrich, Haddow & Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — public
+literature) from scratch:
+
+- `learn_bpe(docs, n_merges)`: word frequencies come from ONE Spark
+  aggregation; the top `max_vocab` (word, count) rows — a BOUNDED
+  collect, thousands of rows, the standard practice of learning the
+  merge table from the head of the word distribution — feed the
+  deterministic greedy pair-merge loop on the driver (ties broken by
+  lexicographic pair order, so the merge table is a pure function of
+  the corpus).
+- `bpe_segment_words(words, merges)`: applies the merge table to a
+  frame of DISTINCT words as a chain of `aggregate()` array folds —
+  one fold per merge, each the canonical greedy-left adjacent-pair
+  merge — entirely JVM-side column expressions (no UDF, no Python in
+  the hot path).
+- `bpe_token_counts(docs, merges)`: per-document BPE token counts.
+  Scale shape: the fold runs over the DISTINCT-WORD vocabulary (tiny
+  next to the corpus), and per-doc counts come from the exploded
+  corpus joined back to that vocabulary — at 100 TB the vocab side
+  broadcasts (or bucket-joins for an open vocabulary) and the corpus
+  is never folded word-by-word.
+
+Oracle: DuckDB 1.0's list_reduce takes no initial accumulator, so the
+canonical fold has no SQL twin; correctness is pinned by a parity gate
+against an independent pure-Python reference implementation
+(`_reference_segment`, tests/test_bpe.py) plus determinism and
+invariant tests — the registry-sanctioned fallback for non-SQL-
+expressible operators. Registry row lands r8 with the freed window
+slots.
+
+Deviations from production tokenizers (documented, deliberate):
+- merge alphabet is lowercase-alpha words (`^[a-z]+$`); other words
+  still segment to characters and merge only through learned pairs
+  that apply to them (none, for non-alpha), so every word gets a
+  defined count;
+- no end-of-word marker (counts, not detokenization, are the product);
+- byte-level fallback is out of scope — the synthetic corpus is ASCII
+  (pinned by tests/test_dedup_multimodal.py's fixture gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ALPHA = "^[a-z]+$"
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = 48,
+    text_col: str = "text",
+    max_vocab: int = 20_000,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus word distribution.
+
+    One Spark aggregation produces (word, count); the top `max_vocab`
+    rows by (count desc, word) are collected — bounded driver state,
+    documented — and the greedy loop runs in plain Python: each round
+    counts adjacent symbol pairs weighted by word frequency, merges the
+    most frequent pair everywhere (ties: lexicographically smallest
+    pair), and records it. Deterministic for a fixed corpus."""
+    freq_rows = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word").rlike(_ALPHA))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): r["n"] for r in freq_rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        merged_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged_vocab[key] = merged_vocab.get(key, 0) + n
+        vocab = merged_vocab
+    return merges
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """One canonical greedy-left pair merge as an aggregate() fold:
+    append each symbol unless it completes (a, b) at the tail, in which
+    case the tail is replaced by the merged symbol. ['a','a','a'] with
+    (a, a) yields ['aa', 'a'] — exactly the reference algorithm."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_segment_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Column expression: BPE symbol array for `word` under `merges`
+    (applied in learned order — a later merge only ever consumes
+    symbols earlier merges produced, per the algorithm)."""
+    syms = F.split(word, "")
+    for a, b in merges:
+        syms = _merge_fold(syms, a, b)
+    return syms
+
+
+def bpe_segment_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """(word, tokens, n_bpe_tokens) for a frame of distinct words."""
+    toks = bpe_segment_expr(F.col(word_col), merges)
+    return words.select(
+        word_col,
+        toks.alias("tokens"),
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): tokenizer-real per-doc budget.
+
+    The merge folds run over the DISTINCT-word vocabulary only; the
+    exploded corpus joins to it (vocab side broadcast — at 100 TB an
+    open vocabulary would bucket-join instead) and sums per doc. This
+    is the count `greedy_pack(tokens_col=...)` / `corpus_mix` should
+    consume instead of the whitespace proxy."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    vocab = bpe_segment_words(words.select("word").distinct(), merges).select(
+        "word", "n_bpe_tokens"
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prepared r8 registry candidate (the r6->r7 prepared-plan pattern):
+# learns the merge table from the corpus it runs on, so the result is a
+# pure function of the data — but the merge table cannot be embedded in
+# a static SQL string, so the driver row will be rows-only; the value
+# parity lives in tests/test_bpe.py's reference-implementation gate.
+# ---------------------------------------------------------------------------
+
+
+def t_bpe_counts(spark, sf_dir: str) -> DataFrame:
+    """Per-source BPE token totals under a 24-merge table learned from
+    the same corpus — the tokenizer-real replacement for
+    t_token_counts' whitespace proxy."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe(docs, n_merges=24)
+    return (
+        bpe_token_counts(docs, merges)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("ws_tokens"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""From-scratch BPE: parity against an independent pure-Python
+reference implementation (the non-SQL-expressible-operator gate),
+determinism, canonical greedy-left semantics, and the packing rewire.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.operators.bpe import (
+    bpe_segment_words,
+    bpe_token_counts,
+    learn_bpe,
+)
+from tests.conftest import SF_DIR
+
+
+# ---- independent reference implementation (driver-side, no Spark) ---------
+
+
+def _reference_learn(word_counts: dict[str, int], n_merges: int):
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {
+            tuple(_reference_apply_one(list(s), best)): n
+            for s, n in (
+                (list(syms), n) for syms, n in vocab.items()
+            )
+        }
+    return merges
+
+
+def _reference_apply_one(syms, pair):
+    a, b = pair
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _reference_segment(word: str, merges) -> list[str]:
+    syms = list(word)
+    for pair in merges:
+        syms = _reference_apply_one(syms, pair)
+    return syms
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def merges(docs):
+    return learn_bpe(docs, n_merges=24)
+
+
+def test_learn_is_deterministic_and_matches_reference(docs, merges):
+    """learn_bpe must equal the independent reference learner run on
+    the same word-frequency table, and re-running must reproduce it."""
+    counts = {
+        r["word"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert merges == _reference_learn(counts, 24)
+    assert merges == learn_bpe(docs, n_merges=24)
+    assert len(merges) == 24
+    # merged symbols really are pairs of previously available symbols
+    available = set("abcdefghijklmnopqrstuvwxyz")
+    for a, b in merges:
+        assert a in available and b in available
+        available.add(a + b)
+
+
+def test_spark_segmentation_matches_reference(docs, merges):
+    """The chained aggregate() folds must segment every distinct corpus
+    word exactly like the reference implementation (canonical
+    greedy-left per merge, merges in learned order)."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    out = bpe_segment_words(words, merges).collect()
+    assert len(out) > 20  # the synthetic corpus vocabulary is tiny
+    for r in out:
+        want = _reference_segment(r["word"], merges)
+        assert r["tokens"] == want, (r["word"], r["tokens"], want)
+        assert r["n_bpe_tokens"] == len(want)
+
+
+def test_greedy_left_run_semantics(spark):
+    """['a','a','a'] under merge (a, a) -> ['aa', 'a'], the canonical
+    greedy-left result (the corner where sequential string replacement
+    diverges from real BPE)."""
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("ababab",)], ["word"])
+    out = {
+        r["word"]: r["tokens"]
+        for r in bpe_segment_words(df, [("a", "a"), ("a", "b")]).collect()
+    }
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["ababab"] == ["ab", "ab", "ab"]
+
+
+def test_token_counts_and_packing_rewire(docs, merges):
+    """Per-doc counts equal the sum of per-word reference counts, BPE
+    counts differ from the whitespace proxy (the calibration point),
+    and greedy_pack consumes them through tokens_col."""
+    counts = {r["doc_id"]: r for r in bpe_token_counts(docs, merges).collect()}
+    sample = docs.select("doc_id", "text").limit(20).collect()
+    for r in sample:
+        words = r["text"].split(" ")
+        want = sum(len(_reference_segment(w, merges)) for w in words)
+        assert counts[r["doc_id"]]["n_bpe_tokens"] == want
+        assert counts[r["doc_id"]]["n_words"] == len(words)
+    assert any(
+        c["n_bpe_tokens"] != c["n_words"] for c in counts.values()
+    )  # the whitespace proxy really was miscalibrated
+
+    from knowledge_graph_system_spark.operators.curation import greedy_pack
+
+    budgeted = docs.join(
+        bpe_token_counts(docs, merges).select(
+            "doc_id", F.col("n_bpe_tokens").alias("bpe")
+        ),
+        "doc_id",
+    )
+    packed = greedy_pack(
+        budgeted, seq_len=2048, n_groups=4, tokens_col=F.col("bpe")
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    assert all(
+        got[d] == counts[d]["n_bpe_tokens"] for d in list(got)[:50]
+    )
+
+
+def test_segmentation_plan_is_jvm_side(docs, merges):
+    """No Python evaluation anywhere: the folds are higher-order
+    column expressions, and the corpus side joins a broadcast vocab."""
+    df = bpe_token_counts(docs, merges)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_r8_candidate_bpe_counts(spark):
+    """Driver-style run of the prepared r8 candidate: stable schema,
+    one row per source, and totals consistent with bpe_token_counts."""
+    from knowledge_graph_system_spark.operators.bpe import t_bpe_counts
+
+    out = t_bpe_counts(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(out) == docs.select("source").distinct().count()
+    assert all(r["bpe_tokens"] >= r["ws_tokens"] > 0 for r in out)
