@@ -473,12 +473,115 @@ def _hop_pairs(ctx: Ctx, edf: DataFrame, length: int) -> DataFrame:
     return cur.select("__from", "__to")
 
 
+_SHORTEST_PAT = re.compile(
+    r"^(?:(?P<pvar>[A-Za-z_]\w*)\s*=\s*)?shortestPath\s*\((?P<inner>.*)\)\s*$",
+    re.DOTALL,
+)
+
+
+def _shortest_pairs(
+    ctx: Ctx, edf: DataFrame, a_ids: DataFrame, lo: int, hi: int
+) -> DataFrame:
+    """(__src, __node, __plen): minimal hop count from each source to
+    every node reachable within `hi` hops — multi-source BFS with
+    per-source visited sets. Frontiers broadcast into the edge join
+    (the edge frame is never re-shuffled); per-level eager
+    checkpoints cut the lineage like the traversal BFS. State is
+    O(|sources| x reach) rows — the per-query cost of pairwise
+    shortest paths, bounded by the mandatory hop cap."""
+    seen = a_ids.select(
+        F.col("__src"), F.col("__src").alias("__node")
+    ).localCheckpoint(eager=True)
+    frontier = seen
+    levels = [seen.withColumn("__plen", F.lit(0))] if lo == 0 else []
+    for d in range(1, hi + 1):
+        nxt = (
+            edf.join(
+                F.broadcast(frontier), frontier["__node"] == edf["__from"]
+            )
+            .select("__src", F.col("__to").alias("__node"))
+            .distinct()
+            .join(seen, ["__src", "__node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        levels.append(nxt.withColumn("__plen", F.lit(d)))
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not levels:
+        return seen.withColumn("__plen", F.lit(0)).filter(F.lit(False))
+    return reduce(DataFrame.unionByName, levels)
+
+
+def _compile_shortest(
+    ctx: Ctx, scope: _Scope, m: "re.Match", anon_start: int
+) -> tuple[DataFrame, dict[str, str], list[str], list[str], int]:
+    """`[p =] shortestPath((a)-[:T*lo..hi]->(b))`: ONE row per (a, b)
+    pair with a path, carrying the minimal hop count as `p__plen`
+    (read back via `length(p)`). Parity with the reference's guard:
+    an explicit upper bound is MANDATORY (`cypher_guard.py` rejects
+    unbounded shortest paths); lo must be 0 or 1; the edge cannot
+    bind a variable (same rule as plain var-length)."""
+    inner, pvar = m.group("inner"), m.group("pvar")
+    nodes, edges, anon = _parse_pattern(inner, anon_start)
+    if len(edges) != 1:
+        raise GuardError("shortestPath() takes a single relationship pattern")
+    ep = edges[0]
+    if not re.search(r"\*[^\]]*\d", inner):
+        raise GuardError(
+            "shortestPath() needs an explicit hop bound (e.g. [*..6]) — "
+            "unbounded shortest paths are rejected, as in the reference guard"
+        )
+    if ep.lo not in (0, 1):
+        raise GuardError("shortestPath() lower bound must be 0 or 1")
+    if ep.hi < ep.lo or ep.hi > 32:
+        raise GuardError("shortestPath() upper bound must be in [lo, 32]")
+    a, b = nodes
+    for v in (a.var, b.var):
+        if v in scope.all_vars:
+            # cross-clause reuse joins AFTER compilation, like any match
+            pass
+    entries: dict[str, str] = {}
+    for np_ in nodes:
+        for c in _NODE_PROPS:
+            entries[f"{np_.var}.{c}"] = f"{np_.var}__{c}"
+    if a.var == b.var:
+        raise GuardError("shortestPath() endpoints must be distinct variables")
+    edf = _oriented_edges(ctx, ep).select("__from", "__to").distinct()
+    a_frame = _node_frame(ctx, a)
+    a_ids = a_frame.select(F.col(f"{a.var}__node_id").alias("__src")).distinct()
+    pairs = _shortest_pairs(ctx, edf, a_ids, ep.lo, ep.hi)
+    df = (
+        a_frame.join(pairs, a_frame[f"{a.var}__node_id"] == pairs["__src"])
+        .drop("__src")
+        .join(
+            _node_frame(ctx, b),
+            F.col("__node") == F.col(f"{b.var}__node_id"),
+        )
+        .drop("__node")
+    )
+    path_vars: list[str] = []
+    if pvar:
+        if pvar in scope.all_vars or pvar in (a.var, b.var):
+            raise GuardError(f"duplicate variable {pvar!r}")
+        df = df.withColumnRenamed("__plen", f"{pvar}__plen")
+        entries[f"{pvar}.plen"] = f"{pvar}__plen"
+        path_vars.append(pvar)
+    else:
+        df = df.drop("__plen")
+    return df, entries, [a.var, b.var], path_vars, anon
+
+
 def _compile_pattern(
     ctx: Ctx, scope: _Scope, text: str, anon_start: int
 ) -> tuple[DataFrame, dict[str, str], list[str], list[str], int]:
     """Compile one pattern standalone. Returns (frame, new scope entries,
-    pattern node vars, new edge vars, next anon counter). The frame has
-    columns `var__prop` for every pattern variable."""
+    pattern node vars, new edge/path vars, next anon counter). The frame
+    has columns `var__prop` for every pattern variable."""
+    sp = _SHORTEST_PAT.match(text.strip())
+    if sp:
+        return _compile_shortest(ctx, scope, sp, anon_start)
     nodes, edges, anon = _parse_pattern(text, anon_start)
 
     pat_seen: set[str] = set()

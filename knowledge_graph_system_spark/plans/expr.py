@@ -472,6 +472,29 @@ class _Parser:
             return self.reduce_call()
         if name not in _SCALARS:
             raise GuardError(f"unsupported function {name}() in {self.text!r}")
+        if name == "length":
+            # length(p) where p is a bound shortestPath variable reads
+            # the path's hop count; any other argument falls through to
+            # the string form. Lookahead only — nothing is consumed
+            # unless the path resolution succeeds.
+            t0 = self.peek()
+            if (
+                t0.kind == "ident"
+                and t0.low not in _KEYWORDS
+                and t0.text not in self.lambda_vars
+                and self.toks[self.i + 1].kind == "op"
+                and self.toks[self.i + 1].text == ")"
+            ):
+                try:
+                    col = self.scope.resolve(f"{t0.text}.plen")
+                except GuardError:
+                    col = None
+                if col is not None:
+                    self.next()
+                    self.next()
+                    if self.in_agg == 0:
+                        self.plain_refs += 1
+                    return F.col(col)
         lo, hi, builder = _SCALARS[name]
         if name == "split":
             # delimiter must be a string LITERAL: Spark's split() takes a

