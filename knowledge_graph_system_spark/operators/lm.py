@@ -1,0 +1,164 @@
+"""Bigram language-model quality scoring (CCNet-style LM filtering).
+
+Production corpus pipelines score documents with a small LM and cut the
+tail (Wenzek et al. 2019, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data" — public literature; they use KenLM,
+whose n-gram estimation is public knowledge). This is that signal
+from scratch, Spark-first, with an exact DuckDB twin:
+
+- `bigram_counts(docs)`: ONE explode pass over the corpus →
+  (w1, w2, c) bigram and (w, c) unigram frames. Pure groupBys —
+  map-side partial aggregation, one shuffle each, no UDF.
+- `lm_score(docs)`: per-document mean log-probability under the
+  add-k-smoothed bigram model:
+      logp(w2 | w1) = ln( (c(w1, w2) + k) / (c(w1) + k * V) )
+  averaged over the document's bigrams. Train-on-self is the corpus-QA
+  shape (score docs against the corpus's own distribution — outliers
+  rank low); scoring against a held-out reference model is the same
+  join with the count frames swapped in.
+
+Scale shape: the count frames are vocabulary-sized, not corpus-sized;
+the corpus bigram stream joins them — broadcast at these scales, a
+bucket-join on w1 for an open-vocabulary 100 TB corpus — and the
+per-doc aggregation is the only corpus-wide exchange. At 100 TB the
+count frames are computed once per corpus build and persisted, exactly
+like the BM25 posting frames.
+
+Determinism note: the score carries ln(), which neither engine
+guarantees correctly-rounded to the last ulp, so the score rounds to
+4 dp (a 1-ulp disagreement flips a 4 dp rounding only within ~1e-12 of
+a boundary — negligible; 6 dp would be ~1e-10). The counts and V are
+exact integers in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SMOOTH_K = 0.1
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    words = F.split(F.col(text_col), " ")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.when(
+                    F.size(words) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(words) - 2),
+                        lambda i: F.struct(
+                            F.element_at(words, i + 1).alias("w1"),
+                            F.element_at(words, i + 2).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """(bigrams, unigrams, vocab_size): the model. Two groupBys and a
+    distinct-count — each one exchange with map-side combine."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    unigrams = words.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab_size = unigrams.count()
+    return bigrams, unigrams, vocab_size
+
+
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """(doc_id, n_bigrams, lm_logp): mean smoothed bigram log-prob per
+    document, 4 dp. Documents shorter than 2 words are absent (no
+    bigrams — the caller's length floor already drops them)."""
+    bigrams, unigrams, v = bigram_counts(docs, text_col, id_col)
+    bg = _doc_bigrams(docs, text_col, id_col)
+    scored = (
+        bg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(unigrams.withColumnRenamed("w", "w1")), "w1", "left")
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * v)
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("lm_logp"),
+    )
+
+
+def lm_score_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", k: float = SMOOTH_K
+) -> str:
+    """DuckDB twin — identical counts, smoothing, and rounding."""
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS doc_id, string_split({text_col}, ' ') AS ws FROM {table}
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM words, generate_series(1, 600) AS g(i)
+  WHERE i + 1 <= len(ws)
+),
+bigrams AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+unigrams AS (
+  SELECT u.w AS w1, count(*) AS c1
+  FROM words, unnest(ws) AS u(w) GROUP BY u.w
+),
+v AS (SELECT count(*) AS vs FROM unigrams)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((coalesce(b.c12, 0) + {k}) / (coalesce(u.c1, 0) + {k} * v.vs))), 4) AS lm_logp
+FROM bg
+LEFT JOIN bigrams b ON b.w1 = bg.w1 AND b.w2 = bg.w2
+LEFT JOIN unigrams u ON u.w1 = bg.w1
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+# Prepared r8 registry candidate: per-source LM-quality profile (the
+# aggregate keeps the driver row small while every per-doc score feeds
+# the hash through min/max).
+def t_lm_quality(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = lm_score(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(scores, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("lm_logp"), 4).alias("mean_logp"),
+            F.min("lm_logp").alias("min_logp"),
+            F.max("lm_logp").alias("max_logp"),
+        )
+    )
+
+
+def t_lm_quality_oracle() -> str:
+    return f"""
+WITH s AS ({lm_score_sql("documents")})
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(s.lm_logp), 4) AS mean_logp,
+       min(s.lm_logp) AS min_logp, max(s.lm_logp) AS max_logp
+FROM documents d JOIN s ON s.doc_id = d.doc_id
+GROUP BY d.source
+"""

@@ -1377,3 +1377,46 @@ def p7_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE on the aggregate, then a second MATCH joining back on the
     carried variable — subquery chaining the reference does with WITH."""
     return run_cypher(spark, sf_dir, _WITH_CYPHER)
+
+
+# ---------------------------------------------------------------------------
+# Prepared r8 registry candidate (prepared-plan discipline): the
+# shortestPath() surface as a driver row. Unregistered this round (the
+# r7 window is set); tests/test_cypher.py runs the exact driver-style
+# compare. The oracle computes min-dist by level-union (per-depth
+# DISTINCT reachability, then min over depths) — equivalent to the
+# engine's multi-source BFS on this DAG-shaped graph.
+# ---------------------------------------------------------------------------
+
+_SHORTEST_CYPHER = (
+    "MATCH p = shortestPath((c:Customer)-[*1..4]->(s:Supplier)) "
+    "RETURN length(p) AS d, count(*) AS n_pairs"
+)
+
+
+def p7_cypher_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath() aggregated: pair counts by minimal hop distance
+    from every Customer to every reachable Supplier within 4 hops."""
+    return run_cypher(spark, sf_dir, _SHORTEST_CYPHER)
+
+
+def p7_cypher_shortest_oracle() -> str:
+    return graph_ctes() + """,
+r0 AS (SELECT node_id AS root, node_id AS node FROM nodes WHERE label = 'Customer'),
+de AS (SELECT DISTINCT src, dst FROM edges),
+r1 AS (SELECT DISTINCT r0.root, de.dst AS node FROM r0 JOIN de ON de.src = r0.node),
+r2 AS (SELECT DISTINCT r1.root, de.dst AS node FROM r1 JOIN de ON de.src = r1.node),
+r3 AS (SELECT DISTINCT r2.root, de.dst AS node FROM r2 JOIN de ON de.src = r2.node),
+r4 AS (SELECT DISTINCT r3.root, de.dst AS node FROM r3 JOIN de ON de.src = r3.node),
+lev AS (
+  SELECT root, node, 1 AS d FROM r1
+  UNION ALL SELECT root, node, 2 FROM r2
+  UNION ALL SELECT root, node, 3 FROM r3
+  UNION ALL SELECT root, node, 4 FROM r4
+),
+mind AS (SELECT root, node, min(d) AS d FROM lev GROUP BY root, node)
+SELECT CAST(m.d AS INT) AS d, CAST(count(*) AS BIGINT) AS n_pairs
+FROM mind m JOIN nodes n ON n.node_id = m.node
+WHERE n.label = 'Supplier'
+GROUP BY m.d
+"""

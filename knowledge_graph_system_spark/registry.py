@@ -128,6 +128,21 @@ class Ctx:
 # r6-window members consolidated away (fresh r6 evidence, leave the
 # registry): p1/p3/p4/p5/p6/p8 -> p_filter_matrix; st_tumbling/
 #   st_sliding/st_rollup -> st_windows_suite; f1/f2 -> f_catalog_suite.
+#
+# r8 REGISTRATION PLAN (capacity 100 - 81 = 19 slots; candidates are
+# ALREADY BUILT and driver-style tested — registration is decorators +
+# window slots only, exactly like the r6->r7 prepared plan):
+#   1. p7_cypher_shortest — shortestPath() driver row with the
+#      level-union min-dist DuckDB oracle (plans/cypher.py tail,
+#      tests/test_cypher.py::test_r8_candidate_shortest_driver_row).
+#   2. t_lm_quality — bigram-LM corpus quality profile, exact SQL twin
+#      (operators/lm.py, tests/test_lm.py::test_r8_candidate_lm_quality).
+#   3. t_bpe_counts — tokenizer-real token totals (operators/bpe.py);
+#      rows-only driver row (no SQL twin for the canonical merge fold),
+#      value parity pinned by the pure-Python reference gate in
+#      tests/test_bpe.py.
+# Remaining headroom absorbs any round's changed queries without
+# consolidation pressure; leave unused slots to rule-4 headliners.
 _RECORD_FIRST = [
     # ---- new (r7): the three r6-prepared composites
     "cur_repetition_spans",

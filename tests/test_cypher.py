@@ -847,3 +847,27 @@ def test_shortest_path_is_minimal_not_all_trails(cctx):
     ).collect()
     pairs = [(r["src"], r["dst"]) for r in out]
     assert len(pairs) == len(set(pairs))  # pair-unique
+
+
+def test_r8_candidate_shortest_driver_row(spark):
+    """Driver-style compare for the prepared shortestPath registry row:
+    Spark result vs the level-union min-dist DuckDB oracle."""
+    import duckdb
+
+    from knowledge_graph_system_spark.plans.cypher import (
+        p7_cypher_shortest,
+        p7_cypher_shortest_oracle,
+    )
+
+    con = duckdb.connect()
+    for t in ("customer", "supplier", "part", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    got = sorted(
+        (r["d"], r["n_pairs"]) for r in p7_cypher_shortest(spark, SF_DIR).collect()
+    )
+    want = sorted(con.execute(p7_cypher_shortest_oracle()).fetchall())
+    con.close()
+    assert got == want and len(got) > 0
