@@ -1,0 +1,278 @@
+"""Whole-graph analytics: PageRank and label-propagation communities.
+
+The reference ranks concepts by degree only (`A1`/`G5`,
+`api/app/routes/queries.py` top-degree listing); production graph
+analytics wants importance and community structure too. Both operators
+here are FIXED-ITERATION versions — the form that is (a) what a
+scheduled corpus-build pipeline actually runs (a bounded number of
+sweeps, not convergence polling) and (b) exactly expressible as a
+chained-CTE DuckDB oracle, so cross-engine parity is testable
+row-for-row.
+
+- `pagerank(nodes, edges, iters)`: standard damped PageRank
+  (Page & Brin 1999 — public literature). Per iteration: one join of
+  the rank frame to the out-edge frame + one aggregation by dst —
+  two exchanges per sweep, both on node keys; the out-degree frame is
+  computed once. Dangling mass (nodes with no out-edges) is
+  redistributed uniformly each sweep, so ranks sum to 1. Ranks are
+  rounded to 10 dp each sweep IN BOTH ENGINES — that absorbs the
+  sub-ulp differences from engine summation order that would
+  otherwise compound across iterations — and to 6 dp on output.
+- `label_propagation(nodes, edges, iters)`: synchronous LPA
+  (Raghavan et al. 2007): each sweep every node adopts the most
+  frequent label among its undirected neighbors, ties broken by the
+  SMALLEST label — fully deterministic, integer/string arithmetic
+  only, so the oracle parity is exact with no rounding at all.
+
+Scale: both are iterative joins on the edge frame — the frame is
+loaded once and reused per sweep (Ctx caching upstream); at 100 TB
+each sweep is the canonical shuffle-on-node-key; iteration counts are
+small constants. Spark-side lineage is cut per sweep with
+localCheckpoint, the same discipline as the traversal BFS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = DAMPING,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node_id, rank): damped PageRank after `iters` synchronous
+    sweeps from the uniform distribution. Parallel edges count once
+    (the edge set is distinct-ed, matching the oracle)."""
+    n_nodes = nodes.select(node_col).distinct().count()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base = nodes.select(F.col(node_col).alias("node")).distinct()
+    ranks = base.withColumn("rank", F.lit(round(1.0 / n_nodes, 10)))
+    for _ in range(iters):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank", "deg")
+        # dangling mass: nodes with no out-edges spread uniformly
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .collect()[0]["dm"]
+        )
+        contrib = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_nodes)),
+                    10,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias(node_col), F.round("rank", 6).alias("rank")
+    )
+
+
+def pagerank_sql(
+    nodes_cte: str,
+    edges_cte: str,
+    iters: int = 5,
+    damping: float = DAMPING,
+) -> str:
+    """Chained-CTE DuckDB twin: r0 = uniform, r{k+1} from r{k} with the
+    same per-sweep 10 dp rounding. `nodes_cte`/`edges_cte` are CTE
+    NAMES already defined in the caller's WITH prefix, exposing
+    (node_id) and (src, dst)."""
+    parts = [
+        f"__n AS (SELECT count(DISTINCT node_id) AS n FROM {nodes_cte})",
+        f"__e AS (SELECT DISTINCT src, dst FROM {edges_cte})",
+        "__deg AS (SELECT src, count(*) AS deg FROM __e GROUP BY src)",
+        f"r0 AS (SELECT DISTINCT node_id AS node, round(1.0 / (SELECT n FROM __n), 10) AS rank FROM {nodes_cte})",
+    ]
+    for k in range(iters):
+        parts.append(f"""d{k} AS (
+  SELECT coalesce(sum(r.rank), 0) AS dm FROM r{k} r
+  LEFT JOIN __deg g ON g.src = r.node WHERE g.src IS NULL
+)""")
+        parts.append(f"""c{k} AS (
+  SELECT e.dst AS node, sum(r.rank / g.deg) AS inflow
+  FROM r{k} r JOIN __deg g ON g.src = r.node JOIN __e e ON e.src = r.node
+  GROUP BY e.dst
+)""")
+        parts.append(f"""r{k + 1} AS (
+  SELECT b.node,
+         round((1.0 - {damping}) / (SELECT n FROM __n)
+               + {damping} * (coalesce(c.inflow, 0)
+                              + (SELECT dm FROM d{k}) / (SELECT n FROM __n)), 10) AS rank
+  FROM r0 b LEFT JOIN c{k} c ON c.node = b.node
+)""")
+    return (
+        ",\n".join(parts)
+        + f",\n__pr AS (SELECT node AS node_id, round(rank, 6) AS rank FROM r{iters})"
+    )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 4,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node_id, community): synchronous LPA after `iters` sweeps.
+    Labels start as the node id; each sweep a node takes the most
+    frequent neighbor label over the UNDIRECTED distinct edge set,
+    ties to the smallest label; isolated nodes keep their own."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
+    ).distinct()
+    for _ in range(iters):
+        neigh = (
+            und.join(labels, und["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            neigh.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("negn"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("top")
+            )
+            .select("node", F.col("top.lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias(node_col), F.col("lbl").alias("community")
+    )
+
+
+def label_propagation_sql(
+    nodes_cte: str, edges_cte: str, iters: int = 4
+) -> str:
+    """Chained-CTE DuckDB twin of `label_propagation` — integer/string
+    arithmetic only, exact parity."""
+    parts = [
+        f"""__u AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM {edges_cte}
+    UNION ALL SELECT dst, src FROM {edges_cte}
+  )
+)""",
+        f"l0 AS (SELECT DISTINCT node_id AS node, node_id AS lbl FROM {nodes_cte})",
+    ]
+    for k in range(iters):
+        parts.append(f"""b{k} AS (
+  SELECT node, lbl AS new_lbl FROM (
+    SELECT u.a AS node, l.lbl,
+           row_number() OVER (
+             PARTITION BY u.a ORDER BY count(*) DESC, l.lbl
+           ) AS rn
+    FROM __u u JOIN l{k} l ON l.node = u.b
+    GROUP BY u.a, l.lbl
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""l{k + 1} AS (
+  SELECT l.node, coalesce(b.new_lbl, l.lbl) AS lbl
+  FROM l{k} l LEFT JOIN b{k} b ON b.node = l.node
+)""")
+    return (
+        ",\n".join(parts)
+        + f",\n__lpa AS (SELECT node AS node_id, lbl AS community FROM l{iters})"
+    )
+
+
+# Prepared r8 registry candidates: compact aggregates over both
+# algorithms so the driver rows stay small while every rank/community
+# value feeds the hash.
+def g_pagerank(spark, sf_dir: str) -> DataFrame:
+    """Top-15 nodes by 5-sweep PageRank (label attached)."""
+    from ..registry import Ctx
+
+    ctx = Ctx.get(spark, sf_dir)
+    pr = pagerank(ctx.nodes, ctx.edges, iters=5)
+    return (
+        pr.join(ctx.nodes.select("node_id", "label"), "node_id")
+        .orderBy(F.col("rank").desc(), F.col("node_id"))
+        .limit(15)
+    )
+
+
+def g_pagerank_oracle() -> str:
+    from ..sources.graph_view import graph_ctes
+
+    return (
+        graph_ctes(pagerank_sql("nodes", "edges", iters=5))
+        + """
+SELECT p.node_id, p.rank, n.label
+FROM __pr p JOIN nodes n ON n.node_id = p.node_id
+ORDER BY p.rank DESC, p.node_id LIMIT 15
+"""
+    )
+
+
+def g_communities(spark, sf_dir: str) -> DataFrame:
+    """Community-size histogram after 4 LPA sweeps."""
+    from ..registry import Ctx
+
+    ctx = Ctx.get(spark, sf_dir)
+    lpa = label_propagation(ctx.nodes, ctx.edges, iters=4)
+    return (
+        lpa.groupBy("community")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_communities"))
+    )
+
+
+def g_communities_oracle() -> str:
+    from ..sources.graph_view import graph_ctes
+
+    return (
+        graph_ctes(label_propagation_sql("nodes", "edges", iters=4))
+        + """
+SELECT size, CAST(count(*) AS BIGINT) AS n_communities FROM (
+  SELECT community, count(*) AS size FROM __lpa GROUP BY community
+) GROUP BY size
+"""
+    )

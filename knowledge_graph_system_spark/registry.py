@@ -100,8 +100,9 @@ class Ctx:
 
 
 # Driver-facing enumeration order. The driver records exactly the first
-# 50 registered queries — a prefix cutoff — while the inventory is ~90,
-# so driver evidence necessarily alternates.
+# 50 registered queries — a prefix cutoff — against an 81-query
+# inventory (consolidated r7), so driver evidence alternates with ~19
+# free slots per round.
 #
 # STANDING ALTERNATION RULE (VERDICT r4 #1 — keep this every round):
 #   1. queries NEW this round first,
@@ -141,6 +142,11 @@ class Ctx:
 #      rows-only driver row (no SQL twin for the canonical merge fold),
 #      value parity pinned by the pure-Python reference gate in
 #      tests/test_bpe.py.
+#   4. g_pagerank — 5-sweep damped PageRank top-15, chained-CTE DuckDB
+#      twin with per-sweep 10 dp rounding (operators/graphalgo.py,
+#      tests/test_graphalgo.py).
+#   5. g_communities — 4-sweep synchronous label propagation, exact
+#      integer/string oracle parity (same module).
 # Remaining headroom absorbs any round's changed queries without
 # consolidation pressure; leave unused slots to rule-4 headliners.
 _RECORD_FIRST = [

@@ -28,3 +28,22 @@ def test_window_is_exactly_fifty():
     a shorter list would let registration order (import side effects)
     decide what gets recorded."""
     assert len(registry._RECORD_FIRST) == 50
+
+
+def test_suites_carry_member_oracles_and_members_are_deregistered():
+    """Consolidation contract: every folded member's exact oracle SQL is
+    embedded in its suite's oracle (no family loses oracle coverage),
+    and no folded member remains individually registered."""
+    registry.load_all()
+    from knowledge_graph_system_spark.operators import suites
+
+    assert not (set(suites.CONSOLIDATED) & set(registry.QUERIES))
+    suite_defs = {
+        "a_scores_suite", "j_enrich_suite", "v_search_suite",
+        "t_textstats_suite", "p_filter_matrix", "st_windows_suite",
+        "f_catalog_suite",
+    }
+    assert suite_defs <= set(registry.QUERIES)
+    joined = "\n".join(registry.QUERIES[s].oracle for s in suite_defs)
+    # every folded member contributed exactly one probe-tagged arm
+    assert joined.count("AS probe") == len(suites.CONSOLIDATED)
