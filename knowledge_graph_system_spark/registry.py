@@ -147,6 +147,9 @@ class Ctx:
 #      tests/test_graphalgo.py).
 #   5. g_communities — 4-sweep synchronous label propagation, exact
 #      integer/string oracle parity (same module).
+#   6. t_hll_words — from-scratch HyperLogLog distinct-word estimates
+#      beside the exact counts, exact SQL twin
+#      (operators/sketches.py, tests/test_sketches.py).
 # Remaining headroom absorbs any round's changed queries without
 # consolidation pressure; leave unused slots to rule-4 headliners.
 _RECORD_FIRST = [
