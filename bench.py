@@ -28,7 +28,9 @@ HEADLINE = [
     "g3_k_shortest_paths",     # beam-capped path enumeration
     "x1_asof_join",            # union + carry-forward as-of join
     "d_simhash",               # bitwise near-dup clustering
-    "v2_chunk_search",         # chunk-scan + vector score + stale flag
+    # v2_chunk_search left the registry in r7 (folded into
+    # v_search_suite — operators/suites.py); the bench set is 15
+    # queries from r7 on and totals drop by its ~0.6-0.7 s share.
     "x2_skew_naive_join",      # hot-key shuffle join, unsalted baseline
     "x2_skew_salted_join",     # same join, salted 32x — must beat naive
 ]
