@@ -1,0 +1,49 @@
+"""Streaming HLL maintenance: exact batch/stream register parity and
+bounded state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_system_spark.operators.sketches import hll_distinct
+from knowledge_graph_system_spark.streaming.sketch_stream import (
+    streaming_distinct_estimate,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_estimate_equals_batch(spark):
+    """Register max is order-free, so the incrementally maintained
+    estimate must equal the batch operator on the whole corpus
+    bit-for-bit — the sketch-parity analog of streaming_near_dup's
+    pair parity."""
+    got = sorted(
+        map(tuple, streaming_distinct_estimate(spark, SF_DIR, n_batches=3).collect())
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    want = sorted(map(tuple, hll_distinct(words, "w", ["source"]).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_state_is_bounded(spark, tmp_path):
+    """State rows never exceed |groups| x 256 no matter how many
+    batches flow."""
+    import os
+
+    from knowledge_graph_system_spark.streaming.sketch_stream import (
+        merge_batch_registers,
+    )
+
+    state = str(tmp_path / "regs")
+    os.makedirs(state)
+    sizes = []
+    for i in range(4):
+        batch = spark.range(i * 2000, (i + 1) * 2000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").cast("string").alias("v"),
+        )
+        merge_batch_registers(batch, "v", ["g"], state)
+        sizes.append(spark.read.parquet(state).count())
+    assert all(s <= 3 * 256 for s in sizes)
+    assert sizes[-1] >= sizes[0]  # registers only fill in
