@@ -177,6 +177,15 @@ _RECORD_FIRST = [
     "d_minhash_lsh",
     "d_dup_groups",
     "t_corpus_filter",
+    # ---- changed (r7, conservatively): the Cypher front end gained
+    # list comprehensions / reduce() / shortestPath() and fail-closed
+    # chain guards this round; these four compile through the touched
+    # modules (results and plans unchanged — additive grammar — but
+    # shared-module edits count as "changed" under the rule)
+    "p7_cypher_varlen",
+    "p7_cypher_trail",
+    "p7_cypher_optional",
+    "p7_cypher_with",
     # ---- last driver row is r5: the r6 non-window tail, minus the 20
     # members consolidated into the suites above, same order
     "a4_grounding",
@@ -206,13 +215,10 @@ _RECORD_FIRST = [
     "p7_cypher_union",
     "p7_cypher_unwind",
     "st_ingest_e2e",
-    # ---- bench headliners fill the remaining 5 slots (all r6-window,
-    # so their evidence stays fresh either way)
+    # ---- bench headliner fills the remaining slot (r6-window, so its
+    # evidence stays fresh either way; the other four former filler
+    # slots went to the cypher "changed" rows above)
     "q1_pricing_summary",
-    "g1_bfs_out_depth3",
-    "j1_evidence_join",
-    "x1_asof_join",
-    "d_simhash",
 ]
 
 
