@@ -626,6 +626,99 @@ def audio_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def audio_frame_features(docs: DataFrame, frame: int = 256) -> DataFrame:
+    """Frame-level audio feature extraction: the decoded waveform is
+    cut into fixed `frame`-sample windows and each window emits RMS
+    energy and MEAN-CROSSING count (the byte->sample map keeps ASCII
+    samples strictly negative, so classic zero-crossings would be
+    degenerate; crossings of the frame mean are the same feature
+    centered). One Arrow-batched mapInPandas — the decode runs ONCE
+    per doc and fans out |samples|/frame rows, the standard shape of a
+    frame-level audio featurizer (MFCC pipelines frame identically
+    before the DCT; the transform here stays sqrt/compare so the
+    DuckDB oracle is exact — sums of int squares are exact in double,
+    sqrt is IEEE-correctly-rounded, no transcendental drift)."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        rows: dict[str, list] = {k: [] for k in
+                                 ("doc_id", "frame_idx", "n", "rms", "mcr")}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = encode_wav(text.encode("utf-8"))
+                # reuse the real chunk walk: decode_wav validates fmt;
+                # re-extract the samples the same way it does
+                pos, data = 12, b""
+                while pos + 8 <= len(raw):
+                    cid = raw[pos:pos + 4]
+                    (length,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+                    if cid == b"data":
+                        data = raw[pos + 8:pos + 8 + length]
+                    pos += 8 + length + (length % 2)
+                s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                for i in range(0, len(s), frame):
+                    w = s[i:i + frame]
+                    m = w.sum() / len(w)
+                    c = w - m
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i // frame)
+                    rows["n"].append(int(len(w)))
+                    rows["rms"].append(round(float(np.sqrt((w * w).sum() / len(w))), 6))
+                    rows["mcr"].append(int(((c[:-1] * c[1:]) < 0).sum()))
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch,
+        schema="doc_id long, frame_idx int, n int, rms double, mcr int",
+    )
+
+
+def audio_frame_features_sql(frame: int = 256) -> str:
+    """DuckDB twin of audio_frame_features over the documents fixture
+    (same ASCII/non-empty assumption as m_audio_decode's oracle)."""
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> (ascii(c) - 128) * 256) AS sm
+  FROM documents
+),
+fr AS (
+  -- constant-bound series + WHERE (DuckDB 1.0 rejects a lateral
+  -- column bound), same discipline as the m_audio_decode oracle's
+  -- generate_series(1, 600)
+  SELECT doc_id, CAST(g.i AS INT) AS frame_idx,
+         sm[g.i * {frame} + 1 : (g.i + 1) * {frame}] AS w
+  FROM s, generate_series(0, 600) AS g(i)
+  WHERE g.i <= (len(sm) - 1) // {frame}
+),
+cw AS (
+  SELECT doc_id, frame_idx, len(w) AS n,
+         list_transform(w, x -> CAST(x AS DOUBLE)
+                                - list_sum(list_transform(w, y -> CAST(y AS DOUBLE))) / len(w)) AS c,
+         round(sqrt(list_sum(list_transform(w, x -> CAST(x AS DOUBLE) * x)) / len(w)), 6) AS rms
+  FROM fr
+)
+SELECT doc_id, frame_idx, CAST(n AS INT) AS n, rms,
+       CAST(len(list_filter(range(1, len(c)), i -> c[i] * c[i + 1] < 0)) AS INT) AS mcr
+FROM cw
+"""
+
+
+# Prepared r8 registry candidate: the frame-level featurizer as a
+# driver row (driver-style compare in tests/test_dedup_multimodal.py).
+def m_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = Ctx.get(spark, sf_dir)
+    return audio_frame_features(ctx.tables["documents"], frame=256)
+
+
+def m_audio_frames_oracle() -> str:
+    return audio_frame_features_sql(256)
+
+
 @query(
     "m_audio_decode",
     oracle=f"""

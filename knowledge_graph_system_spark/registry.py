@@ -115,8 +115,8 @@ class Ctx:
 # be exactly the set recorded last round (minus any query that was
 # consolidated away — see the r7 consolidation note below).
 #
-# r7 WINDOW (50 = 15 new + 3 changed + 27 rotating r6-tail + 5 bench
-# headliners). The r6-prepared 3-slot plan executes first; the
+# r7 WINDOW (50 = 15 new + 7 changed + 27 rotating r6-tail + 1 bench
+# headliner). The r6-prepared 3-slot plan executes first; the
 # consolidation suites (operators/suites.py) fold 31 always-green
 # member rows into 7 composites, which frees the slots that register
 # the r6 lib backlog THIS round and leaves ~19 free slots/round from
@@ -150,6 +150,9 @@ class Ctx:
 #   6. t_hll_words — from-scratch HyperLogLog distinct-word estimates
 #      beside the exact counts, exact SQL twin
 #      (operators/sketches.py, tests/test_sketches.py).
+#   7. m_audio_frames — frame-level audio featurizer (windowed RMS +
+#      mean-crossing), exact list-twin oracle
+#      (operators/multimodal.py, tests/test_dedup_multimodal.py).
 # Remaining headroom absorbs any round's changed queries without
 # consolidation pressure; leave unused slots to rule-4 headliners.
 _RECORD_FIRST = [

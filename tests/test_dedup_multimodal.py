@@ -421,3 +421,46 @@ def test_resize_nearest_semantics():
     # upscale repeats source pixels
     up = resize_nearest(img, 8, 6)
     assert (up[0] == up[1]).all() and (up[0] == img[0]).all()
+
+
+def test_audio_frame_features_match_duckdb(spark):
+    """Frame-level RMS + mean-crossing features vs the DuckDB list
+    twin — exact (sums of int squares are double-exact, sqrt is
+    correctly rounded)."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.multimodal import (
+        audio_frame_features,
+        audio_frame_features_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(map(tuple, audio_frame_features(docs, frame=256).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(audio_frame_features_sql(256)).fetchall()))
+    con.close()
+    assert got == want and len(got) > len(docs.collect())  # frames fan out
+
+
+def test_audio_frame_features_semantics(spark):
+    """Hand check: a 600-char doc at frame=256 yields frames of
+    256/256/88 and a constant frame has zero mean-crossings."""
+    df = spark.createDataFrame(
+        [(1, "ab" * 300), (2, "a" * 10)], "doc_id long, text string"
+    )
+    from knowledge_graph_system_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in
+            audio_frame_features(df, frame=256).collect()}
+    assert [rows[(1, i)]["n"] for i in range(3)] == [256, 256, 88]
+    # alternating 'ab' crosses its mean between every pair
+    assert rows[(1, 0)]["mcr"] == 255
+    # constant signal: centered values are all zero -> no crossings
+    assert rows[(2, 0)]["mcr"] == 0 and rows[(2, 0)]["n"] == 10
