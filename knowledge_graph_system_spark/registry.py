@@ -153,6 +153,9 @@ class Ctx:
 #   7. m_audio_frames — frame-level audio featurizer (windowed RMS +
 #      mean-crossing), exact list-twin oracle
 #      (operators/multimodal.py, tests/test_dedup_multimodal.py).
+#   8. t_cms_words — count-min frequency estimates for the top-20
+#      words beside exact counts — all-integer exact SQL twin
+#      (operators/cms.py, tests/test_cms.py).
 # Remaining headroom absorbs any round's changed queries without
 # consolidation pressure; leave unused slots to rule-4 headliners.
 _RECORD_FIRST = [
