@@ -276,3 +276,124 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_communities FROM (
 ) GROUP BY size
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths: k-sweep Bellman-Ford (the bounded-sweep form,
+# same fixed-iteration discipline as pagerank/label_propagation above).
+# Edge cost derives from confidence: cost = round(1 - coalesce(conf,
+# 0.5), 6) — low-confidence edges are "longer", the graph-distance
+# reading of the reference's confidence-weighted traversals.
+# ---------------------------------------------------------------------------
+
+
+def weighted_distances(
+    edges: DataFrame,
+    sources: list[str],
+    sweeps: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cost: Column | None = None,
+) -> DataFrame:
+    """(node_id, dist): minimal path cost from the source set within
+    `sweeps` relaxation rounds (paths of <= sweeps hops). Per sweep:
+    one join of the distance frame to the edge frame + a min
+    aggregation by destination — the min-plus twin of the PageRank
+    sweep, with the same per-sweep 10 dp rounding so engine min/sum
+    ordering cannot drift the parity."""
+    c = (
+        cost
+        if cost is not None
+        else F.round(1.0 - F.coalesce(F.col("confidence"), F.lit(0.5)), 6)
+    )
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"), c.alias("__c")
+    ).groupBy("__s", "__d").agg(F.min("__c").alias("__c")).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(s, 0.0) for s in sources], "node_id string, dist double")
+    for _ in range(sweeps):
+        relaxed = (
+            dist.join(e, dist["node_id"] == e["__s"])
+            .select(F.col("__d").alias("node_id"), F.round(F.col("dist") + F.col("__c"), 10).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node_id", F.round("dist", 6).alias("dist"))
+
+
+def weighted_distances_sql(
+    edges_cte: str, sources_sql: str, sweeps: int = 4
+) -> str:
+    """Chained-CTE DuckDB twin (CTE body list; final view __wd).
+    `sources_sql` is a SELECT producing node_id — deriving the source
+    set in SQL keeps the oracle a static string even when the sources
+    come from the data."""
+    parts = [
+        f"""__we AS (
+  SELECT src AS s, dst AS d, min(round(1.0 - coalesce(confidence, 0.5), 6)) AS c
+  FROM {edges_cte} GROUP BY src, dst
+)""",
+        f"w0 AS (SELECT node_id, CAST(0.0 AS DOUBLE) AS dist FROM ({sources_sql}))",
+    ]
+    for k in range(sweeps):
+        parts.append(f"""w{k + 1} AS (
+  SELECT node_id, min(dist) AS dist FROM (
+    SELECT node_id, dist FROM w{k}
+    UNION ALL
+    SELECT e.d AS node_id, round(w.dist + e.c, 10) AS dist
+    FROM w{k} w JOIN __we e ON e.s = w.node_id
+  ) GROUP BY node_id
+)""")
+    return (
+        ",\n".join(parts)
+        + f",\n__wd AS (SELECT node_id, round(dist, 6) AS dist FROM w{sweeps})"
+    )
+
+
+# Prepared r8 registry candidate: confidence-cost distances from every
+# BUILDING-segment customer, 4 sweeps, nearest-25 frontier.
+def g_weighted_sssp(spark, sf_dir: str) -> DataFrame:
+    from ..registry import Ctx
+
+    ctx = Ctx.get(spark, sf_dir)
+    # bounded, deterministic source set — the SAME rule the oracle's
+    # _SSSP_SOURCES_SQL applies (lexicographic first-20)
+    srcs = [
+        r["node_id"]
+        for r in ctx.nodes.filter(
+            (F.col("label") == "Customer") & (F.col("ontology") == "BUILDING")
+        )
+        .select("node_id")
+        .orderBy("node_id")
+        .limit(20)
+        .collect()
+    ]
+    out = weighted_distances(ctx.edges, srcs, sweeps=4)
+    return (
+        out.join(ctx.nodes.select("node_id", "label"), "node_id")
+        .orderBy(F.col("dist").asc(), F.col("node_id"))
+        .limit(25)
+    )
+
+
+_SSSP_SOURCES_SQL = (
+    "SELECT node_id FROM nodes WHERE label = 'Customer' "
+    "AND ontology = 'BUILDING' ORDER BY node_id LIMIT 20"
+)
+
+
+def g_weighted_sssp_oracle() -> str:
+    from ..sources.graph_view import graph_ctes
+
+    return (
+        graph_ctes(weighted_distances_sql("edges", _SSSP_SOURCES_SQL, sweeps=4))
+        + """
+SELECT w.node_id, w.dist, n.label
+FROM __wd w JOIN nodes n ON n.node_id = w.node_id
+ORDER BY w.dist ASC, w.node_id LIMIT 25
+"""
+    )

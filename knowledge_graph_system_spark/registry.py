@@ -156,6 +156,9 @@ class Ctx:
 #   8. t_cms_words — count-min frequency estimates for the top-20
 #      words beside exact counts — all-integer exact SQL twin
 #      (operators/cms.py, tests/test_cms.py).
+#   9. g_weighted_sssp — k-sweep Bellman-Ford over confidence costs,
+#      SQL-derived source set so the chained-CTE oracle stays static
+#      (operators/graphalgo.py, tests/test_graphalgo.py).
 # Remaining headroom absorbs any round's changed queries without
 # consolidation pressure; leave unused slots to rule-4 headliners.
 _RECORD_FIRST = [

@@ -76,3 +76,33 @@ def test_lpa_toy_two_cliques(spark):
     assert out["a"] == out["b"] == out["c"]
     assert out["x"] == out["y"] == out["z"]
     assert out["a"] != out["x"]
+
+
+def test_weighted_sssp_matches_duckdb(spark, duck):
+    from knowledge_graph_system_spark.operators.graphalgo import (
+        g_weighted_sssp,
+        g_weighted_sssp_oracle,
+    )
+
+    got = [tuple(r) for r in g_weighted_sssp(spark, SF_DIR).collect()]
+    want = [tuple(r) for r in duck.execute(g_weighted_sssp_oracle()).fetchall()]
+    assert got == want and len(got) == 25
+
+
+def test_weighted_distances_toy_hand_check(spark):
+    """Two routes a->c: direct cost 0.9 vs a->b->c cost 0.1 + 0.1 —
+    Bellman-Ford must prefer the two-hop route, and an extra sweep
+    cannot change a settled distance."""
+    from knowledge_graph_system_spark.operators.graphalgo import (
+        weighted_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "c", 0.1), ("a", "b", 0.9), ("b", "c", 0.9)],
+        ["src", "dst", "confidence"],
+    )
+    # cost = 1 - confidence: a->c = 0.9; a->b->c = 0.1 + 0.1 = 0.2
+    d2 = {r["node_id"]: r["dist"] for r in weighted_distances(edges, ["a"], sweeps=2).collect()}
+    d4 = {r["node_id"]: r["dist"] for r in weighted_distances(edges, ["a"], sweeps=4).collect()}
+    assert d2["c"] == 0.2 and d2["b"] == 0.1 and d2["a"] == 0.0
+    assert d4 == d2
