@@ -175,3 +175,20 @@ def test_r8_candidate_bpe_counts(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert len(out) == docs.select("source").distinct().count()
     assert all(r["bpe_tokens"] >= r["ws_tokens"] > 0 for r in out)
+
+
+def test_segmentation_concat_roundtrip_random_words(spark, merges):
+    """Invariant: merging never loses or reorders characters —
+    concatenating the token array reproduces the word exactly, for 200
+    seeded-random words over a hostile alphabet (runs, repeats)."""
+    import random
+
+    rng = random.Random(20260814)
+    words = [
+        "".join(rng.choice("aabbcz") for _ in range(rng.randint(1, 24)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(w,) for w in set(words)], ["word"])
+    for r in bpe_segment_words(df, merges).collect():
+        assert "".join(r["tokens"]) == r["word"]
+        assert r["tokens"] == _reference_segment(r["word"], merges)
