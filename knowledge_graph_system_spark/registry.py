@@ -131,8 +131,10 @@ class Ctx:
 #   st_sliding/st_rollup -> st_windows_suite; f1/f2 -> f_catalog_suite.
 #
 # r8 REGISTRATION PLAN (capacity 100 - 81 = 19 slots; candidates are
-# ALREADY BUILT and driver-style tested — registration is decorators +
-# window slots only, exactly like the r6->r7 prepared plan):
+# ALREADY BUILT and driver-style validated at sf0.01 — the driver's own
+# scale factor (all 9 green, 8 hash-exact + 1 rows-only by design) —
+# so registration is decorators + window slots only, exactly like the
+# r6->r7 prepared plan):
 #   1. p7_cypher_shortest — shortestPath() driver row with the
 #      level-union min-dist DuckDB oracle (plans/cypher.py tail,
 #      tests/test_cypher.py::test_r8_candidate_shortest_driver_row).

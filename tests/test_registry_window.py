@@ -47,3 +47,19 @@ def test_suites_carry_member_oracles_and_members_are_deregistered():
     joined = "\n".join(registry.QUERIES[s].oracle for s in suite_defs)
     # every folded member contributed exactly one probe-tagged arm
     assert joined.count("AS probe") == len(suites.CONSOLIDATED)
+
+
+def test_tail_has_latest_round_driver_evidence():
+    """Alternation-rule invariant, checked against the actual artifact:
+    every registered query OUTSIDE the 50-slot window must have a row
+    in the most recent CORRECTNESS_r*.json (i.e. its evidence is at
+    most one round old)."""
+    import glob
+    import json
+
+    arts = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    assert arts, "no driver correctness artifacts found"
+    latest = json.load(open(arts[-1]))
+    names = list(registry.load_all())
+    stale = [n for n in names[50:] if n not in latest]
+    assert not stale, f"tail queries without last-round evidence: {stale}"
