@@ -98,3 +98,24 @@ def streaming_distinct_estimate(
         return final
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def merge_batch_cms(
+    batch_df: DataFrame,
+    value: str,
+    group: list[str],
+    state_dir: str,
+) -> None:
+    """Count-min twin of merge_batch_registers: per batch, sketch the
+    BATCH and sum-merge into the persisted state — counts ADD across
+    shards/batches, so the final sketch is bit-identical to one built
+    over the whole corpus regardless of batching (pinned by test)."""
+    from ..operators.cms import cms_merge, cms_sketch
+
+    sk_new = cms_sketch(batch_df, value, group)
+    spark = batch_df.sparkSession
+    have_state = os.path.isdir(state_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(state_dir)
+    )
+    merged = cms_merge(spark.read.parquet(state_dir), sk_new) if have_state else sk_new
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)

@@ -47,3 +47,28 @@ def test_stream_state_is_bounded(spark, tmp_path):
         sizes.append(spark.read.parquet(state).count())
     assert all(s <= 3 * 256 for s in sizes)
     assert sizes[-1] >= sizes[0]  # registers only fill in
+
+
+def test_cms_stream_state_equals_batch(spark, tmp_path):
+    """Counts add across batches: 4 disjoint micro-batches merged
+    incrementally give the exact whole-corpus sketch."""
+    import os
+
+    from knowledge_graph_system_spark.operators.cms import cms_sketch
+    from knowledge_graph_system_spark.streaming.sketch_stream import (
+        merge_batch_cms,
+    )
+
+    state = str(tmp_path / "cms")
+    os.makedirs(state)
+    whole = spark.range(8000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 700).cast("string").alias("v"),
+    )
+    for i in range(4):
+        merge_batch_cms(
+            whole.filter(F.col("id") % 4 == i), "v", ["g"], state
+        )
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    want = sorted(map(tuple, cms_sketch(whole, "v", ["g"]).collect()))
+    assert got == want
