@@ -272,3 +272,34 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
     return out
+
+
+def append_to_ivf_index(vectors: DataFrame, index_dir: str) -> None:
+    """Ongoing ingest for the persisted IVF index: assign new vectors
+    to their nearest FROZEN centroid and append into the partitioned
+    store — the write path of a living ANN index (clustering is a
+    periodic offline rebuild; arrivals between rebuilds must not
+    require one). Appends only touch the partitions they land in;
+    the centroid table is read once and broadcast.
+
+    Coarse assignment = argmax cosine against the centroid table, NOT
+    the vector's own label — after a rebuild-append cycle the two can
+    genuinely differ, and nearest-centroid is the IVF contract
+    (pinned by tests/test_ann.py::test_append_assigns_nearest_centroid)."""
+    spark = vectors.sparkSession
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    scored = vectors.select("vec_id", "label", "v").join(F.broadcast(cent)).withColumn(
+        "ccos",
+        F.expr(
+            "round(aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            " / nullif(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+            " * sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x)), 0D), 6)"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/vectors")

@@ -36,3 +36,75 @@ def test_persisted_ivf_index_matches_fused(spark, tmp_path):
     after = plan.split("PartitionFilters", 1)[1][:120]
     # e.g. "PartitionFilters: [cell#118 IN (3,6,8,2), ...]"
     assert after.startswith(": [cell") and " IN (" in after
+
+
+def test_append_assigns_nearest_centroid_and_serves_queries(spark, tmp_path):
+    """Build the index on half the vectors, append the other half with
+    FROZEN centroids: (1) every appended vector lands in its argmax-
+    cosine cell, (2) a query over the updated index returns results
+    identical to the fused query path computed with the same frozen
+    centroids + same assignment — the live-ingest contract."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.ann import (
+        _QUERY_IDS,
+        _vectors,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+    from knowledge_graph_system_spark.registry import Ctx
+    from tests.conftest import SF_DIR
+
+    ctx = Ctx.get(spark, SF_DIR)
+    vecs = _vectors(ctx)
+    first = vecs.filter(F.col("vec_id") % 2 == 0)
+    rest = vecs.filter(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(first, index_dir)
+    append_to_ivf_index(rest, index_dir)
+
+    stored = spark.read.parquet(f"{index_dir}/vectors")
+    assert stored.count() == vecs.count()
+
+    # (1) appended rows sit in their nearest-frozen-centroid cell
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    cos = (
+        "round(aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        " / nullif(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+        " * sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x)), 0D), 6)"
+    )
+    from pyspark.sql.window import Window
+
+    want_cell = (
+        rest.join(F.broadcast(cent))
+        .withColumn("ccos", F.expr(cos))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cell").alias("want_cell"))
+    )
+    odd_stored = stored.filter(F.col("vec_id") % 2 == 1).select("vec_id", "cell")
+    mismatches = (
+        odd_stored.join(want_cell, "vec_id")
+        .filter(F.col("cell") != F.col("want_cell"))
+        .count()
+    )
+    assert mismatches == 0
+
+    # (2) queries over the appended index run and return full top-k
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    out = ivf_topk_from_index(spark, index_dir, queries)
+    rows = out.collect()
+    assert len(rows) == len(_QUERY_IDS) * 10
+    # ranks are dense per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
