@@ -49,17 +49,22 @@ def test_suites_carry_member_oracles_and_members_are_deregistered():
     assert joined.count("AS probe") == len(suites.CONSOLIDATED)
 
 
-def test_tail_has_latest_round_driver_evidence():
-    """Alternation-rule invariant, checked against the actual artifact:
-    every registered query OUTSIDE the 50-slot window must have a row
-    in the most recent CORRECTNESS_r*.json (i.e. its evidence is at
-    most one round old)."""
+def test_tail_has_recent_driver_evidence():
+    """Alternation-rule invariant, checked against the actual artifacts:
+    every registered query OUTSIDE the 50-slot window must have a row in
+    one of the TWO most recent CORRECTNESS_r*.json files. Union of two,
+    not just the latest: mid-round (before the driver grades) a tail
+    query's freshest row legitimately lives in the PREVIOUS artifact —
+    the current round's artifact covers only the current window, which by
+    design excludes the tail (VERDICT r7 wrong #1)."""
     import glob
     import json
 
     arts = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
     assert arts, "no driver correctness artifacts found"
-    latest = json.load(open(arts[-1]))
+    recent: set[str] = set()
+    for path in arts[-2:]:
+        recent |= set(json.load(open(path)))
     names = list(registry.load_all())
-    stale = [n for n in names[50:] if n not in latest]
-    assert not stale, f"tail queries without last-round evidence: {stale}"
+    stale = [n for n in names[50:] if n not in recent]
+    assert not stale, f"tail queries without recent driver evidence: {stale}"
