@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
+
 D = 3      # hash rows
 W_HEX = 3  # bucket key = first 3 hex chars -> w = 4096 buckets
 
@@ -148,3 +150,8 @@ est AS ({cms_estimate_sql("SELECT w AS item FROM top", "item")})
 SELECT top.w, top.exact_count, est.est_count
 FROM top JOIN est ON est.item = top.w
 """
+
+
+# r8 driver row(s): prepared in r7, registered this round (prepared-plan
+# discipline — registration only; candidate code and oracles unchanged).
+query("t_cms_words", oracle=t_cms_words_oracle())(t_cms_words)

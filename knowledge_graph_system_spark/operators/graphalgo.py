@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
+
 DAMPING = 0.85
 
 
@@ -397,3 +399,10 @@ FROM __wd w JOIN nodes n ON n.node_id = w.node_id
 ORDER BY w.dist ASC, w.node_id LIMIT 25
 """
     )
+
+
+# r8 driver row(s): prepared in r7, registered this round (prepared-plan
+# discipline — registration only; candidate code and oracles unchanged).
+query("g_pagerank", oracle=g_pagerank_oracle())(g_pagerank)
+query("g_communities", oracle=g_communities_oracle())(g_communities)
+query("g_weighted_sssp", oracle=g_weighted_sssp_oracle())(g_weighted_sssp)

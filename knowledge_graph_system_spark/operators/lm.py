@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
+
 SMOOTH_K = 0.1
 
 
@@ -162,3 +164,8 @@ SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents d JOIN s ON s.doc_id = d.doc_id
 GROUP BY d.source
 """
+
+
+# r8 driver row(s): prepared in r7, registered this round (prepared-plan
+# discipline — registration only; candidate code and oracles unchanged).
+query("t_lm_quality", oracle=t_lm_quality_oracle())(t_lm_quality)

@@ -719,6 +719,11 @@ def m_audio_frames_oracle() -> str:
     return audio_frame_features_sql(256)
 
 
+# r8 driver row: prepared in r7, registered this round (registration
+# only; candidate code and oracle unchanged).
+query("m_audio_frames", oracle=audio_frame_features_sql(256))(m_audio_frames)
+
+
 @query(
     "m_audio_decode",
     oracle=f"""

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import query
+
 M = 256  # registers (2 hex chars)
 ALPHA = 0.7213 / (1.0 + 1.079 / M)  # alpha_m for m >= 128
 
@@ -168,3 +170,8 @@ exact AS (
 SELECT est.source, est.est_distinct, exact.exact_distinct
 FROM est JOIN exact ON exact.source = est.source
 """
+
+
+# r8 driver row(s): prepared in r7, registered this round (prepared-plan
+# discipline — registration only; candidate code and oracles unchanged).
+query("t_hll_words", oracle=t_hll_words_oracle())(t_hll_words)

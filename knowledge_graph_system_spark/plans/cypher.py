@@ -1380,10 +1380,9 @@ def p7_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Prepared r8 registry candidate (prepared-plan discipline): the
-# shortestPath() surface as a driver row. Unregistered this round (the
-# r7 window is set); tests/test_cypher.py runs the exact driver-style
-# compare. The oracle computes min-dist by level-union (per-depth
+# r8 driver row (prepared in r7, registered at the file tail): the
+# shortestPath() surface as a driver row; tests/test_cypher.py runs the
+# exact driver-style compare. The oracle computes min-dist by level-union (per-depth
 # DISTINCT reachability, then min over depths) — equivalent to the
 # engine's multi-source BFS on this DAG-shaped graph.
 # ---------------------------------------------------------------------------
@@ -1420,3 +1419,8 @@ FROM mind m JOIN nodes n ON n.node_id = m.node
 WHERE n.label = 'Supplier'
 GROUP BY m.d
 """
+
+
+# r8 driver row: prepared in r7, registered this round (registration
+# only; candidate code and oracle unchanged).
+query("p7_cypher_shortest", oracle=p7_cypher_shortest_oracle())(p7_cypher_shortest)

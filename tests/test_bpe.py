@@ -192,3 +192,27 @@ def test_segmentation_concat_roundtrip_random_words(spark, merges):
     for r in bpe_segment_words(df, merges).collect():
         assert "".join(r["tokens"]) == r["word"]
         assert r["tokens"] == _reference_segment(r["word"], merges)
+
+
+def test_r8_candidate_pack_bpe(spark):
+    """Driver-style run of cur_pack_bpe plus value parity: the packed
+    group totals must equal the independently gated per-doc BPE counts
+    summed over the same quota set. greedy_pack's packing is
+    driver-hash-exact via cur_pack_quota's SQL twin and
+    bpe_token_counts is gated against the pure-Python reference above,
+    so the composition's only new surface is the wiring this pins."""
+    from knowledge_graph_system_spark.operators.bpe import cur_pack_bpe
+    from knowledge_graph_system_spark.operators.sampling import domain_quota
+
+    out = cur_pack_bpe(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = learn_bpe(docs, n_merges=24)
+    quota = domain_quota(docs, "source", F.col("n_chars"), 200, "doc_id")
+    counts = bpe_token_counts(quota, merges)
+    assert sum(r["n_docs"] for r in out) == quota.count()
+    assert (
+        sum(r["total_tokens"] for r in out)
+        == counts.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
+    assert {r["pack_group"] for r in out} == set(range(8))
+    assert all(r["n_bins"] >= 1 for r in out)
