@@ -66,11 +66,15 @@ def pagerank(
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["src"], "left"
         ).select("node", "rank", "deg")
-        # dangling mass: nodes with no out-edges spread uniformly
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            .collect()[0]["dm"]
+        # dangling mass: nodes with no out-edges spread uniformly. A
+        # 1-row aggregate frame broadcast into the rank update — not a
+        # driver collect — so each sweep is ONE lazy plan (the only
+        # job per sweep is the checkpoint) and the same IEEE double
+        # division the oracle's per-sweep CTE performs.
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            (
+                F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n_nodes))
+            ).alias("__dm_per_node")
         )
         contrib = (
             with_deg.filter(F.col("deg").isNotNull())
@@ -81,12 +85,13 @@ def pagerank(
         )
         ranks = (
             base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 F.round(
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_nodes)),
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dm_per_node")),
                     10,
                 ).alias("rank"),
             )

@@ -109,7 +109,16 @@ def lm_score(
 def lm_score_sql(
     table: str, text_col: str = "text", id_col: str = "doc_id", k: float = SMOOTH_K
 ) -> str:
-    """DuckDB twin — identical counts, smoothing, and rounding."""
+    """DuckDB twin — identical counts, smoothing, and rounding.
+
+    The bigram-position enumeration is bounded at 600 words per
+    document (generate_series below) — the same constant-bound
+    discipline as the audio oracles. The Spark side computes ALL
+    bigrams, so a fixture document past the bound would silently
+    diverge; tests/test_dedup_multimodal.py::
+    test_documents_fixture_is_ascii_nonempty pins max words and chars
+    <= 600 at both driver gate scale factors so drift fails in the
+    suite instead."""
     return f"""
 WITH words AS (
   SELECT {id_col} AS doc_id, string_split({text_col}, ' ') AS ws FROM {table}

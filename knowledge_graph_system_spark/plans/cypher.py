@@ -16,6 +16,8 @@ Supported subset (clause sequence):
   MATCH (a:Label {prop: lit})-[r:TYPE]->(b) ...   patterns, n hops
          directions ->, <-, undirected -          (undirected = both)
          bounded var-length -[:T*0..3]->          (upper bound ≤ 10)
+         rel-type alternation -[:A|B]->           (also [:A|:B]; maps
+         to an isin predicate; works in var-length/shortestPath too)
   OPTIONAL MATCH <pattern> [WHERE ...]            left join; WHERE is
          part of the optional match (null row when no match survives)
   WITH [DISTINCT] item [AS x], ... [ORDER BY ... LIMIT n] [WHERE ...]
@@ -133,7 +135,8 @@ _NODE_PAT = re.compile(
     r"\(\s*(?P<var>\w+)?\s*(?::\s*(?P<label>\w+))?\s*(?P<props>\{[^}]*\})?\s*\)"
 )
 _EDGE_PAT = re.compile(
-    r"(?P<left><)?-\s*(?:\[\s*(?P<var>\w+)?\s*(?::\s*(?P<type>\w+))?\s*"
+    r"(?P<left><)?-\s*(?:\[\s*(?P<var>\w+)?\s*"
+    r"(?::\s*(?P<type>\w+(?:\s*\|\s*:?\s*\w+)*))?\s*"
     r"(?P<star>\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*\])?\s*-(?P<right>>)?"
 )
 
@@ -152,7 +155,7 @@ class _NodePat:
 @dataclass
 class _EdgePat:
     var: str | None
-    rel_type: str | None
+    rel_types: tuple[str, ...] | None  # [:A|B] alternation → ("A", "B")
     direction: str  # out | in | both
     lo: int = 1
     hi: int = 1
@@ -384,7 +387,18 @@ def _parse_pattern(
                 raise GuardError("variable-length relationships cannot bind a variable")
             lo = int(em.group("lo") or 1)
             hi = int(em.group("hi") or em.group("lo") or 1)
-        edges.append(_EdgePat(em.group("var"), em.group("type"), direction, lo, hi))
+        # rel-type alternation [:A|B] (also the [:A|:B] spelling): the
+        # reference resolves epistemic filters to a SET of allowed
+        # types (api/app/routes/queries.py:259-314), so multi-type
+        # patterns are the common ported-query shape. Empty segments
+        # cannot parse (each arm is \w+), so [:A|] fails closed above.
+        ts = em.group("type")
+        rel_types = (
+            tuple(t.strip().lstrip(":").strip() for t in ts.split("|"))
+            if ts
+            else None
+        )
+        edges.append(_EdgePat(em.group("var"), rel_types, direction, lo, hi))
         pos = em.end()
         nm = _NODE_PAT.match(text, pos)
         if not nm:
@@ -426,8 +440,13 @@ def _oriented_edges(ctx: Ctx, pat: _EdgePat) -> DataFrame:
     edge identity used for trail-uniqueness in var-length paths — the
     same physical edge keeps the same id in both orientations."""
     e = ctx.edges
-    if pat.rel_type:
-        e = e.filter(F.col("rel_type") == pat.rel_type)
+    if pat.rel_types:
+        if len(pat.rel_types) == 1:
+            # single type keeps the exact equality predicate (and plan)
+            # the pre-alternation compiler produced
+            e = e.filter(F.col("rel_type") == pat.rel_types[0])
+        else:
+            e = e.filter(F.col("rel_type").isin(*pat.rel_types))
     e = e.withColumn("__eid", F.concat_ws("|", "src", "dst", "rel_type"))
     out = e.select(
         F.col("src").alias("__from"), F.col("dst").alias("__to"),

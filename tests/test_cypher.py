@@ -871,3 +871,80 @@ def test_r8_candidate_shortest_driver_row(spark):
     want = sorted(con.execute(p7_cypher_shortest_oracle()).fetchall())
     con.close()
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# rel-type alternation [:A|B] (r8 — the reference resolves epistemic
+# filters to a SET of allowed types, api/app/routes/queries.py:259-314)
+# ---------------------------------------------------------------------------
+
+
+def test_alternation_one_hop_matches_isin(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (o:Order)-[r:L0|L1]->(p:Part) "
+        "RETURN o.node_id AS o_id, p.node_id AS p_id",
+    )
+    expect = cctx.edges.filter(F.col("rel_type").isin("L0", "L1")).select(
+        F.col("src").alias("o_id"), F.col("dst").alias("p_id")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_alternation_colon_spelling_and_spaces_equivalent(spark, cctx):
+    q = "MATCH (o:Order)-[:%s]->(p:Part) RETURN count(*) AS n"
+    base = compile_cypher(cctx, q % "L0|L1").collect()[0]["n"]
+    for spelling in ("L0|:L1", "L0 | L1", "L0 |: L1"):
+        assert compile_cypher(cctx, q % spelling).collect()[0]["n"] == base
+
+
+def test_alternation_single_type_unchanged(spark, cctx):
+    """A one-arm 'alternation' is the plain equality path (plan parity
+    with the pre-alternation compiler)."""
+    a = compile_cypher(
+        cctx, "MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert a > 0
+
+
+def test_alternation_in_varlength(spark, cctx):
+    """[:A|B*1..2]: each hop may take either type; differential against
+    the two-step union expansion."""
+    out = compile_cypher(
+        cctx,
+        "MATCH (c {node_id: 'C1'})-[:PLACED|L0*1..2]->(x) "
+        "RETURN x.node_id AS x_id",
+    )
+    e = cctx.edges.filter(F.col("rel_type").isin("PLACED", "L0"))
+    s1 = e.filter(F.col("src") == "C1").select("dst")
+    s2 = e.join(s1.withColumnRenamed("dst", "mid"), e["src"] == F.col("mid")).select("dst")
+    expect = s1.unionByName(s2)
+    assert sorted(r["x_id"] for r in out.collect()) == sorted(
+        r["dst"] for r in expect.collect()
+    )
+
+
+def test_alternation_in_shortest_path(spark, cctx):
+    """shortestPath() over an alternation: distances can only shrink
+    (or pairs appear) vs the single-type edge set."""
+    multi = compile_cypher(
+        cctx,
+        "MATCH p = shortestPath((c:Customer)-[:PLACED|L0*1..3]->(x:Part)) "
+        "RETURN c.node_id AS c_id, x.node_id AS x_id, length(p) AS d",
+    )
+    single = compile_cypher(
+        cctx,
+        "MATCH p = shortestPath((c:Customer)-[:PLACED*1..3]->(x:Part)) "
+        "RETURN c.node_id AS c_id, x.node_id AS x_id, length(p) AS d",
+    )
+    md = {(r["c_id"], r["x_id"]): r["d"] for r in multi.collect()}
+    sd = {(r["c_id"], r["x_id"]): r["d"] for r in single.collect()}
+    assert set(sd) <= set(md)
+    assert all(md[k] <= sd[k] for k in sd)
+    assert len(md) > len(sd)  # L0 edges open Order->Part continuations
+
+
+def test_alternation_empty_arm_rejected(spark, cctx):
+    for bad in ("[:L0|]", "[:|L0]", "[:|]", "[:L0||L1]"):
+        with pytest.raises(GuardError):
+            compile_cypher(cctx, f"MATCH (a)-{bad}->(b) RETURN count(*) AS n")
