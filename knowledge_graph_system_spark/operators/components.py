@@ -99,9 +99,12 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-@query(
-    "d_dup_groups",
-    oracle="WITH RECURSIVE "
+# The shared recursive-CC CTE prefix for the lexical dup-group family.
+# REFACTOR INVARIANT (r8): d_dup_groups' registered oracle must stay
+# byte-identical to its r7 value — it is a tail row this round; the
+# sha256 pin in tests/test_components.py guards the extraction.
+_GROUPS_CTES = (
+    "WITH RECURSIVE "
     + ",".join([_SHINGLES_SQL, _SIGS_SQL, _BANDS_SQL])
     + f""",
 cand AS (
@@ -128,7 +131,14 @@ reach(node, comp) AS (
   SELECT DISTINCT a, a FROM und
   UNION
   SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node
+)"""
 )
+
+
+@query(
+    "d_dup_groups",
+    oracle=_GROUPS_CTES
+    + """
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS group_id,
        min(comp) = node AS keeper
 FROM reach GROUP BY node
@@ -190,3 +200,60 @@ def embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("group_id"),
         (F.col("node") == F.col("comp")).alias("keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prepared r9 registry candidates (prepared-plan discipline: built and
+# driver-style tested this round, registered next round — the r9 plan
+# in registry.py). Unregistered here on purpose: the r8 window is set.
+# ---------------------------------------------------------------------------
+
+
+def d_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 candidate: the canonical corpus after lexical group
+    resolution — documents minus every non-keeper from d_dup_groups,
+    materialized by `dedup_apply`'s single left-anti join. The oracle
+    reuses d_dup_groups' recursive-CC CTEs and anti-selects the
+    non-keepers, so the row grades the full find→group→apply chain
+    hash-exact."""
+    ctx = Ctx.get(spark, sf_dir)
+    groups = d_dup_groups(spark, sf_dir)
+    docs = ctx.tables["documents"].select("doc_id", "source", "n_chars")
+    return dedup_apply(docs, groups)
+
+
+def d_dedup_apply_oracle() -> str:
+    return _GROUPS_CTES + """
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT node FROM reach GROUP BY node HAVING min(comp) <> node
+)
+"""
+
+
+def d_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 candidate: `embedding_dup_groups` as a driver row — the
+    semantic twin of d_dup_groups, graded hash-exact by wrapping
+    d_embedding_neardup's pair CTEs (byte-shared with its registered
+    oracle) in the same recursive-CC fixpoint."""
+    return embedding_dup_groups(spark, sf_dir)
+
+
+def d_embedding_groups_oracle() -> str:
+    from .dedup import _EMB_PAIR_CTES, _NEARDUP_THRESHOLD
+
+    return f"""
+WITH RECURSIVE {_EMB_PAIR_CTES},
+prs AS (SELECT vec_a, vec_b FROM p WHERE cos >= {_NEARDUP_THRESHOLD}),
+und AS (SELECT vec_a AS a, vec_b AS b FROM prs
+        UNION ALL SELECT vec_b, vec_a FROM prs),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(comp) AS BIGINT) AS group_id,
+       min(comp) = node AS keeper
+FROM reach GROUP BY node
+"""

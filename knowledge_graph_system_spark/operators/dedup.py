@@ -352,10 +352,13 @@ def embedding_candidates_ivf(vectors: DataFrame, nprobe: int = _NEARDUP_NPROBE) 
     )
 
 
-@query(
-    "d_embedding_neardup",
-    oracle=f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+# Shared CTE body for the embedding near-dup family (reused by the r9
+# d_embedding_groups candidate in operators/components.py, which wraps
+# it in WITH RECURSIVE + a CC fixpoint). REFACTOR INVARIANT (r8):
+# d_embedding_neardup's registered oracle must stay byte-identical to
+# its r7 value — tail row this round; sha256 pin in
+# tests/test_components.py.
+_EMB_PAIR_CTES = f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cdim AS (
   -- dim derived from the data (parallel unnest zips value with index);
   -- generate_series can't take a non-constant bound in DuckDB
@@ -383,7 +386,13 @@ p AS (
          round(list_dot_product(ea.v, eb.v)
                / nullif(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)), 0), 6) AS cos
   FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
-)
+)"""
+
+
+@query(
+    "d_embedding_neardup",
+    oracle=f"""
+WITH {_EMB_PAIR_CTES}
 SELECT vec_a, vec_b, cos FROM p WHERE cos >= {_NEARDUP_THRESHOLD}
 """,
 )

@@ -304,3 +304,34 @@ SELECT * EXCLUDE (__cd) FROM (
   FROM {table}
 ) WHERE __cd <= {keep_frac}
 """
+
+
+# ---------------------------------------------------------------------------
+# Prepared r9 registry candidate (prepared-plan discipline; r9 plan in
+# registry.py). Unregistered here on purpose: the r8 window is set.
+# ---------------------------------------------------------------------------
+
+
+def smp_quantile_global(spark, sf_dir: str) -> DataFrame:
+    """r9 candidate: `quantile_filter_global` as a driver row — the
+    corpus-wide quality cut keeping the top 25% by n_chars. The driver
+    row runs rel_err=0.0, where Greenwald-Khanna is exact and returns
+    the same dataset element as DuckDB's quantile_disc (agreement at
+    both gate scale factors pinned by tests/test_sampling.py); a
+    100 TB operational cut would pass rel_err>0 and accept the
+    documented fraction tolerance instead."""
+    from ..registry import Ctx
+
+    docs = Ctx.get(spark, sf_dir).tables["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_filter_global(docs, "n_chars", keep_frac=0.25, rel_err=0.0)
+
+
+def smp_quantile_global_oracle() -> str:
+    return """
+SELECT doc_id, source, n_chars FROM documents
+WHERE CAST(n_chars AS DOUBLE) >= (
+  SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.75) FROM documents
+)
+"""

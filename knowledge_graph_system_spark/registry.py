@@ -150,8 +150,29 @@ class Ctx:
 #   validated at sf0.01 in r7; registration was module-tail query()
 #   lines + this window, exactly as planned.
 #
-# r9 REGISTRATION PLAN (capacity 100 - 82 = 18 slots; see the r9
-# candidate notes at the end of this file).
+# r9 REGISTRATION PLAN (window math: the r8 tail is 41 rows, so r9 has
+# 50 - 41 = 9 slots for new + changed + headliners; the four candidates
+# below leave 5). All four are BUILT and driver-style validated at
+# sf0.01 (all hash-exact) this round; registration next round is
+# module-tail query() lines + window slots, like r7->r8:
+#   1. d_dedup_apply — the canonical corpus after lexical group
+#      resolution (find→group→apply chain); oracle reuses the
+#      recursive-CC CTEs (operators/components.py,
+#      tests/test_components.py::test_r9_candidate_dedup_apply).
+#   2. d_embedding_groups — embedding_dup_groups as a driver row;
+#      recursive-CC oracle over the byte-shared neardup pair CTEs
+#      (operators/components.py, test_r9_candidate_embedding_groups).
+#   3. smp_quantile_global — corpus-wide quality cut, rel_err=0.0;
+#      exact GK quantile == DuckDB quantile_disc, agreement pinned at
+#      both gate scale factors (operators/sampling.py,
+#      tests/test_sampling.py::test_r9_candidate_quantile_global).
+#   4. st_hll_stream — the STREAMING sketch-maintenance path graded
+#      hash-exact against static SQL (stream == batch is bit-exact by
+#      merge algebra; streaming/sketch_stream.py — add it to
+#      load_all's streaming imports when registering;
+#      tests/test_sketch_stream.py::test_r9_candidate_hll_stream).
+# If r9 needs more than 5 changed/headliner slots, consolidate another
+# always-green family into a suite first (the r7 pattern).
 _RECORD_FIRST = [
     # ---- new (r8): the nine r7-prepared candidates, registered
     "p7_cypher_shortest",

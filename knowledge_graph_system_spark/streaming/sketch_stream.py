@@ -119,3 +119,32 @@ def merge_batch_cms(
     )
     merged = cms_merge(spark.read.parquet(state_dir), sk_new) if have_state else sk_new
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)
+
+
+# ---------------------------------------------------------------------------
+# Prepared r9 registry candidate (prepared-plan discipline; r9 plan in
+# registry.py). Unregistered here on purpose: the r8 window is set.
+# ---------------------------------------------------------------------------
+
+
+def st_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 candidate: the streaming sketch-maintenance path as a driver
+    row — documents fed through an availableNow file stream in 3
+    micro-batches, per-source distinct-word registers max-merged per
+    batch, final estimates returned. Register max-merge is associative
+    and commutative, so the streamed state is bit-identical to the
+    batch operator (pinned in tests/test_sketch_stream.py), whose
+    exact SQL twin is the oracle — the driver therefore grades the
+    STREAMING path hash-exact against static DuckDB SQL."""
+    return streaming_distinct_estimate(spark, sf_dir, n_batches=3)
+
+
+def st_hll_stream_oracle() -> str:
+    from ..operators.sketches import hll_distinct_sql
+
+    return hll_distinct_sql(
+        "(SELECT source, u.w AS w FROM (SELECT source, string_split(text, ' ') AS ws "
+        "FROM documents) d, unnest(ws) AS u(w))",
+        "w",
+        ["source"],
+    )

@@ -117,3 +117,71 @@ def test_embedding_dup_groups(spark):
         assert gid == min(v for v, _ in members)
         assert sum(1 for v, k in members if k) == 1
         assert all(k == (v == gid) for v, k in members)
+
+
+# ---------------------------------------------------------------------------
+# r9 candidates (driver-style compares) + r8 refactor byte-identity pins
+# ---------------------------------------------------------------------------
+
+
+def test_registered_oracles_unchanged_by_cte_extraction():
+    """The r8 extraction of _GROUPS_CTES / _EMB_PAIR_CTES must leave
+    the two registered tail rows' oracle strings byte-identical to
+    their r7 values (the recording-window rule keys on code-or-oracle
+    change; these hashes are the r7 artifacts' inputs)."""
+    import hashlib
+
+    from knowledge_graph_system_spark.registry import load_all
+
+    q = load_all()
+    assert (
+        hashlib.sha256(q["d_dup_groups"].oracle.encode()).hexdigest()
+        == "5ab9f15bf95086aa5294838f01b7e675c3b671f448f6e8a788d4e54358eb9978"
+    )
+    assert (
+        hashlib.sha256(q["d_embedding_neardup"].oracle.encode()).hexdigest()
+        == "78d3983521b7667c649eaaae6dae3a952de495ca505ab0704c699bc29fa1ba12"
+    )
+
+
+def _duck_docs_embeddings():
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_r9_candidate_dedup_apply(spark):
+    """Driver-style compare for the prepared d_dedup_apply row."""
+    from knowledge_graph_system_spark.operators.components import (
+        d_dedup_apply,
+        d_dedup_apply_oracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = sorted(map(tuple, d_dedup_apply(spark, SF_DIR).collect()))
+    con = _duck_docs_embeddings()
+    want = sorted(map(tuple, con.execute(d_dedup_apply_oracle()).fetchall()))
+    con.close()
+    assert len(got) > 0 and got == want
+
+
+def test_r9_candidate_embedding_groups(spark):
+    """Driver-style compare for the prepared d_embedding_groups row."""
+    from knowledge_graph_system_spark.operators.components import (
+        d_embedding_groups,
+        d_embedding_groups_oracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = sorted(map(tuple, d_embedding_groups(spark, SF_DIR).collect()))
+    con = _duck_docs_embeddings()
+    want = sorted(map(tuple, con.execute(d_embedding_groups_oracle()).fetchall()))
+    con.close()
+    assert len(got) > 0 and got == want

@@ -248,3 +248,27 @@ def test_quantile_filter_rejects_bad_frac(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         quantile_filter(docs, "n_chars", 0.0)
+
+
+def test_r9_candidate_quantile_global(spark):
+    """Driver-style compare for the prepared smp_quantile_global row at
+    BOTH gate scale factors: with rel_err=0.0 Spark's Greenwald-Khanna
+    quantile is exact and must return the same dataset element as
+    DuckDB's quantile_disc, making the whole kept set hash-identical."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.sampling import (
+        smp_quantile_global,
+        smp_quantile_global_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, smp_quantile_global(spark, sf).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(map(tuple, con.execute(smp_quantile_global_oracle()).fetchall()))
+        con.close()
+        assert len(got) > 0 and got == want

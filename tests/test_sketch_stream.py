@@ -72,3 +72,26 @@ def test_cms_stream_state_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(state).collect()))
     want = sorted(map(tuple, cms_sketch(whole, "v", ["g"]).collect()))
     assert got == want
+
+
+def test_r9_candidate_hll_stream(spark):
+    """Driver-style compare for the prepared st_hll_stream row: the
+    STREAMED register state's estimates must hash-match the static
+    DuckDB sketch twin (stream == batch bit-exact, batch == SQL)."""
+    import duckdb
+
+    from knowledge_graph_system_spark.streaming.sketch_stream import (
+        st_hll_stream,
+        st_hll_stream_oracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = sorted(map(tuple, st_hll_stream(spark, SF_DIR).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(st_hll_stream_oracle()).fetchall()))
+    con.close()
+    assert len(got) > 0 and got == want
