@@ -129,6 +129,10 @@ class Ctx:
 # (r7 precedent). operators/graphalgo.py's pagerank lost its per-sweep
 # driver collect (VERDICT r7 wrong #3) — its consumers g_pagerank /
 # g_communities / g_weighted_sssp are all new this round anyway.
+# so_program_demo / so_dispatch_matrix / so_block_compiler got a 300 s
+# graded-row timeout budget (60 s guard stays the library default; a
+# noisy-neighbor spike tripped the block row once this round) — all
+# three are window rows via the tail rotation, so no slot movement.
 # Registration-only module-tail edits (a query() line appended; no
 # executed code path of any existing row touched) do NOT move their
 # module's other consumers into the window — the rule's subject is
@@ -171,8 +175,18 @@ class Ctx:
 #      merge algebra; streaming/sketch_stream.py — add it to
 #      load_all's streaming imports when registering;
 #      tests/test_sketch_stream.py::test_r9_candidate_hll_stream).
-# If r9 needs more than 5 changed/headliner slots, consolidate another
-# always-green family into a suite first (the r7 pattern).
+#   5. st_cms_stream — count-min twin of #4; same output contract as
+#      t_cms_words so its all-integer SQL twin is the oracle
+#      (streaming/sketch_stream.py,
+#      tests/test_sketch_stream.py::test_r9_candidate_cms_stream).
+#   6. st_enrich_stream — stream-static enrichment end-to-end (events
+#      replayed availableNow, per-batch left join to the customer dim,
+#      per-segment rollup); oracle = the static join+aggregate
+#      (streaming/joins.py — add to load_all's streaming imports;
+#      tests/test_streaming.py::test_r9_candidate_enrich_stream).
+# Six candidates for 9 free slots leaves 3 for changed/headliners. If
+# r9 needs more, consolidate another always-green family into a suite
+# first (the r7 pattern).
 _RECORD_FIRST = [
     # ---- new (r8): the nine r7-prepared candidates, registered
     "p7_cypher_shortest",

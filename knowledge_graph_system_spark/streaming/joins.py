@@ -68,3 +68,87 @@ def stream_enrich_static(
     must keep its watermark column if a windowed aggregate follows
     (enrichment is a projection, not a stateful op)."""
     return events_stream.join(dim, key, how)
+
+
+# ---------------------------------------------------------------------------
+# Prepared r9 registry candidate (prepared-plan discipline; r9 plan in
+# registry.py). Unregistered here on purpose: the r8 window is set.
+# ---------------------------------------------------------------------------
+
+
+def st_enrich_stream(spark, sf_dir: str) -> DataFrame:
+    """r9 candidate: stream-static enrichment end-to-end as a driver
+    row. The events feed replays as an availableNow file stream in 3
+    micro-batches; each micro-batch left-joins the static customer
+    dimension via `stream_enrich_static` (planner-decided broadcast,
+    stateless) and appends the enriched rows; the final frame is the
+    per-segment rollup. The oracle is the equivalent static
+    join+aggregate — per-batch enrichment of a partitioned replay is
+    row-identical to enriching the whole table at once, which is the
+    statelessness contract this row grades."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..registry import Ctx
+
+    ctx = Ctx.get(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="kg_enrich_stream_")
+    landing = os.path.join(tmp, "landing")
+    out_dir = os.path.join(tmp, "enriched")
+    os.makedirs(landing)
+
+    events = ctx.tables["events"]
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"batch{i}"))
+
+    dim = ctx.tables["customer"].select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "batch*"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = stream_enrich_static(batch_df, dim, key="user_id", how="left")
+        enriched.write.mode("append").parquet(out_dir)
+
+    try:
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def st_enrich_stream_oracle() -> str:
+    return """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+"""

@@ -148,3 +148,80 @@ def st_hll_stream_oracle() -> str:
         "w",
         ["source"],
     )
+
+
+def streaming_cms_estimate(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """Count-min twin of `streaming_distinct_estimate`: the documents
+    word feed in `n_batches` micro-batches, per-batch sketches
+    sum-merged into persisted counter state; returns the top-20 exact
+    corpus words (computed batch-side — the deterministic probe set)
+    beside the STREAMED sketch's estimates. Counter sum-merge is
+    associative and commutative, so the streamed state is bit-identical
+    to one whole-corpus build."""
+    from ..operators.cms import cms_estimate
+
+    tmp = tempfile.mkdtemp(prefix="kg_cms_stream_")
+    landing = os.path.join(tmp, "landing")
+    state_dir = os.path.join(tmp, "counters")
+    os.makedirs(landing)
+    os.makedirs(state_dir)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for i in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"batch{i}"))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "batch*"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch_cms(batch_df, "w", None, state_dir)
+
+    try:
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+        top = (
+            words.groupBy("w")
+            .agg(F.count("*").alias("exact_count"))
+            .orderBy(F.col("exact_count").desc(), F.col("w"))
+            .limit(20)
+        )
+        sketch = spark.read.parquet(state_dir)
+        est = cms_estimate(sketch, top.select(F.col("w").alias("item")), "item")
+        return (
+            top.join(est, top["w"] == est["item"])
+            .select("w", "exact_count", "est_count")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def st_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 candidate: the streaming count-min maintenance path as a
+    driver row — same output contract as the registered t_cms_words
+    (top-20 exact + estimates), so its exact all-integer SQL twin IS
+    the oracle, and the driver grades the STREAMING path hash-exact."""
+    return streaming_cms_estimate(spark, sf_dir, n_batches=3)
+
+
+def st_cms_stream_oracle() -> str:
+    from ..operators.cms import t_cms_words_oracle
+
+    return t_cms_words_oracle()

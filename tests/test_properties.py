@@ -129,7 +129,7 @@ def test_where_or_and_precedence_matches_reference_tree(spark, tree):
 
 _label = st.sampled_from([None, "Customer", "Order", "Part"])
 _direction = st.sampled_from(["->", "<-", "-"])
-_rel = st.sampled_from([None, "PLACED", "L0"])
+_rel = st.sampled_from([None, "PLACED", "L0", "PLACED|L0", "L0|L1|SUPPLIED_BY"])
 
 
 @given(st.lists(st.tuples(_direction, _rel, _label), min_size=0, max_size=3))
@@ -150,6 +150,7 @@ def test_cypher_pattern_parse_roundtrip(chain):
     assert len(nodes) == len(chain) + 1
     assert len(edges) == len(chain)
     for i, (direction, rel, label) in enumerate(chain):
-        assert edges[i].rel_type == rel
+        # r8: the parser stores a type TUPLE ([:A|B] alternation)
+        assert edges[i].rel_types == (tuple(rel.split("|")) if rel else None)
         assert edges[i].direction == {"->": "out", "<-": "in", "-": "both"}[direction]
         assert nodes[i + 1].label == label

@@ -95,3 +95,26 @@ def test_r9_candidate_hll_stream(spark):
     want = sorted(map(tuple, con.execute(st_hll_stream_oracle()).fetchall()))
     con.close()
     assert len(got) > 0 and got == want
+
+
+def test_r9_candidate_cms_stream(spark):
+    """Driver-style compare for the prepared st_cms_stream row: the
+    STREAMED counter state's estimates must hash-match t_cms_words'
+    static all-integer SQL twin (sum-merge is order-insensitive)."""
+    import duckdb
+
+    from knowledge_graph_system_spark.streaming.sketch_stream import (
+        st_cms_stream,
+        st_cms_stream_oracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = sorted(map(tuple, st_cms_stream(spark, SF_DIR).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(st_cms_stream_oracle()).fetchall()))
+    con.close()
+    assert len(got) == 20 and got == want

@@ -101,3 +101,26 @@ def test_streaming_ingest_epoch_gate(spark):
     merges = snap.filter((F.col("epoch") == 1) & (F.col("action") == "merge"))
     bad = {r["resolved_id"] for r in merges.collect()} - e0_ids
     assert not bad, bad
+
+
+def test_r9_candidate_enrich_stream(spark):
+    """Driver-style compare for the prepared st_enrich_stream row:
+    per-micro-batch stream-static enrichment of a partitioned replay
+    must aggregate identically to the static join (statelessness)."""
+    import duckdb
+
+    from knowledge_graph_system_spark.streaming.joins import (
+        st_enrich_stream,
+        st_enrich_stream_oracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = sorted(map(tuple, st_enrich_stream(spark, SF_DIR).collect()))
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    want = sorted(map(tuple, con.execute(st_enrich_stream_oracle()).fetchall()))
+    con.close()
+    assert len(got) > 0 and got == want
