@@ -18,6 +18,9 @@ Supported subset (clause sequence):
          bounded var-length -[:T*0..3]->          (upper bound ≤ 10)
          rel-type alternation -[:A|B]->           (also [:A|:B]; maps
          to an isin predicate; works in var-length/shortestPath too)
+         edge property maps -[r:T {confidence: 0.9}]->  (strict
+         equality — NULL never matches; allowed keys rel_type /
+         confidence; per-hop filter in var-length patterns)
   OPTIONAL MATCH <pattern> [WHERE ...]            left join; WHERE is
          part of the optional match (null row when no match survives)
   WITH [DISTINCT] item [AS x], ... [ORDER BY ... LIMIT n] [WHERE ...]
@@ -137,7 +140,8 @@ _NODE_PAT = re.compile(
 _EDGE_PAT = re.compile(
     r"(?P<left><)?-\s*(?:\[\s*(?P<var>\w+)?\s*"
     r"(?::\s*(?P<type>\w+(?:\s*\|\s*:?\s*\w+)*))?\s*"
-    r"(?P<star>\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*\])?\s*-(?P<right>>)?"
+    r"(?P<star>\*\s*(?P<lo>\d+)?\s*(?:\.\.\s*(?P<hi>\d+)?)?)?\s*"
+    r"(?P<props>\{[^}]*\})?\s*\])?\s*-(?P<right>>)?"
 )
 
 _LITERAL = re.compile(r"'(?:[^']|'')*'|-?\d+(?:\.\d+)?|true|false", re.IGNORECASE)
@@ -159,6 +163,7 @@ class _EdgePat:
     direction: str  # out | in | both
     lo: int = 1
     hi: int = 1
+    props: dict = field(default_factory=dict)  # {confidence: 0.9} map form
 
 
 @dataclass
@@ -398,7 +403,14 @@ def _parse_pattern(
             if ts
             else None
         )
-        edges.append(_EdgePat(em.group("var"), rel_types, direction, lo, hi))
+        # edge property map [{confidence: 0.9}] — strict equality, so a
+        # NULL property never matches (openCypher map semantics; the
+        # P5 NULL-passes rule applies to >= threshold filters, not maps)
+        eprops = _parse_props(em.group("props")) if em.group("props") else {}
+        for k in eprops:
+            if k not in _EDGE_PROPS:
+                raise GuardError(f"unknown relationship property {k!r}")
+        edges.append(_EdgePat(em.group("var"), rel_types, direction, lo, hi, eprops))
         pos = em.end()
         nm = _NODE_PAT.match(text, pos)
         if not nm:
@@ -447,6 +459,11 @@ def _oriented_edges(ctx: Ctx, pat: _EdgePat) -> DataFrame:
             e = e.filter(F.col("rel_type") == pat.rel_types[0])
         else:
             e = e.filter(F.col("rel_type").isin(*pat.rel_types))
+    for k, v in pat.props.items():
+        # map-form equality on the edge frame; in var-length patterns
+        # this filters every hop (the frame is restricted before the
+        # expansion loop), matching per-relationship map semantics
+        e = e.filter(F.col(k) == F.lit(v))
     e = e.withColumn("__eid", F.concat_ws("|", "src", "dst", "rel_type"))
     out = e.select(
         F.col("src").alias("__from"), F.col("dst").alias("__to"),

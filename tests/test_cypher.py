@@ -948,3 +948,58 @@ def test_alternation_empty_arm_rejected(spark, cctx):
     for bad in ("[:L0|]", "[:|L0]", "[:|]", "[:L0||L1]"):
         with pytest.raises(GuardError):
             compile_cypher(cctx, f"MATCH (a)-{bad}->(b) RETURN count(*) AS n")
+
+
+# ---------------------------------------------------------------------------
+# edge property maps [r:T {confidence: 0.9}] (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_edge_props_equality_matches_filter(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c:Customer)-[:PLACED {confidence: 1.0}]->(o) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    expect = cctx.edges.filter(
+        (F.col("rel_type") == "PLACED") & (F.col("confidence") == 1.0)
+    ).count()
+    assert out == expect > 0
+
+
+def test_edge_props_null_never_matches(spark, cctx):
+    """Strict map equality: NULL-confidence edges are excluded, unlike
+    the P5 threshold rule where NULL passes."""
+    out = compile_cypher(
+        cctx,
+        "MATCH (p:Part)-[:SUPPLIED_BY {confidence: 1.0}]->(s) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    e = cctx.edges.filter(F.col("rel_type") == "SUPPLIED_BY")
+    expect = e.filter(F.col("confidence") == 1.0).count()
+    n_null = e.filter(F.col("confidence").isNull()).count()
+    assert out == expect and n_null > 0
+
+
+def test_edge_props_in_varlength_filters_every_hop(spark, cctx):
+    out = compile_cypher(
+        cctx,
+        "MATCH (c {node_id: 'C1'})-[:PLACED|L0*1..2 {confidence: 1.0}]->(x) "
+        "RETURN x.node_id AS x_id",
+    )
+    e = cctx.edges.filter(
+        F.col("rel_type").isin("PLACED", "L0") & (F.col("confidence") == 1.0)
+    )
+    s1 = e.filter(F.col("src") == "C1").select("dst")
+    s2 = e.join(s1.withColumnRenamed("dst", "mid"), e["src"] == F.col("mid")).select("dst")
+    expect = s1.unionByName(s2)
+    assert sorted(r["x_id"] for r in out.collect()) == sorted(
+        r["dst"] for r in expect.collect()
+    )
+
+
+def test_edge_props_unknown_key_rejected(spark, cctx):
+    with pytest.raises(GuardError, match="unknown relationship property"):
+        compile_cypher(
+            cctx, "MATCH (a)-[:PLACED {weight: 3}]->(b) RETURN count(*) AS n"
+        )
