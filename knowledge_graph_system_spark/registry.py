@@ -184,9 +184,15 @@ class Ctx:
 #      per-segment rollup); oracle = the static join+aggregate
 #      (streaming/joins.py — add to load_all's streaming imports;
 #      tests/test_streaming.py::test_r9_candidate_enrich_stream).
-# Six candidates for 9 free slots leaves 3 for changed/headliners. If
-# r9 needs more, consolidate another always-green family into a suite
-# first (the r7 pattern).
+#   7. st_neardup_stream — the incremental streaming LSH path graded
+#      hash-exact against d_minhash_lsh's static SQL oracle (pair-set
+#      parity holds below the band cap, pinned;
+#      streaming/dedup_stream.py — add to load_all's streaming
+#      imports; tests/test_dedup_stream.py::
+#      test_r9_candidate_neardup_stream).
+# Seven candidates for 9 free slots leaves 2 for changed/headliners.
+# If r9 needs more, consolidate another always-green family into a
+# suite first (the r7 pattern).
 _RECORD_FIRST = [
     # ---- new (r8): the nine r7-prepared candidates, registered
     "p7_cypher_shortest",

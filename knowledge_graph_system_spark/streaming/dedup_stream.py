@@ -253,3 +253,30 @@ def stream_dedup_within_watermark(
     return events_stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+# ---------------------------------------------------------------------------
+# Prepared r9 registry candidate (prepared-plan discipline; r9 plan in
+# registry.py). Unregistered here on purpose: the r8 window is set.
+# ---------------------------------------------------------------------------
+
+
+def st_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 candidate: the incremental streaming LSH near-dup path as a
+    driver row — documents replayed in 2 micro-batches against the
+    accumulating band/shingle index. At every driver scale factor no
+    band crosses the cap mid-stream (largest bucket 28 < 64, pinned by
+    tests/test_dedup_stream.py), so the emitted pair set equals the
+    batch operator's exactly and d_minhash_lsh's static SQL oracle
+    grades the STREAMED path hash-exact. `batch_id` (arrival metadata,
+    not part of the static contract) is dropped."""
+    return streaming_near_dup(spark, sf_dir, n_batches=2).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def st_neardup_stream_oracle() -> str:
+    from ..operators import dedup  # noqa: F401 — ensure registration ran
+    from ..registry import QUERIES
+
+    return QUERIES["d_minhash_lsh"].oracle

@@ -157,3 +157,25 @@ def test_relevant_bands_semi_join_is_broadcast(spark):
     )
     plan = _relevant_bands(store, batch)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_r9_candidate_neardup_stream(spark):
+    """Driver-style compare for the prepared st_neardup_stream row: the
+    STREAMED pair set must hash-match the static LSH SQL oracle."""
+    import duckdb
+
+    from knowledge_graph_system_spark.streaming.dedup_stream import (
+        st_neardup_stream,
+        st_neardup_stream_oracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = sorted(map(tuple, st_neardup_stream(spark, SF_DIR).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(st_neardup_stream_oracle()).fetchall()))
+    con.close()
+    assert len(got) > 0 and got == want
