@@ -303,3 +303,134 @@ def append_to_ivf_index(vectors: DataFrame, index_dir: str) -> None:
         .select("vec_id", "label", "v", "cell")
     )
     assigned.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/vectors")
+
+
+# ---------------------------------------------------------------------------
+# Living-index lifecycle (r8): delete + compact complete the persisted
+# IVF story (build → query → append → DELETE → COMPACT). Deletion is
+# tombstone-based — O(|delete batch|) writes, no partition rewrite —
+# and compaction rewrites ONLY the partitions that actually contain
+# tombstoned vectors, the storage twin of the query path's directory
+# pruning.
+# ---------------------------------------------------------------------------
+
+
+def delete_from_ivf_index(vec_ids: DataFrame, index_dir: str) -> None:
+    """Mark vectors dead: append their ids to the index's tombstone
+    table. No data file is touched — at 100 TB a delete batch must not
+    rewrite multi-TB partitions — so the live query path
+    (`ivf_topk_live`) anti-joins the (small, broadcast) tombstone set
+    and `compact_ivf_index` reclaims space offline."""
+    vec_ids.select("vec_id").write.mode("append").parquet(
+        f"{index_dir}/tombstones"
+    )
+
+
+def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    import os
+
+    path = f"{index_dir}/tombstones"
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return None
+    return spark.read.parquet(path).select("vec_id").distinct()
+
+
+def ivf_topk_live(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = _TOPK,
+    nprobe: int = _NPROBE,
+) -> DataFrame:
+    """Tombstone-aware twin of `ivf_topk_from_index`: dead vectors are
+    excluded BEFORE ranking, so the top-k backfills from surviving
+    cells exactly as a fresh index would. With no tombstones the two
+    paths are row-identical (pinned by tests/test_ann.py).
+
+    Deliberately a separate function this round: editing
+    ivf_topk_from_index would move its registered consumer
+    (`ann_ivf_persisted`, a tail row in the r8 recording window) into
+    "changed" with no window slot free — unify the two when that row
+    rotates into the r9 window."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    probe_scored = cent.join(F.broadcast(queries)).withColumn(
+        "ccos",
+        F.expr(
+            "round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            " / nullif(sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+            " * sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x)), 0D), 6)"
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probe = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    cells = [r["cell"] for r in probe.select("cell").distinct().collect()]
+
+    assigned = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("cell").isin(cells)
+    )
+    tombs = _tombstones(spark, index_dir)
+    if tombs is not None:
+        assigned = assigned.join(F.broadcast(tombs), "vec_id", "left_anti")
+    scored = (
+        assigned.join(F.broadcast(probe), "cell")
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
+    """Reclaim tombstoned space: rewrite ONLY the partitions that
+    contain dead vectors (dynamic partition overwrite — untouched
+    cells' files are never read or written), drop any cell directory
+    left with zero survivors, then clear the tombstone set. The cell
+    list is a bounded collect (≤ nlist). After compaction,
+    `ivf_topk_live` answers are unchanged — exclusion before ranking
+    and physical removal are the same semantics (pinned by test)."""
+    import os
+    import shutil
+
+    tombs = _tombstones(spark, index_dir)
+    if tombs is None:
+        return
+    vecs = spark.read.parquet(f"{index_dir}/vectors")
+    hit_cells = [
+        r["cell"]
+        for r in vecs.join(tombs, "vec_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if hit_cells:
+        keep = (
+            vecs.filter(F.col("cell").isin(hit_cells))
+            .join(tombs, "vec_id", "left_anti")
+            # materialize BEFORE the overwrite — the plan still reads
+            # the files the write is about to replace
+            .localCheckpoint(eager=True)
+        )
+        keep_cells = {r["cell"] for r in keep.select("cell").distinct().collect()}
+        keep.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(f"{index_dir}/vectors")
+        # dynamic overwrite never touches a partition it has no rows
+        # for: a cell whose every vector died must be dropped explicitly
+        for cell in set(hit_cells) - keep_cells:
+            shutil.rmtree(
+                os.path.join(index_dir, "vectors", f"cell={cell}"),
+                ignore_errors=True,
+            )
+    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)

@@ -108,3 +108,90 @@ def test_append_assigns_nearest_centroid_and_serves_queries(spark, tmp_path):
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+
+def test_ivf_delete_compact_lifecycle(spark, tmp_path):
+    """Living-index lifecycle: tombstone delete changes live answers
+    immediately (ranks recomputed, dead ids gone); compaction rewrites
+    ONLY the hit partitions (untouched cell files byte-identical on
+    disk), physically removes the dead rows, clears the tombstone set,
+    and leaves every live answer unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.ann import (
+        _QUERY_IDS,
+        _vectors,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_topk_from_index,
+        ivf_topk_live,
+    )
+    from knowledge_graph_system_spark.registry import Ctx
+    from tests.conftest import SF_DIR
+
+    ctx = Ctx.get(spark, SF_DIR)
+    vecs = _vectors(ctx)
+    idx = str(tmp_path / "ivf_live")
+    build_ivf_index(vecs, idx)
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    # no tombstones: live == from_index row-identical
+    base = sorted(map(tuple, ivf_topk_live(spark, idx, queries).collect()))
+    assert base == sorted(map(tuple, ivf_topk_from_index(spark, idx, queries).collect()))
+
+    # delete every current top-1 answer
+    victims = {r[1] for r in base if r[3] == 1}
+    assert victims
+    delete_from_ivf_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"), idx
+    )
+    after_del = ivf_topk_live(spark, idx, queries).collect()
+    ids_after = {r["vec_id"] for r in after_del}
+    assert not (victims & ids_after)
+    # ranks recomputed densely 1..k, and k backfilled
+    for q in _QUERY_IDS:
+        ranks = sorted(r["rank"] for r in after_del if r["query_id"] == q)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) > 0
+
+    # snapshot an untouched cell's files before compaction
+    all_vecs = spark.read.parquet(f"{idx}/vectors")
+    hit_cells = {
+        r["cell"]
+        for r in all_vecs.filter(F.col("vec_id").isin(list(victims)))
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    every_cell = {r["cell"] for r in all_vecs.select("cell").distinct().collect()}
+    untouched = sorted(every_cell - hit_cells)
+    assert untouched, "fixture should leave at least one cell untouched"
+    udir = os.path.join(idx, "vectors", f"cell={untouched[0]}")
+    before_stat = {
+        f: os.stat(os.path.join(udir, f)).st_mtime_ns
+        for f in os.listdir(udir)
+        if f.endswith(".parquet")
+    }
+
+    compact_ivf_index(spark, idx)
+
+    # tombstones cleared, dead rows physically gone
+    assert not os.path.isdir(f"{idx}/tombstones")
+    remaining = {
+        r["vec_id"] for r in spark.read.parquet(f"{idx}/vectors").select("vec_id").collect()
+    }
+    assert not (victims & remaining)
+    # untouched partition's files were neither rewritten nor replaced
+    after_stat = {
+        f: os.stat(os.path.join(udir, f)).st_mtime_ns
+        for f in os.listdir(udir)
+        if f.endswith(".parquet")
+    }
+    assert after_stat == before_stat
+    # live answers unchanged by compaction (exclusion == removal)
+    post_compact = sorted(map(tuple, ivf_topk_live(spark, idx, queries).collect()))
+    assert post_compact == sorted(tuple(r) for r in after_del)
