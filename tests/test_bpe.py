@@ -216,3 +216,18 @@ def test_r8_candidate_pack_bpe(spark):
     )
     assert {r["pack_group"] for r in out} == set(range(8))
     assert all(r["n_bins"] >= 1 for r in out)
+
+
+def test_pack_bpe_plan_is_jvm_side(spark):
+    """The returned pack/quota frame stays whole-stage JVM: the only
+    driver work is learn_bpe's bounded vocab collect at build time."""
+    from knowledge_graph_system_spark.operators.bpe import cur_pack_bpe
+
+    plan = (
+        cur_pack_bpe(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
