@@ -258,15 +258,11 @@ def so_program_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx.edges.count()
     # collect_counts=False: one Spark job per statement (nodes checkpoint)
     # instead of three — the step log keeps op + ms, counts read -1.
-    # timeout_s=300 on the GRADED rows only (r8): the 60 s reference
-    # guard stays the library default; the grading host has noisy
-    # neighbors (see so_block_compiler).
+    # (Unlike so_block_compiler, this row keeps the 60 s default: its
+    # worst observed wall under load is ~6 s, 10x of margin, and it is
+    # a tail row this round — changing it would cost a window slot.)
     res = execute_program(
-        _DEMO_PROGRAM,
-        make_dispatch(ctx),
-        empty_working(ctx),
-        collect_counts=False,
-        timeout_s=300.0,
+        _DEMO_PROGRAM, make_dispatch(ctx), empty_working(ctx), collect_counts=False
     )
     assert not res.aborted, res.abort_reason
     return res.working.nodes.select("node_id", "label")
@@ -349,11 +345,7 @@ def so_dispatch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx.nodes.count()
     ctx.edges.count()
     res = execute_program(
-        _MATRIX_PROGRAM,
-        make_dispatch(ctx),
-        empty_working(ctx),
-        collect_counts=False,
-        timeout_s=300.0,
+        _MATRIX_PROGRAM, make_dispatch(ctx), empty_working(ctx), collect_counts=False
     )
     assert not res.aborted, res.abort_reason
     return res.working.nodes.select("node_id", "label")

@@ -129,10 +129,16 @@ class Ctx:
 # (r7 precedent). operators/graphalgo.py's pagerank lost its per-sweep
 # driver collect (VERDICT r7 wrong #3) — its consumers g_pagerank /
 # g_communities / g_weighted_sssp are all new this round anyway.
-# so_program_demo / so_dispatch_matrix / so_block_compiler got a 300 s
-# graded-row timeout budget (60 s guard stays the library default; a
-# noisy-neighbor spike tripped the block row once this round) — all
-# three are window rows via the tail rotation, so no slot movement.
+# so_block_compiler got a 300 s graded-row timeout budget (the 60 s
+# reference-guard default is unchanged for library callers): a
+# noisy-neighbor spike tripped its guard once this round at 31 s of
+# real work. It recorded r7, so the change moves it INTO this window,
+# taking the second headliner slot (q1_pricing_summary steps out —
+# its evidence is r7-fresh and it stays in the bench set).
+# so_program_demo / so_dispatch_matrix deliberately KEEP the 60 s
+# default: their worst observed wall under load is ~6 s / ~12 s
+# (5-10x margin), and both are tail rows this round — changing them
+# would cost window slots the budget doesn't have.
 # Registration-only module-tail edits (a query() line appended; no
 # executed code path of any existing row touched) do NOT move their
 # module's other consumers into the window — the rule's subject is
@@ -248,12 +254,14 @@ _RECORD_FIRST = [
     "s4_export_roundtrip",
     "st_session_window",
     "st_json_props",
-    # ---- bench headliners fill the remaining two slots (both held r7
-    # evidence; j5 is this round's bench-attribution target — VERDICT
-    # r7 next #4 — so a fresh driver row rides along with the idle
-    # subset attribution)
+    # ---- changed (r8): so_block_compiler's 300 s graded-row timeout
+    # budget (see the note above) — recorded r7, so the change puts it
+    # here
+    "so_block_compiler",
+    # ---- bench headliner fills the last slot (r7 evidence; j5 is this
+    # round's bench-attribution target — VERDICT r7 next #4 — so a
+    # fresh driver row rides along with the idle subset attribution)
     "j5_cross_ontology_affinity",
-    "q1_pricing_summary",
 ]
 
 
