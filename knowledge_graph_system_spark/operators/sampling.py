@@ -335,3 +335,112 @@ WHERE CAST(n_chars AS DOUBLE) >= (
   SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.75) FROM documents
 )
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: "Column | str",
+    k: int,
+    key: str,
+    group: str | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-k by
+    the Efraimidis-Spirakis exponential-race priority, globally or per
+    `group`. A row's uniform draw is hash-derived —
+    u = (bucket(key) + 0.5) / 10000 — so the sample is reproducible on
+    any cluster with no RNG state, and inclusion probability rises
+    with weight exactly as ES prescribes (priority u^(1/w), realized
+    as the order-equivalent ln(u)/w).
+
+    Engine parity: ln is the one transcendental; both sides round the
+    priority to 4 dp (the lm.py discipline) and tie-break on `key`, so
+    the DuckDB twin (`weighted_sample_sql`) is row-identical. Rows
+    with NULL or non-positive weight are excluded (a zero-weight row
+    can never win an ES race).
+
+    Scale: one window over the (optional) group partitioning — the
+    same single-shuffle shape as stratified_sample; global sampling
+    uses the same rank-then-filter via a k-capped TakeOrdered when the
+    planner sees the LIMIT-like filter."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_bucket(F.col(key), salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    pri = F.round(F.log(u) / wcol.cast("double"), 4)
+    part = Window.partitionBy(group) if group else Window.partitionBy()
+    w = part.orderBy(F.col("__pri").desc(), F.col(key).asc())
+    return (
+        df.filter(wcol.isNotNull() & (wcol.cast("double") > 0))
+        .withColumn("__pri", pri)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__pri", "__rn")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    weight_sql: str,
+    k: int,
+    key: str,
+    group: str | None = None,
+    salt: str = "ws",
+) -> str:
+    """DuckDB twin of `weighted_sample` (same hash draw, same 4 dp
+    priority rounding, same tie-break)."""
+    b = bucket_sql(key, salt)
+    pri = f"round(ln((({b}) + 0.5) / {float(_BUCKETS)}) / CAST({weight_sql} AS DOUBLE), 4)"
+    part = f"PARTITION BY {group} " if group else ""
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER ({part}ORDER BY {pri} DESC, {key} ASC) AS __rn
+  FROM {table}
+  WHERE {weight_sql} IS NOT NULL AND CAST({weight_sql} AS DOUBLE) > 0
+) WHERE __rn <= {k}
+"""
+
+
+def temperature_mix(
+    df: DataFrame,
+    group: str,
+    key: str,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened corpus mix: resample so each group's share
+    is proportional to (its natural share)^alpha — the multilingual-LM
+    rebalancing rule (alpha=1 keeps natural proportions, alpha→0
+    approaches uniform) — keeping the expected corpus size unchanged.
+
+    The per-group replication factor f_g = q_g * N / n_g (q_g the
+    flattened share) is computed from the group-count aggregate — a
+    bounded driver collect, one row per group, like learn_bpe's vocab
+    head — rounded to 6 dp, and fed to `corpus_mix`, so the realized
+    mix inherits corpus_mix's exact hash-threshold determinism and its
+    SQL oracle discipline."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = [
+        (r[0], r[1]) for r in df.groupBy(group).agg(F.count("*").alias("n")).collect()
+    ]
+    return corpus_mix(df, group, temperature_rates(counts, alpha), key, salt=salt)
+
+
+def temperature_rates(
+    group_counts: list[tuple[str, int]], alpha: float
+) -> dict[str, float]:
+    """The rate computation behind `temperature_mix`, exposed so an
+    oracle can be built with the SAME Python floats: groups are sorted
+    before summation, making the float accumulation order — and so the
+    6 dp-rounded rates — a pure function of the counts."""
+    counts = sorted(group_counts)
+    total = sum(n for _, n in counts)
+    flat = [(g, (n / total) ** alpha) for g, n in counts]
+    z = sum(s for _, s in flat)
+    by_g = dict(counts)
+    return {g: round((s / z) * total / by_g[g], 6) for g, s in flat}

@@ -272,3 +272,106 @@ def test_r9_candidate_quantile_global(spark):
         want = sorted(map(tuple, con.execute(smp_quantile_global_oracle()).fetchall()))
         con.close()
         assert len(got) > 0 and got == want
+
+
+def test_weighted_sample_matches_duckdb_both_sfs(spark):
+    """ES weighted sampling: Spark and the SQL twin must pick the SAME
+    rows at both gate scale factors (4 dp priority rounding + key
+    tie-break keeps the one transcendental engine-portable), globally
+    and per-group."""
+    from knowledge_graph_system_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT doc_id, source, n_chars FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        got = _rows(weighted_sample(d, "n_chars", 50, "doc_id"))
+        want = _duck_rows(
+            con, weighted_sample_sql("documents", "n_chars", 50, "doc_id")
+        )
+        assert got == want and len(got) == 50
+        got_g = _rows(weighted_sample(d, "n_chars", 5, "doc_id", group="source"))
+        want_g = _duck_rows(
+            con,
+            weighted_sample_sql("documents", "n_chars", 5, "doc_id", group="source"),
+        )
+        assert got_g == want_g and len(got_g) > 0
+        con.close()
+
+
+def test_weighted_sample_semantics(spark, docs):
+    """Without replacement (unique keys), exact k, weight-biased (the
+    sample's mean weight exceeds the corpus mean), deterministic, and
+    non-positive weights never selected."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.sampling import weighted_sample
+
+    d = docs.select("doc_id", "n_chars")
+    s = weighted_sample(d, "n_chars", 100, "doc_id")
+    rows = s.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    again = {r["doc_id"] for r in weighted_sample(d, "n_chars", 100, "doc_id").collect()}
+    assert again == set(ids)
+    with_dead = d.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(0.0)).otherwise(F.col("n_chars"))
+    )
+    alive = weighted_sample(with_dead, "w", 100, "doc_id").collect()
+    assert all(r["doc_id"] % 2 == 1 for r in alive)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, docs, duck):
+    """alpha=0.5 must pull group shares toward uniform while keeping
+    total size ~unchanged, and the realized mix must match corpus_mix's
+    SQL oracle under the computed rates (alpha=1 is a no-op mix:
+    every rate 1.0)."""
+    from knowledge_graph_system_spark.operators.sampling import (
+        corpus_mix_sql,
+        temperature_mix,
+        temperature_rates,
+    )
+
+    d = docs.select("doc_id", "source", "n_chars")
+    counts = {r[0]: r[1] for r in d.groupBy("source").count().collect()}
+    total = sum(counts.values())
+
+    rates1 = temperature_rates(list(counts.items()), alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-6 for v in rates1.values())
+
+    mixed = temperature_mix(d, "source", "doc_id", alpha=0.5)
+    out_counts = {r[0]: r[1] for r in mixed.groupBy("source").count().collect()}
+    out_total = sum(out_counts.values())
+    assert abs(out_total - total) / total < 0.05
+    # flattening: every group's share moves toward (or onto) uniform
+    n_groups = len(counts)
+    for g, n in counts.items():
+        before = n / total
+        after = out_counts.get(g, 0) / out_total
+        uni = 1.0 / n_groups
+        assert abs(after - uni) <= abs(before - uni) + 1e-3
+    # exact realized-mix parity with the corpus_mix SQL oracle
+    rates = temperature_rates(list(counts.items()), alpha=0.5)
+    got = _rows(mixed)
+    want = _duck_rows(
+        duck,
+        corpus_mix_sql(
+            "(SELECT doc_id, source, n_chars FROM documents) t",
+            "source",
+            rates,
+            "doc_id",
+            salt="tmix",
+        ),
+    )
+    assert got == want
