@@ -250,3 +250,24 @@ def cur_pack_bpe(spark, sf_dir: str) -> DataFrame:
 # tests/test_bpe.py (the driver records the weaker rows-only check).
 query("t_bpe_counts")(t_bpe_counts)
 query("cur_pack_bpe")(cur_pack_bpe)
+
+
+def save_bpe(merges: list[tuple[str, str]], spark, path: str) -> None:
+    """Persist a learned merge table: (idx, left, right) parquet, idx =
+    merge priority. The tokenizer twin of the persisted IVF index's
+    write-once contract — train once offline, load everywhere; a
+    corpus job ships the (tiny) table with the plan instead of
+    re-learning per run."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "idx int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table in priority order — a bounded
+    collect (|merges| rows, the learn-time budget)."""
+    return [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(path).orderBy("idx").collect()
+    ]

@@ -231,3 +231,20 @@ def test_pack_bpe_plan_is_jvm_side(spark):
     )
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_table_roundtrip(spark, docs, merges):
+    """save/load preserves the merge table exactly, and segmentation
+    under the loaded table is bit-identical to the in-memory one."""
+    import tempfile
+
+    from knowledge_graph_system_spark.operators.bpe import load_bpe, save_bpe
+
+    with tempfile.TemporaryDirectory(prefix="kg_bpe_") as tmp:
+        path = f"{tmp}/merges"
+        save_bpe(merges, spark, path)
+        loaded = load_bpe(spark, path)
+        assert loaded == merges
+        a = sorted(map(tuple, bpe_token_counts(docs, merges).collect()))
+        b = sorted(map(tuple, bpe_token_counts(docs, loaded).collect()))
+        assert a == b
