@@ -359,25 +359,34 @@ def weighted_sample(
     with NULL or non-positive weight are excluded (a zero-weight row
     can never win an ES race).
 
-    Scale: one window over the (optional) group partitioning — the
-    same single-shuffle shape as stratified_sample; global sampling
-    uses the same rank-then-filter via a k-capped TakeOrdered when the
-    planner sees the LIMIT-like filter."""
+    Scale: per-group sampling is one window over the group
+    partitioning — the same single-shuffle shape as stratified_sample.
+    GLOBAL sampling deliberately avoids an unpartitioned window (the
+    single-partition funnel the r6 quantile fix removed) and plans as
+    orderBy(priority).limit(k) → TakeOrderedAndProject: per-partition
+    top-k, then a k-row merge on the driver side of the exchange
+    (plan pinned in tests/test_sampling.py)."""
     if k <= 0:
         raise ValueError("k must be positive")
-    from pyspark.sql import Window
-
     wcol = F.col(weight) if isinstance(weight, str) else weight
     u = (hash_bucket(F.col(key), salt).cast("double") + F.lit(0.5)) / F.lit(
         float(_BUCKETS)
     )
     pri = F.round(F.log(u) / wcol.cast("double"), 4)
-    part = Window.partitionBy(group) if group else Window.partitionBy()
-    w = part.orderBy(F.col("__pri").desc(), F.col(key).asc())
+    alive = df.filter(wcol.isNotNull() & (wcol.cast("double") > 0)).withColumn(
+        "__pri", pri
+    )
+    if group is None:
+        return (
+            alive.orderBy(F.col("__pri").desc(), F.col(key).asc())
+            .limit(k)
+            .drop("__pri")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(F.col("__pri").desc(), F.col(key).asc())
     return (
-        df.filter(wcol.isNotNull() & (wcol.cast("double") > 0))
-        .withColumn("__pri", pri)
-        .withColumn("__rn", F.row_number().over(w))
+        alive.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__pri", "__rn")
     )

@@ -375,3 +375,21 @@ def test_temperature_mix_flattens_toward_uniform(spark, docs, duck):
         ),
     )
     assert got == want
+
+
+def test_weighted_sample_global_plan_is_take_ordered(spark, docs):
+    """The global path must NOT funnel the corpus through a
+    single-partition window (the r6 quantile pathology) — it plans as
+    TakeOrderedAndProject; the grouped path keys its window on the
+    group column."""
+    from knowledge_graph_system_spark.operators.sampling import weighted_sample
+
+    d = docs.select("doc_id", "n_chars", "source")
+    g = weighted_sample(d, "n_chars", 50, "doc_id")
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    per = weighted_sample(d, "n_chars", 5, "doc_id", group="source")
+    pplan = per._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in pplan
+    assert "hashpartitioning(source" in pplan  # keyed, not single-partition
