@@ -302,8 +302,8 @@ FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'MACHINERY'
-  AND o.o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '2024-06-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
@@ -311,10 +311,15 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter broadcast into the fact
-    scan, grouped revenue, top-10 without a global sort."""
+    scan, grouped revenue, top-10 without a global sort.
+
+    The cutoff sits inside the fixture's 1995-2001 date span so the
+    order/ship straddle is non-empty at every gate sf — an earlier
+    2024 literal made this row grade empty==empty (VERDICT r8
+    wrong #1)."""
     ctx = Ctx.get(spark, sf_dir)
     c, o, l = ctx.tables["customer"], ctx.tables["orders"], ctx.tables["lineitem"]
-    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
     return (
         c.filter(F.col("c_mktsegment") == "MACHINERY")
         .join(o, c.c_custkey == o.o_custkey)

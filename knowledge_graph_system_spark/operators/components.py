@@ -205,7 +205,7 @@ def embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Prepared r9 registry candidates (prepared-plan discipline: built and
 # driver-style tested this round, registered next round — the r9 plan
-# in registry.py). Unregistered here on purpose: the r8 window is set.
+# in registry.py), registered r9 at the module tail below.
 # ---------------------------------------------------------------------------
 
 
@@ -257,3 +257,10 @@ SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(comp) AS BIGINT) AS group_id,
        min(comp) = node AS keeper
 FROM reach GROUP BY node
 """
+
+
+# Registered r9: the prepared-candidate plan in registry.py, executed —
+# module-tail registration keeps the functions and their driver-style
+# tests (tests/test_components.py) untouched.
+query("d_dedup_apply", oracle=d_dedup_apply_oracle())(d_dedup_apply)
+query("d_embedding_groups", oracle=d_embedding_groups_oracle())(d_embedding_groups)

@@ -168,26 +168,49 @@ _BANDS_SQL = (
 )
 
 
+def exact_dup_groups(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: sha256 content hash → groups with >1 doc, keeping
+    the lowest id (deterministic keeper policy). One hash-groupBy with
+    map-side partial aggregation — the exact-dup scale shape."""
+    return (
+        docs.groupBy(F.sha2(text, 256).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 @query(
     "d_exact_dedup",
     oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0
+)
 SELECT sha256(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS keeper
-FROM documents
+FROM corpus
 GROUP BY sha256(text)
 HAVING count(*) > 1
 """,
 )
 def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: sha256 content hash → groups with >1 doc, keeping the
-    lowest doc_id (deterministic keeper policy)."""
+    """Exact dedup graded over a corpus with PLANTED deterministic
+    clones. The fixture contains no byte-identical texts, so grading
+    the raw table returned 0 rows since r6 — empty==empty proved
+    nothing (VERDICT r8 wrong #1). The graded derivation unions a
+    doc_id % 37 slice back with +1000000 offset ids: every planted
+    text forms a 2-doc group whose keeper MUST be the original (lower
+    id), so the min-id keeper policy is actually exercised at every
+    gate sf. The library shape (`exact_dup_groups`) is unchanged."""
     ctx = Ctx.get(spark, sf_dir)
-    return (
-        ctx.tables["documents"]
-        .groupBy(F.sha2("text", 256).alias("content_hash"))
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
-        .filter(F.col("n_docs") > 1)
+    docs = ctx.tables["documents"].select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
+    return exact_dup_groups(docs.unionByName(clones))
 
 
 @query(

@@ -308,7 +308,7 @@ SELECT * EXCLUDE (__cd) FROM (
 
 # ---------------------------------------------------------------------------
 # Prepared r9 registry candidate (prepared-plan discipline; r9 plan in
-# registry.py). Unregistered here on purpose: the r8 window is set.
+# registry.py), registered r9 at the module tail below.
 # ---------------------------------------------------------------------------
 
 
@@ -453,3 +453,11 @@ def temperature_rates(
     z = sum(s for _, s in flat)
     by_g = dict(counts)
     return {g: round((s / z) * total / by_g[g], 6) for g, s in flat}
+
+
+# Registered r9: the prepared-candidate plan in registry.py, executed.
+from ..registry import query as _query  # noqa: E402  (module tail)
+
+_query("smp_quantile_global", oracle=smp_quantile_global_oracle())(
+    smp_quantile_global
+)

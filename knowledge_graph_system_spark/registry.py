@@ -115,36 +115,15 @@ class Ctx:
 # be exactly the set recorded last round (minus any query that was
 # consolidated away — see the r7 consolidation note below).
 #
-# r8 WINDOW (50 = 10 new + 7 changed + 31 r7-tail + 2 bench
-# headliners). The prepared 9-candidate plan (written in r7, below as
-# history) executed exactly: all nine registered via module-tail
-# query() lines — zero candidate-code edits. The tenth new row,
-# cur_pack_bpe, closes VERDICT r7 missing #2 (pack/quota budgeting in
-# BPE tokens instead of the whitespace proxy; rows-only like
-# t_bpe_counts, parity via the pytest gate).
-#
-# "Changed" scope this round: plans/cypher.py gained rel-type
-# alternation `[:A|B]` (VERDICT r7 missing #3) — shared-grammar edit,
-# so every registered p7_cypher_* consumer moves into the window
-# (r7 precedent). operators/graphalgo.py's pagerank lost its per-sweep
-# driver collect (VERDICT r7 wrong #3) — its consumers g_pagerank /
-# g_communities / g_weighted_sssp are all new this round anyway.
-# so_block_compiler got a 300 s graded-row timeout budget (the 60 s
-# reference-guard default is unchanged for library callers): a
-# noisy-neighbor spike tripped its guard once this round at 31 s of
-# real work. It recorded r7, so the change moves it INTO this window,
-# taking the second headliner slot (q1_pricing_summary steps out —
-# its evidence is r7-fresh and it stays in the bench set).
-# so_program_demo / so_dispatch_matrix deliberately KEEP the 60 s
-# default: their worst observed wall under load is ~6 s / ~12 s
-# (5-10x margin), and both are tail rows this round — changing them
-# would cost window slots the budget doesn't have.
+# r8 WINDOW (history): 50 = 10 new (the nine r7-prepared candidates
+# + cur_pack_bpe) + 8 changed (the seven p7_cypher_* shared-grammar
+# consumers after the [:A|B] alternation edit; so_block_compiler's
+# 300 s graded-row budget) + 31 r7-tail + 1 bench headliner (j5).
 # Registration-only module-tail edits (a query() line appended; no
 # executed code path of any existing row touched) do NOT move their
 # module's other consumers into the window — the rule's subject is
 # "queries whose code or oracle changed", and a module-tail
-# registration line changes neither for m_jpeg_decode / m_audio_decode
-# (multimodal.py) or any other r7-window row.
+# registration line changes neither.
 #
 # r7-tail members consolidated away in r7 (recorded via their suite):
 #   a7/a8/a9/a10/a11 -> a_scores_suite; j2/j3/j4/j8/j9 ->
@@ -153,115 +132,109 @@ class Ctx:
 #   p1/p3/p4/p5/p6/p8 -> p_filter_matrix; st_tumbling/st_sliding/
 #   st_rollup -> st_windows_suite; f1/f2 -> f_catalog_suite.
 #
-# r8 REGISTRATION PLAN (executed this round — kept for the record):
-#   p7_cypher_shortest, t_lm_quality, t_bpe_counts (rows-only),
-#   g_pagerank, g_communities, t_hll_words, m_audio_frames,
-#   t_cms_words, g_weighted_sssp — all were pre-built and driver-style
-#   validated at sf0.01 in r7; registration was module-tail query()
-#   lines + this window, exactly as planned.
+# r9 REGISTRATION PLAN (EXECUTED this round, exactly as written in
+# r8): the seven prepared candidates registered via module-tail
+# query() lines — zero candidate-code edits:
+#   st_hll_stream, st_cms_stream (streaming/sketch_stream.py),
+#   st_enrich_stream (streaming/joins.py), st_neardup_stream
+#   (streaming/dedup_stream.py), d_dedup_apply, d_embedding_groups
+#   (operators/components.py), smp_quantile_global
+#   (operators/sampling.py).
+# The four st_* rows put the first driver-graded evidence on the real
+# foreachBatch/availableNow streaming execution path. Window math:
+# 7 new + 2 changed + 41 r8-tail = exactly 50.
 #
-# r9 REGISTRATION PLAN (window math: the r8 tail is 41 rows, so r9 has
-# 50 - 41 = 9 slots for new + changed + headliners; the four candidates
-# below leave 5). All four are BUILT and driver-style validated at
-# sf0.01 (all hash-exact) this round; registration next round is
-# module-tail query() lines + window slots, like r7->r8:
-#   1. d_dedup_apply — the canonical corpus after lexical group
-#      resolution (find→group→apply chain); oracle reuses the
-#      recursive-CC CTEs (operators/components.py,
-#      tests/test_components.py::test_r9_candidate_dedup_apply).
-#   2. d_embedding_groups — embedding_dup_groups as a driver row;
-#      recursive-CC oracle over the byte-shared neardup pair CTEs
-#      (operators/components.py, test_r9_candidate_embedding_groups).
-#   3. smp_quantile_global — corpus-wide quality cut, rel_err=0.0;
-#      exact GK quantile == DuckDB quantile_disc, agreement pinned at
-#      both gate scale factors (operators/sampling.py,
-#      tests/test_sampling.py::test_r9_candidate_quantile_global).
-#   4. st_hll_stream — the STREAMING sketch-maintenance path graded
-#      hash-exact against static SQL (stream == batch is bit-exact by
-#      merge algebra; streaming/sketch_stream.py — add it to
-#      load_all's streaming imports when registering;
-#      tests/test_sketch_stream.py::test_r9_candidate_hll_stream).
-#   5. st_cms_stream — count-min twin of #4; same output contract as
-#      t_cms_words so its all-integer SQL twin is the oracle
-#      (streaming/sketch_stream.py,
-#      tests/test_sketch_stream.py::test_r9_candidate_cms_stream).
-#   6. st_enrich_stream — stream-static enrichment end-to-end (events
-#      replayed availableNow, per-batch left join to the customer dim,
-#      per-segment rollup); oracle = the static join+aggregate
-#      (streaming/joins.py — add to load_all's streaming imports;
-#      tests/test_streaming.py::test_r9_candidate_enrich_stream).
-#   7. st_neardup_stream — the incremental streaming LSH path graded
-#      hash-exact against d_minhash_lsh's static SQL oracle (pair-set
-#      parity holds below the band cap, pinned;
-#      streaming/dedup_stream.py — add to load_all's streaming
-#      imports; tests/test_dedup_stream.py::
-#      test_r9_candidate_neardup_stream).
-# Seven candidates for 9 free slots leaves 2 for changed/headliners.
-# If r9 needs more, consolidate another always-green family into a
-# suite first (the r7 pattern).
+# "Changed" scope this round — both close VERDICT r8 wrong #1 (graded
+# rows that returned 0 rows since r6 and therefore graded nothing):
+#   - q3_shipping_priority: the cutoff literal moved inside the
+#     fixture's 1995-2001 date span (1998-06-01, BOTH engines), so the
+#     order/ship straddle is non-empty at both gate sfs and the
+#     revenue arithmetic finally grades real values.
+#   - d_exact_dedup: the graded derivation now plants deterministic
+#     clones (doc_id % 37 slice union'd back with offset ids), so the
+#     groups are provably non-empty and the min-doc_id keeper policy
+#     is exercised. The library shape (hash-groupBy) is unchanged.
+# Both were r8-window rows, so they cost the 2 remaining slots.
+# operators/ann.py's ivf_topk_from_index gained tombstone-awareness
+# (the r8 ivf_topk_live fork folded in — VERDICT r8 next #4/#5/#6);
+# its only registered consumer, ann_ivf_persisted, is an r8-tail row
+# and therefore in this window anyway. ann_ivf_topk / ann_brute_topk
+# use the fused inline path, which did not change.
+#
+# r10 REGISTRATION PLAN (window math: after this round the tail is
+# 48 rows — the 48 r8-window rows not re-recorded here — so r10 has
+# only 2 free slots. The plan therefore consolidates the always-green
+# multimodal decode family first, the r7 pattern: fold
+# m_decode_features / m_image_decode / m_video_decode / m_audio_frames
+# (r9-tail) + m_jpeg_decode / m_audio_decode (recorded r9) into one
+# m_decode_suite — removes 6 rows, adds 1 new suite row, freeing 5
+# net slots for the prepared candidates:
+#   1. smp_weighted — ES weighted sampling (global TakeOrdered form +
+#      per-group form) against weighted_sample_sql, hash-exact
+#      (operators/sampling.py; built + driver-style tested this round).
+#   2. ann_ivf_lifecycle — build→append→delete→live-query graded
+#      against a fresh-index SQL oracle with the deleted slice
+#      anti-selected (operators/ann.py; built + tested this round).
+#   3. smp_temperature_mix — temperature-flattened mixing via
+#      temperature_rates' pure-function contract composed with
+#      corpus_mix's exact hash-threshold filter (operators/sampling.py;
+#      built + tested this round).
 _RECORD_FIRST = [
-    # ---- new (r8): the nine r7-prepared candidates, registered
-    "p7_cypher_shortest",
-    "t_lm_quality",
-    "t_bpe_counts",
-    "g_pagerank",
-    "g_communities",
-    "t_hll_words",
-    "m_audio_frames",
-    "t_cms_words",
-    "g_weighted_sssp",
-    # ---- new (r8): pack/quota budgeted in BPE tokens (r7 missing #2)
-    "cur_pack_bpe",
-    # ---- changed (r8): the Cypher grammar gained [:A|B] rel-type
-    # alternation; every registered consumer of the shared compiler
-    # moves into the window (same conservative rule as r7)
-    "p7_cypher_varlen",
-    "p7_cypher_trail",
-    "p7_cypher_optional",
-    "p7_cypher_with",
-    "p7_cypher_subset",
-    "p7_cypher_union",
-    "p7_cypher_unwind",
-    # ---- last driver row is r6: the r7 non-window tail, same order
-    "a2a3_confidence_score",
-    "a5_graph_stats",
-    "a6_category_distribution",
-    "a12_evidence_dedup",
-    "a13_best_chunk_per_source",
-    "a14_tfidf_naming",
-    "a15_lifetime_page",
+    # ---- new (r9): the seven prepared candidates, registered
+    "st_hll_stream",
+    "st_cms_stream",
+    "st_enrich_stream",
+    "st_neardup_stream",
+    "d_dedup_apply",
+    "d_embedding_groups",
+    "smp_quantile_global",
+    # ---- changed (r9): the two 0-row graded rows made non-empty
+    # (VERDICT r8 wrong #1); both were r8-window rows, so each costs
+    # a slot under the alternation rule
     "q3_shipping_priority",
-    "q5_supplier_volume",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "an_annealing_cycle",
-    "an_execute_proposals",
-    "x1_asof_join",
-    "x2_range_join",
-    "s8_catalog_rebuild",
     "d_exact_dedup",
-    "d_simhash",
-    "j1_evidence_join",
-    "g1_bfs_out_depth3",
-    "m_decode_features",
-    "m_image_decode",
-    "m_video_decode",
-    "f6_dbscan",
-    "u4_pruning_recommendations",
-    "v1_vector_search",
-    "st_epoch_snapshot",
-    "sq_saved_query",
-    "s4_export_roundtrip",
-    "st_session_window",
-    "st_json_props",
-    # ---- changed (r8): so_block_compiler's 300 s graded-row timeout
-    # budget (see the note above) — recorded r7, so the change puts it
-    # here
-    "so_block_compiler",
-    # ---- bench headliner fills the last slot (r7 evidence; j5 is this
-    # round's bench-attribution target — VERDICT r7 next #4 — so a
-    # fresh driver row rides along with the idle subset attribution)
-    "j5_cross_ontology_affinity",
+    # ---- the r8 non-window tail, same order (41 rows)
+    "q1_pricing_summary",
+    "ann_ivf_persisted",
+    "a4_grounding",
+    "o1_ontology_edges",
+    "ep_status_measurement",
+    "d_minhash_lsh",
+    "d_embedding_neardup",
+    "d_dup_groups",
+    "cur_repetition_spans",
+    "cur_pii_redact",
+    "smp_split_mix",
+    "cur_pack_quota",
+    "cur_contamination",
+    "x2_skew_naive_join",
+    "x2_skew_salted_join",
+    "g1_bfs_both_depth2_conf",
+    "g2_shortest_path",
+    "g3_k_shortest_paths",
+    "g4_subgraph",
+    "a1_degree_top20",
+    "lc_related",
+    "lc_connect_by_search",
+    "m_jpeg_decode",
+    "m_audio_decode",
+    "f5_projection",
+    "f7_centroids",
+    "r_bm25_topk",
+    "so_program_demo",
+    "so_dispatch_matrix",
+    "t_corpus_filter",
+    "md_blocks",
+    "p7_guarded_query",
+    "src_jsonl_quarantine",
+    "st_ingest_e2e",
+    "a_scores_suite",
+    "j_enrich_suite",
+    "v_search_suite",
+    "t_textstats_suite",
+    "p_filter_matrix",
+    "st_windows_suite",
+    "f_catalog_suite",
 ]
 
 
@@ -297,7 +270,14 @@ def load_all() -> dict[str, QuerySpec]:
     from .functions import markdown  # noqa: F401
     from .plans import blocks, cypher, guard, saved  # noqa: F401
     from .sources import export, jsonl  # noqa: F401
-    from .streaming import epochs, ingest_stream, windows  # noqa: F401
+    from .streaming import (  # noqa: F401
+        dedup_stream,
+        epochs,
+        ingest_stream,
+        joins as stream_joins,
+        sketch_stream,
+        windows,
+    )
 
     # LAST: the consolidation suites capture member fns/oracles from
     # QUERIES and then de-register the folded members, so every member

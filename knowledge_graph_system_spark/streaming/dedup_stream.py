@@ -257,7 +257,7 @@ def stream_dedup_within_watermark(
 
 # ---------------------------------------------------------------------------
 # Prepared r9 registry candidate (prepared-plan discipline; r9 plan in
-# registry.py). Unregistered here on purpose: the r8 window is set.
+# registry.py), registered r9 at the module tail below.
 # ---------------------------------------------------------------------------
 
 
@@ -280,3 +280,9 @@ def st_neardup_stream_oracle() -> str:
     from ..registry import QUERIES
 
     return QUERIES["d_minhash_lsh"].oracle
+
+
+# Registered r9: the prepared-candidate plan in registry.py, executed.
+from ..registry import query as _query  # noqa: E402  (module tail)
+
+_query("st_neardup_stream", oracle=st_neardup_stream_oracle())(st_neardup_stream)

@@ -72,7 +72,7 @@ def stream_enrich_static(
 
 # ---------------------------------------------------------------------------
 # Prepared r9 registry candidate (prepared-plan discipline; r9 plan in
-# registry.py). Unregistered here on purpose: the r8 window is set.
+# registry.py), registered r9 at the module tail below.
 # ---------------------------------------------------------------------------
 
 
@@ -152,3 +152,9 @@ SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
 FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY 1
 """
+
+
+# Registered r9: the prepared-candidate plan in registry.py, executed.
+from ..registry import query as _query  # noqa: E402  (module tail)
+
+_query("st_enrich_stream", oracle=st_enrich_stream_oracle())(st_enrich_stream)

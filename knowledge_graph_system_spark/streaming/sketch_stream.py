@@ -123,7 +123,7 @@ def merge_batch_cms(
 
 # ---------------------------------------------------------------------------
 # Prepared r9 registry candidate (prepared-plan discipline; r9 plan in
-# registry.py). Unregistered here on purpose: the r8 window is set.
+# registry.py), registered r9 at the module tail below.
 # ---------------------------------------------------------------------------
 
 
@@ -225,3 +225,10 @@ def st_cms_stream_oracle() -> str:
     from ..operators.cms import t_cms_words_oracle
 
     return t_cms_words_oracle()
+
+
+# Registered r9: the prepared-candidate plan in registry.py, executed.
+from ..registry import query as _query  # noqa: E402  (module tail)
+
+_query("st_hll_stream", oracle=st_hll_stream_oracle())(st_hll_stream)
+_query("st_cms_stream", oracle=st_cms_stream_oracle())(st_cms_stream)
