@@ -425,3 +425,95 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
         for cell in set(hit_cells) - keep_cells:
             _fs_delete(spark, f"{index_dir}/vectors/cell={cell}")
     _fs_delete(spark, f"{index_dir}/tombstones")
+
+
+# ---------------------------------------------------------------------------
+# Prepared r10 registry candidate (prepared-plan discipline; r10 plan
+# in registry.py). Built + driver-style tested this round, registered
+# next round: the r9 window is set.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 candidate: the full living-index chain as ONE graded row —
+    build the index on the even-id half, append the odd half against
+    FROZEN centroids (nearest-centroid assignment, which can differ
+    from the vector's label), tombstone-delete the vec_id % 17 == 3
+    slice, then answer the standard queries through the unified
+    tombstone-aware path. The oracle reproduces a fresh index in the
+    same post-append state (even half by label, odd half by argmax
+    centroid cosine) with the deleted slice anti-selected BEFORE
+    ranking — so build, append, delete, and backfill semantics are all
+    graded hash-exact by one static SQL string."""
+    import shutil
+    import tempfile
+
+    vecs = _vectors(Ctx.get(spark, sf_dir))
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    index_dir = tempfile.mkdtemp(prefix="ivf_lifecycle_")
+    try:
+        build_ivf_index(vecs.filter(F.col("vec_id") % 2 == 0), index_dir)
+        append_to_ivf_index(vecs.filter(F.col("vec_id") % 2 == 1), index_dir)
+        delete_from_ivf_index(
+            vecs.filter(F.col("vec_id") % 17 == 3).select("vec_id"), index_dir
+        )
+        out = ivf_topk_from_index(spark, index_dir, queries).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return out
+
+
+def ann_ivf_lifecycle_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+cdim AS (
+  SELECT label, d, avg(v[d]) AS cv
+  FROM base, generate_series(1, 64) AS g(d) GROUP BY label, d
+),
+cent AS (SELECT label AS cell, list(cv ORDER BY d) AS cv FROM cdim GROUP BY label),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             round(list_dot_product(a.v, c.cv)
+               / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)), 0), 6) DESC,
+             c.cell) AS rn
+    FROM e a CROSS JOIN cent c WHERE a.vec_id % 2 = 1
+  ) WHERE rn = 1
+),
+store AS (
+  SELECT vec_id, v, label AS cell FROM base
+  UNION ALL
+  SELECT s.vec_id, s.v, a.cell FROM assign a JOIN e s ON s.vec_id = a.vec_id
+),
+live AS (SELECT * FROM store WHERE vec_id % 17 <> 3),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(qv, cv)
+               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0), 6) DESC,
+             c.cell) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, s.vec_id,
+         round(list_dot_product(qv, s.v)
+               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(s.v, s.v)), 0), 6) AS cos
+  FROM live s
+  JOIN probe p ON p.cell = s.cell
+  JOIN q ON q.query_id = p.query_id
+  WHERE s.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOPK}
+"""

@@ -455,6 +455,93 @@ def temperature_rates(
     return {g: round((s / z) * total / by_g[g], 6) for g, s in flat}
 
 
+# ---------------------------------------------------------------------------
+# Prepared r10 registry candidates (prepared-plan discipline; r10 plan
+# in registry.py). Built + driver-style tested this round, registered
+# next round: the r9 window is set.
+# ---------------------------------------------------------------------------
+
+
+def smp_weighted(spark, sf_dir: str) -> DataFrame:
+    """r10 candidate: ES weighted sampling as a driver row — BOTH
+    forms in one frame: the global top-50 by n_chars weight (plans as
+    TakeOrderedAndProject — per-partition top-k + k-row merge, never
+    an unpartitioned window) and the per-source top-10 (one window
+    over the group partitioning), tagged by `form`. The oracle is
+    `weighted_sample_sql` verbatim for each half — 4 dp priority
+    rounding keeps the one transcendental (ln) engine-portable."""
+    from ..registry import Ctx
+
+    docs = Ctx.get(spark, sf_dir).tables["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    glob = weighted_sample(docs, "n_chars", 50, "doc_id").withColumn(
+        "form", F.lit("global")
+    )
+    grp = weighted_sample(docs, "n_chars", 10, "doc_id", group="source").withColumn(
+        "form", F.lit("per_group")
+    )
+    return glob.unionByName(grp)
+
+
+def smp_weighted_oracle() -> str:
+    base = "(SELECT doc_id, source, n_chars FROM documents) t"
+    g = weighted_sample_sql(base, "n_chars", 50, "doc_id")
+    p = weighted_sample_sql(base, "n_chars", 10, "doc_id", group="source")
+    return f"""
+SELECT q.*, 'global' AS form FROM ({g}) q
+UNION ALL
+SELECT q.*, 'per_group' AS form FROM ({p}) q
+"""
+
+
+def smp_temperature_mix(spark, sf_dir: str) -> DataFrame:
+    """r10 candidate: temperature-flattened mixing (alpha=0.5) as a
+    driver row. The operator collects one row per group (the bounded
+    vocab-head-style collect), computes rates with
+    `temperature_rates`' pure-function contract, and realizes the mix
+    through corpus_mix's exact hash-threshold filter. The oracle
+    derives the SAME rates in SQL — counts → s_g = pow(n_g/total, 0.5)
+    → z as an ORDERED list_sum (matching Python's sorted-group
+    accumulation order bit-for-bit) → round 6 dp — so the oracle
+    string stays static while the rates stay data-dependent."""
+    from ..registry import Ctx
+
+    docs = Ctx.get(spark, sf_dir).tables["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    return temperature_mix(docs, "source", "doc_id", alpha=0.5)
+
+
+def smp_temperature_mix_oracle() -> str:
+    b = bucket_sql("d.doc_id", "tmix")
+    return f"""
+WITH counts AS (
+  SELECT source AS g, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+sg AS (
+  SELECT g, n, pow(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 0.5) AS s
+  FROM counts, tot
+),
+zs AS (SELECT list_sum(list(s ORDER BY g)) AS z FROM sg),
+rates AS (
+  SELECT g, round((s / z) * CAST(total AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate
+  FROM sg, zs, tot
+),
+rated AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         CAST(floor(r.rate) AS INT)
+         + CAST(({b}) < CAST(round((r.rate - floor(r.rate)) * {_BUCKETS}) AS BIGINT) AS INT)
+         AS __n
+  FROM documents d JOIN rates r ON r.g = d.source
+)
+SELECT doc_id, source, n_chars, CAST(u AS INT) AS mix_copy
+FROM rated, unnest(range(CAST(__n AS BIGINT))) AS tt(u)
+WHERE __n > 0
+"""
+
+
 # Registered r9: the prepared-candidate plan in registry.py, executed.
 from ..registry import query as _query  # noqa: E402  (module tail)
 

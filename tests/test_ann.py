@@ -295,3 +295,31 @@ def test_lifecycle_on_explicit_file_scheme(spark, tmp_path):
         sorted(map(tuple, ivf_topk_from_index(spark, idx, queries).collect()))
         == after_del
     )
+
+
+def test_r10_candidate_ivf_lifecycle(spark):
+    """Driver-style compare for the prepared ann_ivf_lifecycle row at
+    BOTH gate scale factors: build (even half) → append (odd half,
+    frozen centroids) → tombstone-delete (vec_id % 17 == 3) → query
+    through the unified tombstone-aware path, hash-exact against the
+    fresh-index SQL oracle with the deleted slice anti-selected before
+    ranking."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.ann import (
+        ann_ivf_lifecycle,
+        ann_ivf_lifecycle_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, ann_ivf_lifecycle(spark, sf).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(ann_ivf_lifecycle_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) > 0 and got == want

@@ -393,3 +393,55 @@ def test_weighted_sample_global_plan_is_take_ordered(spark, docs):
     pplan = per._jdf.queryExecution().executedPlan().toString()
     assert "Window" in pplan
     assert "hashpartitioning(source" in pplan  # keyed, not single-partition
+
+
+def test_r10_candidate_weighted(spark):
+    """Driver-style compare for the prepared smp_weighted row at BOTH
+    gate scale factors: the global (TakeOrderedAndProject) and
+    per-group (single window) ES forms, each hash-exact against
+    weighted_sample_sql — 4 dp priority rounding keeps ln portable."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.sampling import (
+        smp_weighted,
+        smp_weighted_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, smp_weighted(spark, sf).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(map(tuple, con.execute(smp_weighted_oracle()).fetchall()))
+        con.close()
+        assert len(got) > 0 and got == want
+
+
+def test_r10_candidate_temperature_mix(spark):
+    """Driver-style compare for the prepared smp_temperature_mix row
+    at BOTH gate scale factors. The oracle derives the rates IN SQL —
+    counts → pow(n/total, 0.5) → z as an ORDERED list_sum matching
+    Python's sorted-group accumulation → round 6 dp — so the oracle
+    string is static while the rates stay data-dependent, and the
+    realized mix inherits corpus_mix's exact hash-threshold filter."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.sampling import (
+        smp_temperature_mix,
+        smp_temperature_mix_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, smp_temperature_mix(spark, sf).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(smp_temperature_mix_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) > 0 and got == want
