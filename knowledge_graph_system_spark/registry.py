@@ -179,6 +179,11 @@ class Ctx:
 #      temperature_rates' pure-function contract composed with
 #      corpus_mix's exact hash-threshold filter (operators/sampling.py;
 #      built + tested this round).
+# Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
+# row anyway — fold it through the persisted-merge-table chain
+# (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so
+# the graded row and the persistence story share one code path, the
+# same unification the IVF query path got this round.
 _RECORD_FIRST = [
     # ---- new (r9): the seven prepared candidates, registered
     "st_hll_stream",
