@@ -210,3 +210,59 @@ CONSOLIDATED = [
 
 for _n in CONSOLIDATED:
     QUERIES.pop(_n)
+
+
+# ---------------------------------------------------------------------------
+# Prepared r10 consolidation candidate (r10 plan in registry.py): the
+# always-green multimodal decode family folds into one suite row the
+# same way the seven r7 suites did — every member fn and its exact
+# registered oracle SQL still runs, embedded as a subquery. UNREGISTERED
+# this round (the r9 window is set, and registering would de-register
+# members that still own r9 window/tail rows); r10 registration is a
+# _make_suite call + CONSOLIDATED extension, capture-before-deregister
+# as above. The builders below are lazy (capture at call time) so the
+# candidate is testable now without touching the live registry.
+# ---------------------------------------------------------------------------
+
+_M_DECODE_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    ("m_decode_features", dict(n1="doc_id", n2="n_bytes", n3="checksum")),
+    ("m_image_decode",
+     dict(n1="doc_id", k1="fmt", n2="width", n3="height",
+          x1="mean_r", x2="mean_g", x3="mean_b")),
+    ("m_video_decode",
+     dict(n1="doc_id", n2="frame_idx", n3="ts_ms",
+          k1="concat_ws('|', width, height, qr, qg, qb)")),
+    ("m_audio_frames",
+     dict(n1="doc_id", n2="frame_idx", n3="n", x1="rms", x2="mcr")),
+    ("m_jpeg_decode",
+     dict(n1="doc_id", n2="width", n3="height",
+          k1="concat_ws('|', qr, qg, qb)")),
+    ("m_audio_decode",
+     dict(n1="doc_id", n2="sample_rate", n3="n_samples",
+          x1="duration_ms", x2="rms", x3="peak")),
+]
+
+
+def _m_decode_captured():
+    return [
+        (probe, QUERIES[probe].fn, QUERIES[probe].oracle, m)
+        for probe, m in _M_DECODE_MEMBERS
+    ]
+
+
+def m_decode_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        fn(spark, sf_dir).selectExpr(*_proj(probe, m))
+        for probe, fn, _oracle, m in _m_decode_captured()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def m_decode_suite_candidate_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT {', '.join(_proj(probe, m))} FROM ({sql})"
+        for probe, _fn, sql, m in _m_decode_captured()
+    )

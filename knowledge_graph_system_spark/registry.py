@@ -168,7 +168,13 @@ class Ctx:
 # m_decode_features / m_image_decode / m_video_decode / m_audio_frames
 # (r9-tail) + m_jpeg_decode / m_audio_decode (recorded r9) into one
 # m_decode_suite — removes 6 rows, adds 1 new suite row, freeing 5
-# net slots for the prepared candidates:
+# net slots. The suite candidate is ALREADY BUILT and driver-style
+# validated hash-exact at both gate sfs
+# (operators/suites.py:m_decode_suite_candidate, lazy capture so the
+# live registry is untouched; tests/test_registry_window.py::
+# test_r10_candidate_m_decode_suite) — r10 registration is a
+# _make_suite call + CONSOLIDATED extension. Slots go to the prepared
+# candidates:
 #   1. smp_weighted — ES weighted sampling (global TakeOrdered form +
 #      per-group form) against weighted_sample_sql, hash-exact
 #      (operators/sampling.py; built + driver-style tested this round).

@@ -68,3 +68,32 @@ def test_tail_has_recent_driver_evidence():
     names = list(registry.load_all())
     stale = [n for n in names[50:] if n not in recent]
     assert not stale, f"tail queries without recent driver evidence: {stale}"
+
+
+def test_r10_candidate_m_decode_suite(spark):
+    """Driver-style compare for the prepared m_decode_suite
+    consolidation candidate at BOTH gate scale factors: the six
+    multimodal decode rows folded into the shared 9-slot suite shape,
+    each member's exact registered oracle embedded as a subquery —
+    hash-exact, so the r10 consolidation is registration-only."""
+    import duckdb
+
+    from knowledge_graph_system_spark import registry
+    from knowledge_graph_system_spark.operators.suites import (
+        m_decode_suite_candidate,
+        m_decode_suite_candidate_oracle,
+    )
+
+    registry.load_all()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, m_decode_suite_candidate(spark, sf).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(m_decode_suite_candidate_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) > 0 and got == want
