@@ -616,3 +616,136 @@ def cur_contamination(spark, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 25 == 0)
     tr = docs.filter(F.col("doc_id") % 25 != 0)
     return contamination_check(tr, ev, n=8)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span REWRITE (r9): duplicate_span_stats detects
+# shared spans; this APPLIES the dedup — the corpus rewrite a training
+# pipeline actually ships (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": remove repeated spans, keep one
+# canonical occurrence). Prepared r10/r11 registry candidate; r10 plan
+# in registry.py.
+# ---------------------------------------------------------------------------
+
+
+def span_dedup_apply(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rewrite the corpus so every duplicated word n-gram span survives
+    only at its canonical FIRST occurrence (global order: doc_id, then
+    start position); every other occurrence's word positions are
+    removed and the doc's text is rebuilt from the surviving words.
+
+    Returns (doc_id, clean_text, n_kept, n_removed) for EVERY input
+    doc — untouched docs pass through verbatim with n_removed = 0.
+
+    Scale shape: positioned grams are a per-row array transform (no
+    shuffle); occurrence ranking is ONE window exchange on gram;
+    covered positions derive from the dead spans without a new
+    exchange; the rebuild is an anti-join on (doc, pos) plus a per-doc
+    aggregate — every stage linear in rows x grams, never doc x doc.
+    The within-partition sort the rebuild needs lives inside a
+    collect_list + array_sort fold, not a global orderBy."""
+    from pyspark.sql.window import Window
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    ws = base.withColumn("__ws", F.split("__text", " "))
+    grams = (
+        ws.filter(F.size("__ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__ws) - {n}), i -> "
+                    f"struct(i AS start, concat_ws(' ', slice(__ws, i + 1, {n})) AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+    occ_w = Window.partitionBy("gram").orderBy("doc_id", "start")
+    dead = (
+        grams.withColumn("rn", F.row_number().over(occ_w))
+        .filter(F.col("rn") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(start, start + {n - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    wp = ws.select("doc_id", F.posexplode("__ws").alias("pos", "word"))
+    rebuilt = (
+        wp.join(dead, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list(struct(pos, word))),"
+                " s -> s.word))"
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        ws.select("doc_id", F.size("__ws").cast("bigint").alias("__n_words"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("__n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def cur_span_dedup(spark, sf_dir: str) -> DataFrame:
+    """r10/r11 candidate: `span_dedup_apply` (n=8) over the documents
+    table as a driver row — the planted near-dup docs provably carry
+    duplicated 8-gram spans at every gate sf, so the rewrite grades a
+    non-trivial removal set (and every untouched doc verbatim)."""
+    return span_dedup_apply(spark.read.parquet(f"{sf_dir}/documents.parquet"), n=8)
+
+
+def cur_span_dedup_oracle() -> str:
+    # constant-bound generate_series + WHERE (DuckDB lateral-bound
+    # discipline, see the m_audio_frames oracle); fixture max is 99
+    # words per doc, bound 128
+    return """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, i AS start, array_to_string(w[i+1 : i+8], ' ') AS gram
+  FROM ws, generate_series(0, 128) AS t(i)
+  WHERE i <= len(w) - 8
+),
+occ AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+  FROM g
+),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.start + u AS pos
+  FROM (SELECT doc_id, start FROM occ WHERE rn >= 2) d,
+       unnest(range(0, 8)) AS t(u)
+),
+wp AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS word
+  FROM ws, generate_series(1, 128) AS t(i)
+  WHERE i <= len(w)
+),
+kept AS (
+  SELECT wp.doc_id, wp.pos, wp.word
+  FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.pos = wp.pos
+  WHERE cov.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0) AS n_kept,
+       CAST(len(string_split(b.text, ' ')) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed
+FROM documents b LEFT JOIN agg a ON a.doc_id = b.doc_id
+"""

@@ -185,6 +185,12 @@ class Ctx:
 #      temperature_rates' pure-function contract composed with
 #      corpus_mix's exact hash-threshold filter (operators/sampling.py;
 #      built + tested this round).
+#   4. cur_span_dedup — the Lee-et-al duplicated-span REWRITE
+#      (span_dedup_apply: canonical first occurrence survives, other
+#      occurrences' positions removed, text rebuilt); static SQL
+#      oracle, hash-exact at both gate sfs, semantics pinned in
+#      tests/test_curation.py (operators/curation.py; built + tested
+#      this round).
 # Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
 # row anyway — fold it through the persisted-merge-table chain
 # (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so

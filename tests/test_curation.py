@@ -286,3 +286,66 @@ def test_r7_candidate_split_mix(spark, duck):
     )
 
     _driver_style_compare(spark, duck, smp_split_mix, smp_split_mix_oracle())
+
+
+def test_r10_candidate_span_dedup(spark):
+    """Driver-style compare for the prepared cur_span_dedup row at BOTH
+    gate scale factors, plus the rewrite semantics the parity alone
+    would not show: a non-trivial removal set exists (planted near-dups
+    share 8-gram spans), untouched docs pass through verbatim, and a
+    canonical first occurrence survives for every removed span."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.curation import (
+        cur_span_dedup,
+        cur_span_dedup_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        out = cur_span_dedup(spark, sf)
+        got = sorted(map(tuple, out.collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(map(tuple, con.execute(cur_span_dedup_oracle()).fetchall()))
+        assert len(got) > 0 and got == want
+
+        by_id = {r[0]: r for r in got}
+        orig = dict(
+            con.execute("SELECT doc_id, text FROM documents").fetchall()
+        )
+        con.close()
+        # the rewrite did something, but not everything
+        removed = sum(r[3] for r in got)
+        untouched = [d for d, r in by_id.items() if r[3] == 0]
+        assert removed > 0 and untouched
+        # untouched docs are byte-identical to their input text
+        for d in untouched:
+            assert by_id[d][1] == orig[d]
+        # every doc's kept+removed adds up to its original word count
+        for d, r in by_id.items():
+            assert r[2] + r[3] == len(orig[d].split(" "))
+
+
+def test_span_dedup_apply_keeps_first_occurrence(spark):
+    """Two docs sharing an exact 8-word span: the lower doc_id keeps
+    the span, the higher one loses exactly those 8 words; a doc with
+    no duplicated span is untouched; a doc shorter than n passes
+    through whole."""
+    from knowledge_graph_system_spark.operators.curation import span_dedup_apply
+
+    span = "a b c d e f g h"
+    rows = [
+        (1, f"x1 x2 {span} y1 y2"),
+        (2, f"z1 z2 z3 {span}"),
+        (3, "unique words only here nothing repeats at all"),
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup_apply(docs, n=8).collect()}
+    assert out[1]["clean_text"] == rows[0][1] and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "z1 z2 z3" and out[2]["n_removed"] == 8
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "tiny doc" and out[4]["n_removed"] == 0
