@@ -191,6 +191,15 @@ class Ctx:
 #      oracle, hash-exact at both gate sfs, semantics pinned in
 #      tests/test_curation.py (operators/curation.py; built + tested
 #      this round).
+#   5. s6_gexf_fragments — the GEXF surface's first hash-exact row:
+#      sanitize + per-ontology palette coloring as distributed
+#      (kind, fragment) rows over every node AND edge, shared-string
+#      projections so the engines cannot drift (sources/export.py;
+#      built + tested this round — both kinds pinned non-empty).
+# That fills all 5 freed slots exactly (cur_pack_bpe's unification
+# rides its tail rotation, no slot). If r10 needs more room,
+# consolidate another always-green family first (annealing is the
+# natural next candidate).
 # Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
 # row anyway — fold it through the persisted-merge-table chain
 # (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so

@@ -209,3 +209,94 @@ SELECT * FROM (
 
 
 _register()
+
+
+# Prepared r10 registry candidate (r10 plan in registry.py): GEXF as
+# distributed fragments. `to_gexf` is the bounded single-document
+# hand-off (driver-side string build, <= max_nodes — a viz export);
+# this is the same sanitize + per-ontology-color semantics (S6/F9)
+# expressed as one DataFrame of XML fragments over the WHOLE graph —
+# no collect, no node bound, fully distributed and SQL-expressible, so
+# the GEXF surface can finally carry a hash-exact driver row instead
+# of pytest-only evidence. (A first cut reused to_gexf's first-1000-
+# by-node_id bound; the induced edge set was EMPTY — all low node_ids
+# are customer nodes whose edges point at order nodes — which would
+# have re-created exactly the empty==empty graded rows VERDICT r8
+# flagged. Fragments need no bound, so the bound is gone.) Edge
+# fragments drop the sequential id attribute (an enumeration artifact
+# of the single-doc serialization, not of the graph); the fragment
+# multiset is deterministic.
+# ---------------------------------------------------------------------------
+
+# the escape / color expressions are written once as SQL strings and
+# used VERBATIM by both engines, so the projections cannot drift
+_XML_ESC = "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+_PAL_CASE = {
+    "r": "CASE ci WHEN 0 THEN 228 WHEN 1 THEN 55 WHEN 2 THEN 77 WHEN 3 THEN 152"
+         " WHEN 4 THEN 255 WHEN 5 THEN 255 WHEN 6 THEN 166 ELSE 247 END",
+    "g": "CASE ci WHEN 0 THEN 26 WHEN 1 THEN 126 WHEN 2 THEN 175 WHEN 3 THEN 78"
+         " WHEN 4 THEN 127 WHEN 5 THEN 255 WHEN 6 THEN 86 ELSE 129 END",
+    "b": "CASE ci WHEN 0 THEN 28 WHEN 1 THEN 184 WHEN 2 THEN 74 WHEN 3 THEN 163"
+         " WHEN 4 THEN 0 WHEN 5 THEN 51 WHEN 6 THEN 40 ELSE 191 END",
+}
+_NODE_FRAG = (
+    "'<node id=\"' || " + _XML_ESC.format(x="node_id")
+    + " || '\" label=\"' || " + _XML_ESC.format(x="name")
+    + " || '\"><viz:color r=\"' || CAST(" + _PAL_CASE["r"] + " AS STRING)"
+    + " || '\" g=\"' || CAST(" + _PAL_CASE["g"] + " AS STRING)"
+    + " || '\" b=\"' || CAST(" + _PAL_CASE["b"] + " AS STRING)"
+    + " || '\"/></node>'"
+)
+_EDGE_FRAG = (
+    "'<edge source=\"' || " + _XML_ESC.format(x="src")
+    + " || '\" target=\"' || " + _XML_ESC.format(x="dst")
+    + " || '\" label=\"' || " + _XML_ESC.format(x="rel_type")
+    + " || '\"/>'"
+)
+
+
+def s6_gexf_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 candidate: GEXF sanitize + per-ontology palette coloring as
+    (kind, fragment) rows over every node and edge. The
+    ontology->palette-index ranking is a window over the DISTINCT
+    ontologies — a dimension-sized frame (36 rows at the gate sfs),
+    the same bounded-small-side discipline as to_gexf's color dict;
+    node and edge fragments themselves are pure per-row projections
+    (zero exchanges beyond the tiny broadcast join)."""
+    from pyspark.sql.window import Window
+
+    from ..registry import Ctx
+
+    ctx = Ctx.get(spark, sf_dir)
+    onts = (
+        ctx.nodes.select("ontology")
+        .distinct()
+        .withColumn(
+            "ci",
+            (F.row_number().over(Window.orderBy("ontology")) - 1).cast("int") % 8,
+        )
+    )
+    nfrag = (
+        ctx.nodes.join(F.broadcast(onts), "ontology")
+        .selectExpr("'node' AS kind", f"{_NODE_FRAG} AS fragment")
+    )
+    efrag = ctx.edges.selectExpr("'edge' AS kind", f"{_EDGE_FRAG} AS fragment")
+    return nfrag.unionByName(efrag)
+
+
+def s6_gexf_fragments_oracle() -> str:
+    from .graph_view import graph_ctes
+
+    return graph_ctes() + f""",
+onts AS (
+  SELECT ontology,
+         CAST(row_number() OVER (ORDER BY ontology) - 1 AS INT) % 8 AS ci
+  FROM (SELECT DISTINCT ontology FROM nodes)
+),
+colored AS (SELECT n.*, o.ci FROM nodes n JOIN onts o ON o.ontology = n.ontology)
+SELECT 'node' AS kind, {_NODE_FRAG.replace(" AS STRING)", " AS VARCHAR)")} AS fragment
+FROM colored
+UNION ALL
+SELECT 'edge' AS kind, {_EDGE_FRAG} AS fragment
+FROM edges
+"""

@@ -124,3 +124,37 @@ def test_epoch_snapshot_and_derived_staleness(spark):
     dt.refresh_if_stale(1)  # fresh → no rebuild
     dt.refresh_if_stale(2)  # watermark moved → rebuild
     assert builds == [1, 2]
+
+
+def test_r10_candidate_gexf_fragments(spark):
+    """Driver-style compare for the prepared s6_gexf_fragments row at
+    BOTH gate scale factors: GEXF sanitize + per-ontology palette
+    coloring as distributed (kind, fragment) rows over every node AND
+    edge — both kinds must be non-empty (a first cut with to_gexf's
+    first-1000 node bound induced ZERO edges: the empty==empty trap),
+    and hash-exact against the shared-expression SQL oracle."""
+    import duckdb
+
+    from knowledge_graph_system_spark.sources.export import (
+        s6_gexf_fragments,
+        s6_gexf_fragments_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, s6_gexf_fragments(spark, sf).collect()))
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        want = sorted(
+            map(tuple, con.execute(s6_gexf_fragments_oracle()).fetchall())
+        )
+        con.close()
+        kinds = {k for k, _ in got}
+        assert kinds == {"node", "edge"}
+        assert got == want
