@@ -349,3 +349,80 @@ def so_dispatch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert not res.aborted, res.abort_reason
     return res.working.nodes.select("node_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Prepared r10/r11 registry candidate (plan in registry.py): SO6
+# conditionals through the REAL executor as a graded row — until now
+# the conditional branch machinery had pytest-only evidence. The
+# program exercises all four condition kinds with both taken and
+# not-taken branches; the oracle is the SQL of the effective path, so
+# branch selection is graded (a wrong branch changes the result set).
+# ---------------------------------------------------------------------------
+
+_COND_PROGRAM = [
+    {"op": "+", "source": {"kind": "match", "label": "Part", "min_weight": 940.0}},
+    # has_results: Orders exist -> THEN adds the heavier part slice
+    # (subset union, W wins); a wrong ELSE would empty the graph
+    {"source": {"kind": "match", "label": "Order"},
+     "if": {"cond": "has_results"},
+     "then": [{"op": "+",
+               "source": {"kind": "match", "label": "Part", "min_weight": 990.0}}],
+     "else": [{"op": "-", "source": {"kind": "match", "label": "Part"}}]},
+    # empty: the ontology does not exist -> THEN pulls in C1's 1-hop
+    # neighborhood
+    {"source": {"kind": "match", "ontology": "NO_SUCH_ONTOLOGY"},
+     "if": {"cond": "empty"},
+     "then": [{"op": "+",
+               "source": {"kind": "neighborhood", "start": "C1", "depth": 1}}]},
+    # count_gte with an absurd bound: NOT taken -> ELSE removes light
+    # nodes; a wrong THEN would strip the Part/Order labels instead
+    {"source": {"kind": "match", "label": "Supplier"},
+     "if": {"cond": "count_gte", "value": 10_000_000_000},
+     "then": [{"op": "-",
+               "source": {"kind": "match", "labels": ["Part", "Order"]}}],
+     "else": [{"op": "-", "source": {"kind": "match", "max_weight": 900.0}}]},
+    # count_lte with the same absurd bound: taken -> intersect labels
+    {"source": {"kind": "match", "label": "Customer"},
+     "if": {"cond": "count_lte", "value": 10_000_000_000},
+     "then": [{"op": "&",
+               "source": {"kind": "match",
+                          "labels": ["Part", "Order", "Customer"]}}]},
+]
+
+
+def so_conditional_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10/r11 candidate: a conditional GraphProgram through the real
+    executor — has_results (taken), empty (taken), count_gte (not
+    taken), count_lte (taken) — graded against the effective path's
+    SQL. Same warm-up and collect_counts discipline as
+    so_program_demo (conditionals still count: the condition needs the
+    number)."""
+    ctx = Ctx.get(spark, sf_dir)
+    ctx.nodes.count()
+    ctx.edges.count()
+    res = execute_program(
+        _COND_PROGRAM, make_dispatch(ctx), empty_working(ctx), collect_counts=False
+    )
+    assert not res.aborted, res.abort_reason
+    return res.working.nodes.select("node_id", "label")
+
+
+def so_conditional_demo_oracle() -> str:
+    return graph_ctes() + """,
+walk(node_id, dist) AS (
+  SELECT 'C1', 0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node_id WHERE w.dist < 1
+),
+r1 AS (SELECT node_id, label, weight FROM nodes WHERE label = 'Part' AND weight > 940.0),
+r2 AS (SELECT node_id, label, weight FROM nodes WHERE label = 'Part' AND weight > 990.0),
+r3 AS (SELECT n.node_id, n.label, n.weight
+       FROM nodes n JOIN (SELECT DISTINCT node_id FROM walk) w ON w.node_id = n.node_id),
+-- DISTINCT over UNION ALL, not bare UNION (the so_program_demo caveat)
+u AS (SELECT DISTINCT * FROM (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)),
+d AS (SELECT * FROM u WHERE NOT (weight < 900.0)),
+f AS (SELECT * FROM d WHERE label IN ('Part', 'Order', 'Customer'))
+SELECT node_id, label FROM f
+"""

@@ -200,6 +200,11 @@ class Ctx:
 # rides its tail rotation, no slot). If r10 needs more room,
 # consolidate another always-green family first (annealing is the
 # natural next candidate).
+# r11 BACKLOG (built + driver-style validated this round, waiting on
+# slots): so_conditional_demo — SO6 conditionals through the real
+# executor, all four condition kinds, effective-path SQL oracle
+# (operators/setops.py; tests/test_program.py::
+# test_r10_candidate_conditional_demo).
 # Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
 # row anyway — fold it through the persisted-merge-table chain
 # (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so

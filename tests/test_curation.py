@@ -349,3 +349,48 @@ def test_span_dedup_apply_keeps_first_occurrence(spark):
     assert out[2]["clean_text"] == "z1 z2 z3" and out[2]["n_removed"] == 8
     assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "tiny doc" and out[4]["n_removed"] == 0
+
+
+def test_span_dedup_apply_matches_pure_python_reference(spark):
+    """Randomized differential against a pure-Python reference of the
+    same spec (tiny vocabulary forces heavy accidental gram collisions,
+    plus one planted full clone): clean text, kept and removed counts
+    must agree doc-for-doc. Also pins the scale shape: no cartesian or
+    nested-loop join anywhere in the plan."""
+    import random
+
+    from knowledge_graph_system_spark.operators.curation import span_dedup_apply
+
+    rnd = random.Random(7)
+    vocab = list("abcdefgh")
+    rows = []
+    for d in range(30):
+        n_words = rnd.randint(0, 25)
+        rows.append((d, " ".join(rnd.choice(vocab) for _ in range(n_words))))
+    rows[5] = (5, rows[3][1])  # planted exact clone
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_df = span_dedup_apply(docs, n=4)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    out = {r["doc_id"]: r for r in out_df.collect()}
+
+    n = 4
+    grams = []
+    for d, t in rows:
+        w = t.split(" ")
+        for i in range(len(w) - n + 1):
+            grams.append((d, i, " ".join(w[i : i + n])))
+    first: dict[str, tuple[int, int]] = {}
+    dead: dict[int, set[int]] = {}
+    for g, d, i in sorted((g, d, i) for d, i, g in grams):
+        if g in first:
+            dead.setdefault(d, set()).update(range(i, i + n))
+        else:
+            first[g] = (d, i)
+    for d, t in rows:
+        w = t.split(" ")
+        keep = [x for j, x in enumerate(w) if j not in dead.get(d, set())]
+        want = (" ".join(keep), len(keep), len(w) - len(keep))
+        got = (out[d]["clean_text"], out[d]["n_kept"], out[d]["n_removed"])
+        assert got == want, (d, got, want)

@@ -186,3 +186,34 @@ def test_dispatch_reference_kinds(spark):
     assert {x["node_id"] for x in new.nodes.collect()} == {
         x["node_id"] for x in old.nodes.collect()
     }
+
+
+def test_r10_candidate_conditional_demo(spark):
+    """Driver-style compare for the prepared so_conditional_demo row at
+    BOTH gate scale factors: all four SO6 condition kinds through the
+    real executor (has_results/empty/count_lte taken, count_gte not
+    taken), hash-exact against the effective path's SQL — a wrong
+    branch changes the result set, so branch selection is graded."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.setops import (
+        so_conditional_demo,
+        so_conditional_demo_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, so_conditional_demo(spark, sf).collect()))
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        want = sorted(
+            map(tuple, con.execute(so_conditional_demo_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) > 0 and got == want
