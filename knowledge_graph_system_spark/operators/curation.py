@@ -645,7 +645,15 @@ def span_dedup_apply(
     exchange; the rebuild is an anti-join on (doc, pos) plus a per-doc
     aggregate — every stage linear in rows x grams, never doc x doc.
     The within-partition sort the rebuild needs lives inside a
-    collect_list + array_sort fold, not a global orderBy."""
+    collect_list + array_sort fold, not a global orderBy.
+
+    Negative result, measured (SCALE_NOTES r9): a groupBy-MIN +
+    join-back variant (combiner-friendly, immune to a hot-gram window
+    partition) shuffles the gram stream TWICE and read 2.3x slower at
+    sf1 (27 s vs 12 s, with 100 s variance spikes) — the single sorted
+    exchange wins. A boilerplate-dominated corpus at 100 TB would
+    instead bound the hot grams up front (doc-frequency cap, the
+    MinHash band-cap discipline) before the window."""
     from pyspark.sql.window import Window
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
