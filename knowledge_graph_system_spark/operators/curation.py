@@ -629,7 +629,11 @@ def cur_contamination(spark, sf_dir: str) -> DataFrame:
 
 
 def span_dedup_apply(
-    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Rewrite the corpus so every duplicated word n-gram span survives
     only at its canonical FIRST occurrence (global order: doc_id, then
@@ -653,7 +657,12 @@ def span_dedup_apply(
     sf1 (27 s vs 12 s, with 100 s variance spikes) — the single sorted
     exchange wins. A boilerplate-dominated corpus at 100 TB would
     instead bound the hot grams up front (doc-frequency cap, the
-    MinHash band-cap discipline) before the window."""
+    MinHash band-cap discipline) before the window — that cap is
+    `max_df`: grams occurring more than max_df times are EXEMPT from
+    dedup (boilerplate is a filtering concern, not a dedup concern;
+    same liveness argument as MinHash's MAX_BUCKET). The occurrence
+    count rides the row_number window's existing exchange — a second
+    window function, zero extra shuffles."""
     from pyspark.sql.window import Window
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
@@ -672,9 +681,13 @@ def span_dedup_apply(
         .select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
     )
     occ_w = Window.partitionBy("gram").orderBy("doc_id", "start")
+    occ = grams.withColumn("rn", F.row_number().over(occ_w))
+    if max_df is not None:
+        occ = occ.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("gram"))
+        ).filter(F.col("__df") <= max_df)
     dead = (
-        grams.withColumn("rn", F.row_number().over(occ_w))
-        .filter(F.col("rn") >= 2)
+        occ.filter(F.col("rn") >= 2)
         .select(
             "doc_id",
             F.explode(F.expr(f"sequence(start, start + {n - 1})")).alias("pos"),

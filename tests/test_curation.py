@@ -394,3 +394,32 @@ def test_span_dedup_apply_matches_pure_python_reference(spark):
         want = (" ".join(keep), len(keep), len(w) - len(keep))
         got = (out[d]["clean_text"], out[d]["n_kept"], out[d]["n_removed"])
         assert got == want, (d, got, want)
+
+
+def test_span_dedup_apply_max_df_exempts_hot_grams(spark):
+    """The hot-gram cap: a boilerplate span repeated in many docs is
+    EXEMPT from dedup when its occurrence count exceeds max_df (the
+    MinHash band-cap liveness discipline), while a 2-occurrence span
+    still dedups; max_df=None keeps today's behavior. The df count
+    rides the existing gram-window exchange (no new shuffle: exactly
+    one Exchange over the gram stream either way)."""
+    from knowledge_graph_system_spark.operators.curation import span_dedup_apply
+
+    hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    rare = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(d, f"u{d} {hot}") for d in range(10)]
+    rows += [(100, f"x0 {rare}"), (101, f"y0 {rare}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped_df = span_dedup_apply(docs, n=8, max_df=5)
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(gram") == 1
+    capped = {r["doc_id"]: r for r in capped_df.collect()}
+    # hot span (10 occurrences > 5): every copy survives
+    for d in range(10):
+        assert capped[d]["n_removed"] == 0
+    # rare span (2 occurrences <= 5): second occurrence still dedups
+    assert capped[100]["n_removed"] == 0 and capped[101]["n_removed"] == 8
+
+    uncapped = {r["doc_id"]: r for r in span_dedup_apply(docs, n=8).collect()}
+    assert all(uncapped[d]["n_removed"] == 8 for d in range(1, 10))
