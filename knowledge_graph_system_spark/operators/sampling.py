@@ -542,6 +542,77 @@ WHERE __n > 0
 """
 
 
+def epoch_order(
+    df: DataFrame,
+    key: str,
+    epoch: int,
+    n_shards: int,
+    salt: str = "ep",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every row gets a
+    (shard, pos) from one md5 draw over (key, salt, epoch) — the data
+    order a trainer consumes, reproducible on any cluster with no RNG
+    state, and a DIFFERENT permutation every epoch (the epoch is in
+    the hash preimage). Shard = high bits mod n_shards; pos = dense
+    0-based rank of the draw within the shard.
+
+    Scale shape: one window per shard partition — n_shards sizes the
+    parallelism exactly like greedy_pack's n_groups (pick n_shards >=
+    cluster cores and small enough that a shard's rows fit a task; at
+    100 TB: tens of thousands). The sort-within-shard IS the epoch
+    shuffle; nothing is globally ordered."""
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{salt}:{epoch}")))
+    cols = df.columns
+    w = Window.partitionBy("shard").orderBy("__h", key)
+    return (
+        df.withColumn("__h", h)
+        .withColumn(
+            "shard",
+            F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint") % n_shards,
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(*cols, "shard", "pos")
+    )
+
+
+def epoch_order_sql(
+    table: str, key: str, epoch: int, n_shards: int, salt: str = "ep"
+) -> str:
+    """DuckDB twin of `epoch_order` (same md5 preimage, same high-bit
+    shard, same tie-break)."""
+    h = f"md5(CAST({key} AS VARCHAR) || ':{salt}:{epoch}')"
+    return f"""
+SELECT * EXCLUDE (__h, __rn), CAST(__rn - 1 AS BIGINT) AS pos FROM (
+  SELECT *, {h} AS __h,
+         CAST(('0x' || substr({h}, 1, 8)) AS BIGINT) % {n_shards} AS shard,
+         row_number() OVER (
+           PARTITION BY CAST(('0x' || substr({h}, 1, 8)) AS BIGINT) % {n_shards}
+           ORDER BY {h}, {key}) AS __rn
+  FROM {table}
+)
+"""
+
+
+def smp_epoch_order(spark, sf_dir: str) -> DataFrame:
+    """r11 candidate: `epoch_order` as a driver row — documents dealt
+    into 8 shards for epoch 2; (shard, pos) hash-exact against the SQL
+    twin, so the trainer-facing data-order contract is graded."""
+    from ..registry import Ctx
+
+    docs = Ctx.get(spark, sf_dir).tables["documents"].select("doc_id", "source")
+    return epoch_order(docs, "doc_id", epoch=2, n_shards=8)
+
+
+def smp_epoch_order_oracle() -> str:
+    return epoch_order_sql(
+        "(SELECT doc_id, source FROM documents) t", "doc_id", epoch=2, n_shards=8
+    )
+
+
 # Registered r9: the prepared-candidate plan in registry.py, executed.
 from ..registry import query as _query  # noqa: E402  (module tail)
 

@@ -201,10 +201,16 @@ class Ctx:
 # consolidate another always-green family first (annealing is the
 # natural next candidate).
 # r11 BACKLOG (built + driver-style validated this round, waiting on
-# slots): so_conditional_demo — SO6 conditionals through the real
-# executor, all four condition kinds, effective-path SQL oracle
-# (operators/setops.py; tests/test_program.py::
-# test_r10_candidate_conditional_demo).
+# slots):
+#   - so_conditional_demo — SO6 conditionals through the real
+#     executor, all four condition kinds, effective-path SQL oracle
+#     (operators/setops.py; tests/test_program.py::
+#     test_r10_candidate_conditional_demo).
+#   - smp_epoch_order — deterministic per-epoch training order
+#     (shard + dense position from one md5 draw; different permutation
+#     per epoch), SQL twin hash-exact at both gate sfs
+#     (operators/sampling.py; tests/test_sampling.py::
+#     test_r11_candidate_epoch_order).
 # Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
 # row anyway — fold it through the persisted-merge-table chain
 # (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so

@@ -445,3 +445,45 @@ def test_r10_candidate_temperature_mix(spark):
         )
         con.close()
         assert len(got) > 0 and got == want
+
+
+def test_r11_candidate_epoch_order(spark):
+    """Driver-style compare for the prepared smp_epoch_order row at
+    BOTH gate scale factors, plus the trainer-facing semantics: dense
+    0-based positions within every shard, a full permutation (every
+    input row appears exactly once), and a DIFFERENT permutation for a
+    different epoch (the epoch is in the hash preimage)."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.sampling import (
+        epoch_order,
+        smp_epoch_order,
+        smp_epoch_order_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = smp_epoch_order(spark, sf).collect()
+        got = sorted(map(tuple, rows))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        want = sorted(map(tuple, con.execute(smp_epoch_order_oracle()).fetchall()))
+        con.close()
+        assert len(got) == n_docs and got == want
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(8))
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    e1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_order(docs, "doc_id", 1, 8).collect()}
+    e2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_order(docs, "doc_id", 2, 8).collect()}
+    assert set(e1) == set(e2)
+    assert any(e1[k] != e2[k] for k in e1)
