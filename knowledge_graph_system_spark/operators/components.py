@@ -183,6 +183,40 @@ def dedup_apply(
     )
 
 
+def resolve_keepers_by_quality(
+    groups: DataFrame,
+    docs: DataFrame,
+    quality: "Column | str",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-elect each dup group's keeper by QUALITY instead of min-id:
+    trainers keep the best duplicate (longest, highest LM score, ...),
+    not the first-seen one. Input is d_dup_groups-shaped (doc_id,
+    group_id, keeper); output is the same shape with keeper = the
+    group's argmax-quality member (ties broken by id, so the election
+    is total). One broadcast-sized join (groups is the duplicate set,
+    corpus-small by definition) + one window over group_id — the same
+    single-exchange shape as d_dup_groups' own keeper rule. Composes
+    with `dedup_apply` unchanged."""
+    from pyspark.sql import Window
+
+    q = F.col(quality) if isinstance(quality, str) else quality
+    scored = groups.select(id_col, "group_id").join(
+        docs.select(id_col, q.alias("__q")), id_col
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("__q").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "group_id",
+            (F.col("__rn") == 1).alias("keeper"),
+        )
+    )
+
+
 def embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS in embedding space: d_embedding_neardup's
     verified cosine pairs → distributed connected components →

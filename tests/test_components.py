@@ -185,3 +185,68 @@ def test_r9_candidate_embedding_groups(spark):
     want = sorted(map(tuple, con.execute(d_embedding_groups_oracle()).fetchall()))
     con.close()
     assert len(got) > 0 and got == want
+
+
+def test_resolve_keepers_by_quality(spark):
+    """Quality-based keeper election over d_dup_groups-shaped input:
+    the argmax-quality member of each group wins (ties by id), every
+    group elects exactly one keeper, the DuckDB twin agrees
+    row-for-row, and the result feeds dedup_apply unchanged."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.components import (
+        d_dup_groups,
+        dedup_apply,
+        resolve_keepers_by_quality,
+    )
+    from knowledge_graph_system_spark.registry import Ctx
+    from tests.conftest import SF_DIR
+
+    ctx = Ctx.get(spark, SF_DIR)
+    docs = ctx.tables["documents"].select("doc_id", "n_chars")
+    groups = d_dup_groups(spark, SF_DIR).localCheckpoint(eager=True)
+    assert groups.count() > 0
+
+    by_q = resolve_keepers_by_quality(groups, docs, "n_chars")
+    rows = by_q.collect()
+    # one keeper per group
+    from collections import Counter
+
+    per_group = Counter(r["group_id"] for r in rows if r["keeper"])
+    all_groups = {r["group_id"] for r in rows}
+    assert per_group.keys() == all_groups
+    assert all(v == 1 for v in per_group.values())
+
+    # DuckDB twin over the materialized group table
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE TABLE g (doc_id BIGINT, group_id BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO g VALUES (?, ?)",
+        [(r["doc_id"], r["group_id"]) for r in groups.collect()],
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+SELECT g.doc_id, g.group_id,
+       row_number() OVER (
+         PARTITION BY g.group_id ORDER BY d.n_chars DESC, g.doc_id) = 1 AS keeper
+FROM g JOIN documents d USING (doc_id)
+"""
+            ).fetchall(),
+        )
+    )
+    assert sorted(map(tuple, rows)) == want
+
+    # composes with dedup_apply: keepers survive, losers are gone
+    canon = dedup_apply(ctx.tables["documents"], by_q)
+    ids = {r["doc_id"] for r in canon.select("doc_id").collect()}
+    for r in rows:
+        assert (r["doc_id"] in ids) == bool(r["keeper"])
