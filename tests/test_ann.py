@@ -323,3 +323,18 @@ def test_r10_candidate_ivf_lifecycle(spark):
         )
         con.close()
         assert len(got) > 0 and got == want
+
+
+def test_tombstone_probe_fails_loudly_on_unsupported_scheme(spark):
+    """The r8 bug was SILENT mishandling (os.path.isdir on a URI string
+    returned False, so deletes were invisibly ignored). The Hadoop FS
+    path must instead fail loudly when the scheme has no registered
+    FileSystem — an operator error, never a silently-empty tombstone
+    set."""
+    import pytest
+
+    from knowledge_graph_system_spark.operators.ann import _tombstones
+
+    with pytest.raises(Exception) as exc:
+        _tombstones(spark, "nosuchscheme://bucket/index")
+    assert "nosuchscheme" in str(exc.value).lower()
