@@ -1,0 +1,62 @@
+"""End-to-end curation pipeline: the user-facing chain of graded
+operators (exact dedup → near-dup → span rewrite → quality cut →
+decontaminate → temperature mix → BPE pack → epoch order)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _run(spark):
+    from knowledge_graph_system_spark.pipelines.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    tr = docs.filter(F.col("doc_id") % 25 != 0)
+    return curate_corpus(spark, tr, ev)
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The chain runs, every stage accounts for its rows, the dedup and
+    filter stages only shrink, the mix may grow, and the final frame
+    carries the full pack + epoch-order contract."""
+    res = _run(spark)
+    stages = {name: (i, o) for name, i, o in res.report}
+    assert set(stages) == {
+        "exact_dedup", "near_dedup", "span_dedup", "quality_cut",
+        "decontaminate", "temperature_mix", "bpe_pack", "epoch_order",
+    }
+    # stage chaining: each stage's rows_in == previous stage's rows_out
+    for (_, _, o), (_, i, _) in zip(res.report, res.report[1:]):
+        assert i == o
+    for name in ("exact_dedup", "near_dedup", "quality_cut", "decontaminate"):
+        i, o = stages[name]
+        assert o <= i
+    assert stages["near_dedup"][1] > stages["near_dedup"][0] - stages["near_dedup"][1], \
+        "near-dedup should remove some but not most rows"
+    assert stages["span_dedup"][0] == stages["span_dedup"][1]  # rewrite, not filter
+
+    out = res.packed
+    for c in ("pack_key", "doc_id", "source", "text", "pack_group",
+              "bin_id", "bin_offset", "spans_boundary", "shard", "pos"):
+        assert c in out.columns
+    rows = out.collect()
+    assert len(rows) == res.report[-1][2] > 0
+    # epoch order: dense positions per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # bin offsets respect the budget
+    assert all(0 <= r["bin_offset"] < 2048 for r in rows)
+
+
+def test_curate_corpus_deterministic(spark):
+    """Two runs over the same input produce byte-identical output —
+    every stage keys off content hashes, no RNG anywhere."""
+    a = sorted(map(tuple, _run(spark).packed.collect()))
+    b = sorted(map(tuple, _run(spark).packed.collect()))
+    assert a == b and len(a) > 0
