@@ -200,6 +200,33 @@ class Ctx:
 # rides its tail rotation, no slot). If r10 needs more room,
 # consolidate another always-green family first (annealing is the
 # natural next candidate).
+# r10 WINDOW, PRE-COMPUTED (execute verbatim next round unless r10
+# makes code changes to r9-window rows' executed paths — the budget
+# below has ZERO slack, so any such change requires consolidating
+# another family first): 6 new (m_decode_suite, smp_weighted,
+# ann_ivf_lifecycle, smp_temperature_mix, cur_span_dedup,
+# s6_gexf_fragments) + the 44-row r9 tail (the 48 rows past slot 50
+# this round MINUS the four consolidated members m_decode_features /
+# m_image_decode / m_video_decode / m_audio_frames), in this exact
+# enumeration order:
+#   a2a3_confidence_score, a5_graph_stats, a6_category_distribution,
+#   a12_evidence_dedup, a13_best_chunk_per_source, a14_tfidf_naming,
+#   a15_lifetime_page, q5_supplier_volume, ann_brute_topk,
+#   ann_ivf_topk, an_annealing_cycle, an_execute_proposals,
+#   x1_asof_join, x2_range_join, t_bpe_counts, cur_pack_bpe,
+#   s8_catalog_rebuild, t_cms_words, d_simhash, g_pagerank,
+#   g_communities, g_weighted_sssp, j1_evidence_join,
+#   j5_cross_ontology_affinity, g1_bfs_out_depth3, t_lm_quality,
+#   f6_dbscan, u4_pruning_recommendations, t_hll_words,
+#   v1_vector_search, so_block_compiler, p7_cypher_subset,
+#   p7_cypher_varlen, p7_cypher_trail, p7_cypher_optional,
+#   p7_cypher_union, p7_cypher_unwind, p7_cypher_with,
+#   p7_cypher_shortest, st_epoch_snapshot, sq_saved_query,
+#   s4_export_roundtrip, st_session_window, st_json_props
+# (cur_pack_bpe's persistence unification is an edit to a tail row,
+# which is in this window anyway — no extra slot. m_jpeg_decode /
+# m_audio_decode recorded r9 and leave the registry via the suite.)
+#
 # r11 BACKLOG (built + driver-style validated this round, waiting on
 # slots):
 #   - so_conditional_demo — SO6 conditionals through the real
