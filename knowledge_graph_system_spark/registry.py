@@ -238,6 +238,11 @@ class Ctx:
 #     per epoch), SQL twin hash-exact at both gate sfs
 #     (operators/sampling.py; tests/test_sampling.py::
 #     test_r11_candidate_epoch_order).
+#   - st_spandedup_stream — streaming span-dedup rewrite against the
+#     accumulated gram-first index (O(batch ∩ index) per batch);
+#     ascending-range replay makes stream == batch exact, graded
+#     against cur_span_dedup's static oracle
+#     (streaming/span_stream.py; tests/test_span_stream.py).
 # Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
 # row anyway — fold it through the persisted-merge-table chain
 # (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so
