@@ -154,3 +154,33 @@ def test_cypher_pattern_parse_roundtrip(chain):
         assert edges[i].rel_types == (tuple(rel.split("|")) if rel else None)
         assert edges[i].direction == {"->": "out", "<-": "in", "-": "both"}[direction]
         assert nodes[i + 1].label == label
+
+
+def test_duckdb_libm_parity_pow_ln():
+    """The oracle discipline for smp_temperature_mix (pow(x, 0.5)) and
+    weighted_sample (ln) leans on Python and DuckDB sharing a libm:
+    pin that assumption BITWISE over a deterministic sweep, so a
+    toolchain change that breaks it fails here before it flips a
+    graded row at the round boundary."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+
+    con = duckdb.connect()
+    rnd = random.Random(42)
+    for _ in range(2000):
+        n = rnd.randint(1, 10**9)
+        total = n + rnd.randint(0, 10**9)
+        py = (n / total) ** 0.5
+        db = con.execute(
+            "SELECT pow(CAST(? AS DOUBLE) / CAST(? AS DOUBLE), 0.5)", [n, total]
+        ).fetchone()[0]
+        assert struct.pack("d", py) == struct.pack("d", db), (n, total)
+    for _ in range(2000):
+        x = (rnd.randint(0, 9999) + 0.5) / 10000.0
+        assert struct.pack("d", math.log(x)) == struct.pack(
+            "d", con.execute("SELECT ln(CAST(? AS DOUBLE))", [x]).fetchone()[0]
+        ), x
+    con.close()
