@@ -266,3 +266,40 @@ def m_decode_suite_candidate_oracle() -> str:
         f"SELECT {', '.join(_proj(probe, m))} FROM ({sql})"
         for probe, _fn, sql, m in _m_decode_captured()
     )
+
+
+# r10 CONTINGENCY consolidation candidate (the plan's "annealing is
+# the natural next candidate" fallback — only registered if r10 needs
+# slots beyond the zero-slack budget in registry.py). Same lazy-capture
+# shape as m_decode_suite_candidate.
+
+_AN_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    ("an_annealing_cycle",
+     dict(k1="verb", k2="concat_ws('|', kind, subject, target)", x1="score")),
+    ("an_execute_proposals", dict(k1="ontology", n1="n_nodes")),
+]
+
+
+def _an_captured():
+    return [
+        (probe, QUERIES[probe].fn, QUERIES[probe].oracle, m)
+        for probe, m in _AN_MEMBERS
+    ]
+
+
+def an_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        fn(spark, sf_dir).selectExpr(*_proj(probe, m))
+        for probe, fn, _oracle, m in _an_captured()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def an_suite_candidate_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT {', '.join(_proj(probe, m))} FROM ({sql})"
+        for probe, _fn, sql, m in _an_captured()
+    )

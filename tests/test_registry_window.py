@@ -97,3 +97,35 @@ def test_r10_candidate_m_decode_suite(spark):
         )
         con.close()
         assert len(got) > 0 and got == want
+
+
+def test_r10_contingency_an_suite(spark):
+    """Driver-style compare for the annealing consolidation fallback
+    (registered in r10 only if the zero-slack window budget breaks):
+    both members folded into the 9-slot suite shape, hash-exact at
+    BOTH gate scale factors."""
+    import duckdb
+
+    from knowledge_graph_system_spark import registry
+    from knowledge_graph_system_spark.operators.suites import (
+        an_suite_candidate,
+        an_suite_candidate_oracle,
+    )
+
+    registry.load_all()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, an_suite_candidate(spark, sf).collect()))
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        want = sorted(
+            map(tuple, con.execute(an_suite_candidate_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) > 0 and got == want
