@@ -770,3 +770,91 @@ SELECT b.doc_id,
        CAST(len(string_split(b.text, ' ')) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed
 FROM documents b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
+
+
+def pack_segments(
+    packed: DataFrame, seq_len: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Split boundary-spanning docs into exact per-bin segments — the
+    step greedy_pack's docstring defers "downstream": every doc's
+    token span [start, start + n_tokens) is cut at bin boundaries into
+    (bin_id, bin_offset, doc_offset, seg_len) rows, so each training
+    sequence reads exactly its seq_len tokens and a spanning doc
+    continues at doc_offset in the next bin.
+
+    Input is greedy_pack's output (start reconstructs as
+    bin_id * seq_len + bin_offset). Zero-token docs are dropped (they
+    occupy no span). Pure per-row column math + one explode over the
+    doc's bin range — no shuffle at all on top of the packing.
+
+    Invariants (pinned by test): per-doc Σ seg_len == n_tokens; within
+    every bin the segments tile [0, fill) without gaps or overlaps;
+    every non-tail bin of a group is exactly seq_len full."""
+    L = seq_len
+    start = (F.col("bin_id") * L + F.col("bin_offset")).alias("__start")
+    d = packed.filter(F.col("n_tokens") > 0).withColumn("__start", start)
+    d = d.withColumn("__end", F.col("__start") + F.col("n_tokens"))
+    d = d.withColumn(
+        "__b",
+        F.explode(
+            F.expr(f"sequence(bin_id, CAST(floor((__end - 1) / {L}) AS BIGINT))")
+        ),
+    )
+    return d.select(
+        id_col,
+        "pack_group",
+        F.col("__b").alias("bin_id"),
+        F.when(F.col("__b") == F.col("bin_id"), F.col("bin_offset"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("bin_offset"),
+        F.when(F.col("__b") == F.col("bin_id"), F.lit(0))
+        .otherwise(F.col("__b") * L - F.col("__start"))
+        .cast("bigint")
+        .alias("doc_offset"),
+        (
+            F.least(F.col("__end"), (F.col("__b") + 1) * L)
+            - F.greatest(F.col("__start"), F.col("__b") * L)
+        )
+        .cast("bigint")
+        .alias("seg_len"),
+    )
+
+
+def pack_segments_sql(packed_sql: str, seq_len: int, max_extra_bins: int = 4) -> str:
+    """DuckDB twin of `pack_segments` over a greedy_pack_sql subquery
+    (constant-bound series + WHERE, the lateral-bound discipline)."""
+    L = seq_len
+    return f"""
+WITH __packed AS ({packed_sql}),
+__s AS (
+  SELECT *, bin_id * {L} + bin_offset AS __start,
+         bin_id * {L} + bin_offset + n_tokens AS __end
+  FROM __packed WHERE n_tokens > 0
+)
+SELECT doc_id, pack_group,
+       bin_id + u AS bin_id,
+       CAST(CASE WHEN u = 0 THEN bin_offset ELSE 0 END AS BIGINT) AS bin_offset,
+       CAST(CASE WHEN u = 0 THEN 0 ELSE (bin_id + u) * {L} - __start END AS BIGINT) AS doc_offset,
+       CAST(least(__end, (bin_id + u + 1) * {L})
+            - greatest(__start, (bin_id + u) * {L}) AS BIGINT) AS seg_len
+FROM __s, unnest(range(0, {max_extra_bins})) AS t(u)
+WHERE bin_id + u <= CAST(floor((__end - 1) / {L}) AS BIGINT)
+"""
+
+
+def cur_pack_segments(spark, sf_dir: str) -> DataFrame:
+    """r11 candidate: the segment table for a seq_len=128 packing of
+    the documents table (whitespace budget — docs up to ~100 words, so
+    spanning docs genuinely split) — greedy_pack composed with
+    pack_segments, graded hash-exact against the composed SQL twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_segments(
+        greedy_pack(docs, seq_len=128, n_groups=8), seq_len=128
+    )
+
+
+def cur_pack_segments_oracle() -> str:
+    return pack_segments_sql(
+        greedy_pack_sql("documents", seq_len=128, n_groups=8), seq_len=128
+    )

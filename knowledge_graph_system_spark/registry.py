@@ -243,6 +243,11 @@ class Ctx:
 #     ascending-range replay makes stream == batch exact, graded
 #     against cur_span_dedup's static oracle
 #     (streaming/span_stream.py; tests/test_span_stream.py).
+#   - cur_pack_segments — the bin-boundary SPLIT greedy_pack defers
+#     "downstream": exact per-bin segment table (bin_offset,
+#     doc_offset, seg_len), tiling invariants pinned, composed SQL
+#     twin hash-exact at both gate sfs (operators/curation.py;
+#     tests/test_curation.py::test_r11_candidate_pack_segments).
 # Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
 # row anyway — fold it through the persisted-merge-table chain
 # (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so

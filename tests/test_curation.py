@@ -423,3 +423,60 @@ def test_span_dedup_apply_max_df_exempts_hot_grams(spark):
 
     uncapped = {r["doc_id"]: r for r in span_dedup_apply(docs, n=8).collect()}
     assert all(uncapped[d]["n_removed"] == 8 for d in range(1, 10))
+
+
+def test_r11_candidate_pack_segments(spark):
+    """Driver-style compare for the prepared cur_pack_segments row at
+    BOTH gate scale factors, plus the tiling invariants the parity
+    alone would not show: per-doc segment lengths sum to n_tokens,
+    every bin's segments tile [0, fill) with no gap or overlap, and
+    every non-tail bin of a group is exactly seq_len full."""
+    import duckdb
+    from collections import defaultdict
+
+    from knowledge_graph_system_spark.operators.curation import (
+        cur_pack_segments,
+        cur_pack_segments_oracle,
+        greedy_pack,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = cur_pack_segments(spark, sf).collect()
+        got = sorted(map(tuple, rows))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(cur_pack_segments_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) > 0 and got == want
+        assert any(r["doc_offset"] > 0 for r in rows)  # real splits happened
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        packed = {
+            r["doc_id"]: r for r in greedy_pack(docs, seq_len=128, n_groups=8).collect()
+        }
+        per_doc = defaultdict(int)
+        bins = defaultdict(list)
+        for r in rows:
+            per_doc[r["doc_id"]] += r["seg_len"]
+            bins[(r["pack_group"], r["bin_id"])].append(
+                (r["bin_offset"], r["seg_len"])
+            )
+        for d, tot in per_doc.items():
+            assert tot == packed[d]["n_tokens"], d
+        max_bin = {}
+        for (g, b), segs in bins.items():
+            segs.sort()
+            pos = 0
+            for off, ln in segs:
+                assert off == pos and ln > 0, (g, b, segs)
+                pos += ln
+            assert pos <= 128
+            max_bin[g] = max(max_bin.get(g, -1), b)
+        for (g, b), segs in bins.items():
+            if b < max_bin[g]:
+                assert sum(ln for _, ln in segs) == 128, (g, b)
