@@ -178,3 +178,49 @@ GROUP BY d.source
 # r8 driver row(s): prepared in r7, registered this round (prepared-plan
 # discipline — registration only; candidate code and oracles unchanged).
 query("t_lm_quality", oracle=t_lm_quality_oracle())(t_lm_quality)
+
+
+# ---------------------------------------------------------------------------
+# Prepared r11 registry candidate (plan in registry.py): CCNet-style
+# perplexity terciles — the bucketing Wenzek et al. (2020) apply before
+# sampling head/middle/tail slices of a crawl.
+# ---------------------------------------------------------------------------
+
+
+def ccnet_buckets(
+    scored: DataFrame, score: str = "lm_logp", key: str = "doc_id"
+) -> DataFrame:
+    """head/middle/tail by exact global terciles of the LM score
+    (higher log-prob = less surprising = head). Thresholds come from
+    one exact Greenwald-Khanna pass (rel_err=0 — the dataset elements
+    DuckDB's quantile_disc returns, the smp_quantile_global contract);
+    the bucket assignment is then a pure projection, so the whole
+    operator adds one aggregate job and zero shuffles to the score."""
+    t1, t2 = scored.stat.approxQuantile(score, [1 / 3, 2 / 3], 0.0)
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col(score) <= t1, "tail")
+        .when(F.col(score) <= t2, "middle")
+        .otherwise("head"),
+    )
+
+
+def t_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
+    """r11 candidate: lm_score over documents → exact-tercile
+    head/middle/tail buckets, graded hash-exact against the composed
+    SQL twin (score CTE + quantile_disc thresholds + the same CASE)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_buckets(lm_score(docs))
+
+
+def t_ccnet_buckets_oracle() -> str:
+    return f"""
+WITH s AS ({lm_score_sql("documents")}),
+t AS (SELECT quantile_disc(lm_logp, 1.0/3) AS t1,
+             quantile_disc(lm_logp, 2.0/3) AS t2 FROM s)
+SELECT s.doc_id, s.n_bigrams, s.lm_logp,
+       CASE WHEN s.lm_logp <= t.t1 THEN 'tail'
+            WHEN s.lm_logp <= t.t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM s, t
+"""

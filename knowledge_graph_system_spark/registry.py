@@ -248,6 +248,11 @@ class Ctx:
 #     doc_offset, seg_len), tiling invariants pinned, composed SQL
 #     twin hash-exact at both gate sfs (operators/curation.py;
 #     tests/test_curation.py::test_r11_candidate_pack_segments).
+#   - t_ccnet_buckets — CCNet head/middle/tail perplexity terciles
+#     over the graded LM score (exact GK thresholds == quantile_disc,
+#     bucket CASE shared); composed SQL twin hash-exact at both gate
+#     sfs (operators/lm.py; tests/test_lm.py::
+#     test_r11_candidate_ccnet_buckets).
 # Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
 # row anyway — fold it through the persisted-merge-table chain
 # (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so

@@ -89,3 +89,41 @@ def test_r8_candidate_lm_quality(spark, duck):
     got = sorted(map(tuple, t_lm_quality(spark, SF_DIR).collect()))
     want = sorted(map(tuple, duck.execute(t_lm_quality_oracle()).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_r11_candidate_ccnet_buckets(spark):
+    """Driver-style compare for the prepared t_ccnet_buckets row at
+    BOTH gate scale factors, plus the bucketing semantics: terciles
+    are within one doc of equal thirds, and every head score strictly
+    exceeds every tail score."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.lm import (
+        t_ccnet_buckets,
+        t_ccnet_buckets_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = t_ccnet_buckets(spark, sf).collect()
+        got = sorted(map(tuple, rows))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(t_ccnet_buckets_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) > 0 and got == want
+
+        from collections import Counter
+
+        sizes = Counter(r["bucket"] for r in rows)
+        assert set(sizes) == {"head", "middle", "tail"}
+        assert max(sizes.values()) - min(sizes.values()) <= max(
+            1, len(rows) // 100
+        )
+        assert min(
+            r["lm_logp"] for r in rows if r["bucket"] == "head"
+        ) > max(r["lm_logp"] for r in rows if r["bucket"] == "tail")
