@@ -253,7 +253,15 @@ class Ctx:
 #     bucket CASE shared); composed SQL twin hash-exact at both gate
 #     sfs (operators/lm.py; tests/test_lm.py::
 #     test_r11_candidate_ccnet_buckets).
-# Also due in r10: cur_pack_bpe rotates into the r10 window as a tail
+# Also due in r10 (both are edits to rows ALREADY in the pre-computed
+# r10 window, zero extra slots):
+#   - lm_score's forced broadcast of the bigram/unigram count frames
+#     (operators/lm.py:92-94) gets the TOMBSTONE_BROADCAST_MAX-style
+#     count guard — the sf1 decade probe measured t_ccnet_buckets at
+#     8.6× (SCALE_NOTES r9 part 3): the count table can outgrow a sane
+#     broadcast, the r8 tombstone defect class. t_lm_quality is in the
+#     r10 window, so the executed-path edit is free.
+#   - cur_pack_bpe rotates into the r10 window as a tail
 # row anyway — fold it through the persisted-merge-table chain
 # (cur_pack_bpe_from_saved, identity pinned in tests/test_bpe.py) so
 # the graded row and the persistence story share one code path, the
