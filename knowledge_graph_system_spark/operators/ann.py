@@ -517,3 +517,8 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
   FROM scored
 ) WHERE rank <= {_TOPK}
 """
+
+
+# Registered r10: the prepared-candidate plan in registry.py, executed
+# (module-tail registration line only; no executed-path edits).
+query("ann_ivf_lifecycle", oracle=ann_ivf_lifecycle_oracle())(ann_ivf_lifecycle)

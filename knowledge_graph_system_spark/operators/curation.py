@@ -858,3 +858,7 @@ def cur_pack_segments_oracle() -> str:
     return pack_segments_sql(
         greedy_pack_sql("documents", seq_len=128, n_groups=8), seq_len=128
     )
+
+
+# Registered r10: the prepared-candidate plan in registry.py, executed.
+query("cur_span_dedup", oracle=cur_span_dedup_oracle())(cur_span_dedup)

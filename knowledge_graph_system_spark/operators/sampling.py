@@ -619,3 +619,9 @@ from ..registry import query as _query  # noqa: E402  (module tail)
 _query("smp_quantile_global", oracle=smp_quantile_global_oracle())(
     smp_quantile_global
 )
+
+# Registered r10: the prepared-candidate plan in registry.py, executed.
+_query("smp_weighted", oracle=smp_weighted_oracle())(smp_weighted)
+_query("smp_temperature_mix", oracle=smp_temperature_mix_oracle())(
+    smp_temperature_mix
+)

@@ -188,41 +188,12 @@ f_catalog_suite = _make_suite(
 )
 
 
-# ---- de-register the folded members ---------------------------------------
-# Their fns, oracles, and pytest coverage are untouched; only the
-# individual driver rows disappear (the suites above carry the exact
-# same oracle SQL). This is what frees permanent recording-window
-# headroom: 31 member rows -> 7 suite rows.
-
-CONSOLIDATED = [
-    "a7_ontology_mass", "a8_ontology_coherence", "a9_ontology_protection",
-    "a10_vocab_value", "a11_semantic_diversity",
-    "j2_concepts_for_sources", "j3_left_outer_enrich", "j4_hydrate_ids",
-    "j8_stale_anti_join", "j9_two_tier_matcher",
-    "v2_chunk_search", "v3_batch_cosine", "v5_smell_test",
-    "v6_synonym_detection", "v6b_merge_groups", "v8_threshold_hint",
-    "t_langid_confusion", "t_quality_score", "t_token_counts", "t_fingerprint",
-    "p1_match_nodes", "p3_epistemic_filter", "p4_ontology_scope",
-    "p5_confidence_filter", "p6_ordered_page", "p8_strip_projection",
-    "st_tumbling_window", "st_sliding_window", "st_rollup",
-    "f1_fuzzy_search", "f2_regex_match",
-]
-
-for _n in CONSOLIDATED:
-    QUERIES.pop(_n)
-
-
-# ---------------------------------------------------------------------------
-# Prepared r10 consolidation candidate (r10 plan in registry.py): the
-# always-green multimodal decode family folds into one suite row the
-# same way the seven r7 suites did — every member fn and its exact
-# registered oracle SQL still runs, embedded as a subquery. UNREGISTERED
-# this round (the r9 window is set, and registering would de-register
-# members that still own r9 window/tail rows); r10 registration is a
-# _make_suite call + CONSOLIDATED extension, capture-before-deregister
-# as above. The builders below are lazy (capture at call time) so the
-# candidate is testable now without touching the live registry.
-# ---------------------------------------------------------------------------
+# r10 consolidation (the plan written in registry.py r9, executed
+# verbatim): the always-green multimodal decode family folds into one
+# suite row exactly like the seven r7 suites — every member fn and its
+# exact registered oracle SQL still runs, embedded as a subquery.
+# Removes 6 registered rows, adds this 1, freeing 5 net window slots
+# for the five prepared r10 candidates.
 
 _M_DECODE_MEMBERS: list[tuple[str, dict[str, str]]] = [
     ("m_decode_features", dict(n1="doc_id", n2="n_bytes", n3="checksum")),
@@ -242,36 +213,41 @@ _M_DECODE_MEMBERS: list[tuple[str, dict[str, str]]] = [
           x1="duration_ms", x2="rms", x3="peak")),
 ]
 
-
-def _m_decode_captured():
-    return [
-        (probe, QUERIES[probe].fn, QUERIES[probe].oracle, m)
-        for probe, m in _M_DECODE_MEMBERS
-    ]
+m_decode_suite = _make_suite("m_decode_suite", _M_DECODE_MEMBERS)
 
 
-def m_decode_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [
-        fn(spark, sf_dir).selectExpr(*_proj(probe, m))
-        for probe, fn, _oracle, m in _m_decode_captured()
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+# ---- de-register the folded members ---------------------------------------
+# Their fns, oracles, and pytest coverage are untouched; only the
+# individual driver rows disappear (the suites above carry the exact
+# same oracle SQL). This is what frees permanent recording-window
+# headroom: 31 member rows -> 7 suite rows (r7), then the 6 multimodal
+# decode rows -> m_decode_suite (r10).
+
+CONSOLIDATED = [
+    "a7_ontology_mass", "a8_ontology_coherence", "a9_ontology_protection",
+    "a10_vocab_value", "a11_semantic_diversity",
+    "j2_concepts_for_sources", "j3_left_outer_enrich", "j4_hydrate_ids",
+    "j8_stale_anti_join", "j9_two_tier_matcher",
+    "v2_chunk_search", "v3_batch_cosine", "v5_smell_test",
+    "v6_synonym_detection", "v6b_merge_groups", "v8_threshold_hint",
+    "t_langid_confusion", "t_quality_score", "t_token_counts", "t_fingerprint",
+    "p1_match_nodes", "p3_epistemic_filter", "p4_ontology_scope",
+    "p5_confidence_filter", "p6_ordered_page", "p8_strip_projection",
+    "st_tumbling_window", "st_sliding_window", "st_rollup",
+    "f1_fuzzy_search", "f2_regex_match",
+    # r10: the multimodal decode family -> m_decode_suite
+    "m_decode_features", "m_image_decode", "m_video_decode",
+    "m_audio_frames", "m_jpeg_decode", "m_audio_decode",
+]
+
+for _n in CONSOLIDATED:
+    QUERIES.pop(_n)
 
 
-def m_decode_suite_candidate_oracle() -> str:
-    return "\nUNION ALL\n".join(
-        f"SELECT {', '.join(_proj(probe, m))} FROM ({sql})"
-        for probe, _fn, sql, m in _m_decode_captured()
-    )
-
-
-# r10 CONTINGENCY consolidation candidate (the plan's "annealing is
-# the natural next candidate" fallback — only registered if r10 needs
-# slots beyond the zero-slack budget in registry.py). Same lazy-capture
-# shape as m_decode_suite_candidate.
+# CONTINGENCY consolidation candidate (the standing "annealing is the
+# natural next candidate" fallback — registered only if a round's
+# window budget breaks). Lazy-capture so the live registry is
+# untouched until registration.
 
 _AN_MEMBERS: list[tuple[str, dict[str, str]]] = [
     ("an_annealing_cycle",

@@ -267,61 +267,63 @@ class Ctx:
 # the graded row and the persistence story share one code path, the
 # same unification the IVF query path got this round.
 _RECORD_FIRST = [
-    # ---- new (r9): the seven prepared candidates, registered
-    "st_hll_stream",
-    "st_cms_stream",
-    "st_enrich_stream",
-    "st_neardup_stream",
-    "d_dedup_apply",
-    "d_embedding_groups",
-    "smp_quantile_global",
-    # ---- changed (r9): the two 0-row graded rows made non-empty
-    # (VERDICT r8 wrong #1); both were r8-window rows, so each costs
-    # a slot under the alternation rule
-    "q3_shipping_priority",
-    "d_exact_dedup",
-    # ---- the r8 non-window tail, same order (41 rows)
-    "q1_pricing_summary",
-    "ann_ivf_persisted",
-    "a4_grounding",
-    "o1_ontology_edges",
-    "ep_status_measurement",
-    "d_minhash_lsh",
-    "d_embedding_neardup",
-    "d_dup_groups",
-    "cur_repetition_spans",
-    "cur_pii_redact",
-    "smp_split_mix",
-    "cur_pack_quota",
-    "cur_contamination",
-    "x2_skew_naive_join",
-    "x2_skew_salted_join",
-    "g1_bfs_both_depth2_conf",
-    "g2_shortest_path",
-    "g3_k_shortest_paths",
-    "g4_subgraph",
-    "a1_degree_top20",
-    "lc_related",
-    "lc_connect_by_search",
-    "m_jpeg_decode",
-    "m_audio_decode",
-    "f5_projection",
-    "f7_centroids",
-    "r_bm25_topk",
-    "so_program_demo",
-    "so_dispatch_matrix",
-    "t_corpus_filter",
-    "md_blocks",
-    "p7_guarded_query",
-    "src_jsonl_quarantine",
-    "st_ingest_e2e",
-    "a_scores_suite",
-    "j_enrich_suite",
-    "v_search_suite",
-    "t_textstats_suite",
-    "p_filter_matrix",
-    "st_windows_suite",
-    "f_catalog_suite",
+    # ---- new (r10): the consolidation suite + the five prepared
+    # candidates, registered exactly as the pre-computed plan above
+    "m_decode_suite",
+    "smp_weighted",
+    "ann_ivf_lifecycle",
+    "smp_temperature_mix",
+    "cur_span_dedup",
+    "s6_gexf_fragments",
+    # ---- the r9 non-window tail, same enumeration order (44 rows:
+    # the 48 rows past slot 50 last round MINUS the four consolidated
+    # members m_decode_features / m_image_decode / m_video_decode /
+    # m_audio_frames; m_jpeg_decode / m_audio_decode recorded r9 and
+    # left the registry via the suite)
+    "a2a3_confidence_score",
+    "a5_graph_stats",
+    "a6_category_distribution",
+    "a12_evidence_dedup",
+    "a13_best_chunk_per_source",
+    "a14_tfidf_naming",
+    "a15_lifetime_page",
+    "q5_supplier_volume",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "an_annealing_cycle",
+    "an_execute_proposals",
+    "x1_asof_join",
+    "x2_range_join",
+    "t_bpe_counts",
+    "cur_pack_bpe",
+    "s8_catalog_rebuild",
+    "t_cms_words",
+    "d_simhash",
+    "g_pagerank",
+    "g_communities",
+    "g_weighted_sssp",
+    "j1_evidence_join",
+    "j5_cross_ontology_affinity",
+    "g1_bfs_out_depth3",
+    "t_lm_quality",
+    "f6_dbscan",
+    "u4_pruning_recommendations",
+    "t_hll_words",
+    "v1_vector_search",
+    "so_block_compiler",
+    "p7_cypher_subset",
+    "p7_cypher_varlen",
+    "p7_cypher_trail",
+    "p7_cypher_optional",
+    "p7_cypher_union",
+    "p7_cypher_unwind",
+    "p7_cypher_with",
+    "p7_cypher_shortest",
+    "st_epoch_snapshot",
+    "sq_saved_query",
+    "s4_export_roundtrip",
+    "st_session_window",
+    "st_json_props",
 ]
 
 

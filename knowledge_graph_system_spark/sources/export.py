@@ -300,3 +300,9 @@ UNION ALL
 SELECT 'edge' AS kind, {_EDGE_FRAG} AS fragment
 FROM edges
 """
+
+
+# Registered r10: the prepared-candidate plan in registry.py, executed.
+from ..registry import query as _query  # noqa: E402  (module tail)
+
+_query("s6_gexf_fragments", oracle=s6_gexf_fragments_oracle())(s6_gexf_fragments)

@@ -41,7 +41,7 @@ def test_suites_carry_member_oracles_and_members_are_deregistered():
     suite_defs = {
         "a_scores_suite", "j_enrich_suite", "v_search_suite",
         "t_textstats_suite", "p_filter_matrix", "st_windows_suite",
-        "f_catalog_suite",
+        "f_catalog_suite", "m_decode_suite",
     }
     assert suite_defs <= set(registry.QUERIES)
     joined = "\n".join(registry.QUERIES[s].oracle for s in suite_defs)
@@ -70,31 +70,28 @@ def test_tail_has_recent_driver_evidence():
     assert not stale, f"tail queries without recent driver evidence: {stale}"
 
 
-def test_r10_candidate_m_decode_suite(spark):
-    """Driver-style compare for the prepared m_decode_suite
-    consolidation candidate at BOTH gate scale factors: the six
+def test_m_decode_suite_registered(spark):
+    """Driver-style compare for the REGISTERED m_decode_suite (the r10
+    consolidation, executed) at BOTH gate scale factors: the six
     multimodal decode rows folded into the shared 9-slot suite shape,
-    each member's exact registered oracle embedded as a subquery —
-    hash-exact, so the r10 consolidation is registration-only."""
+    each member's exact formerly-registered oracle embedded as a
+    subquery — hash-exact, and every member carries one probe arm."""
     import duckdb
 
     from knowledge_graph_system_spark import registry
-    from knowledge_graph_system_spark.operators.suites import (
-        m_decode_suite_candidate,
-        m_decode_suite_candidate_oracle,
-    )
+    from knowledge_graph_system_spark.operators import suites
 
-    registry.load_all()
+    specs = registry.load_all()
+    spec = specs["m_decode_suite"]
+    assert spec.oracle.count("AS probe") == len(suites._M_DECODE_MEMBERS)
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        got = sorted(map(tuple, m_decode_suite_candidate(spark, sf).collect()))
+        got = sorted(map(tuple, spec.fn(spark, sf).collect()))
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{sf}/documents.parquet')"
         )
-        want = sorted(
-            map(tuple, con.execute(m_decode_suite_candidate_oracle()).fetchall())
-        )
+        want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
         con.close()
         assert len(got) > 0 and got == want
 
