@@ -40,6 +40,38 @@ from ..registry import query
 
 SMOOTH_K = 0.1
 
+# Above this many rows a count frame stops being broadcast-hinted and
+# the planner (AQE) picks the join strategy — the same guard class as
+# ann.TOMBSTONE_BROADCAST_MAX. A bigram vocabulary grows with corpus
+# size (Heaps' law puts unigrams sublinear, but bigram TYPES keep
+# growing much longer), so at 100 TB a forced broadcast of the count
+# frames would blow the driver; past the threshold the score join
+# becomes a bucket-style shuffle join on w1/(w1,w2), which is the
+# correct open-vocabulary plan. The row counts are paid once per model
+# build on the checkpointed frames (the unigram count doubles as V).
+LM_COUNT_BROADCAST_MAX = 1_000_000
+
+
+def _maybe_broadcast_counts(frame: DataFrame, n_rows: int) -> DataFrame:
+    if n_rows <= LM_COUNT_BROADCAST_MAX:
+        return F.broadcast(frame)
+    return frame
+
+
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Parallelism floor for the explode-heavy corpus passes. The
+    bigram stream inherits the scan's split count, and a small
+    single-file probe input yields fewer splits than cores,
+    serializing the whole pipeline (the r9 decade probe read sf1 as 2
+    splits — 2 of 32 cores busy). When, and only when, input splits <
+    defaultParallelism, one round-robin repartition spreads the
+    explode across the machine; at real corpus scale the scan already
+    carries >= cores splits and this adds nothing (no shuffle)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     words = F.split(F.col(text_col), " ")
@@ -67,13 +99,23 @@ def bigram_counts(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame, int]:
     """(bigrams, unigrams, vocab_size): the model. Two groupBys and a
-    distinct-count — each one exchange with map-side combine."""
+    distinct-count — each one exchange with map-side combine. Both
+    count frames are localCheckpoint-ed: every caller both counts them
+    (V, the broadcast guard) and joins them, so the corpus aggregation
+    must run once, not once per consumer — the in-session stand-in for
+    the persisted-once-per-corpus-build frames the module docstring
+    describes."""
+    docs = _fan_out(docs)
     bg = _doc_bigrams(docs, text_col, id_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bigrams = bg.groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    ).localCheckpoint(eager=True)
     words = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    unigrams = words.groupBy("w").agg(F.count("*").alias("c1"))
+    unigrams = words.groupBy("w").agg(
+        F.count("*").alias("c1")
+    ).localCheckpoint(eager=True)
     vocab_size = unigrams.count()
     return bigrams, unigrams, vocab_size
 
@@ -87,11 +129,20 @@ def lm_score(
     """(doc_id, n_bigrams, lm_logp): mean smoothed bigram log-prob per
     document, 4 dp. Documents shorter than 2 words are absent (no
     bigrams — the caller's length floor already drops them)."""
+    docs = _fan_out(docs)
     bigrams, unigrams, v = bigram_counts(docs, text_col, id_col)
     bg = _doc_bigrams(docs, text_col, id_col)
+    # guarded hints (LM_COUNT_BROADCAST_MAX): v is the unigram row
+    # count already paid in bigram_counts; the bigram-type count is one
+    # cheap aggregate over the checkpointed frame
+    n_bigram_types = bigrams.count()
     scored = (
-        bg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
-        .join(F.broadcast(unigrams.withColumnRenamed("w", "w1")), "w1", "left")
+        bg.join(_maybe_broadcast_counts(bigrams, n_bigram_types), ["w1", "w2"], "left")
+        .join(
+            _maybe_broadcast_counts(unigrams.withColumnRenamed("w", "w1"), v),
+            "w1",
+            "left",
+        )
         .select(
             "doc_id",
             F.log(
@@ -193,9 +244,16 @@ def ccnet_buckets(
     """head/middle/tail by exact global terciles of the LM score
     (higher log-prob = less surprising = head). Thresholds come from
     one exact Greenwald-Khanna pass (rel_err=0 — the dataset elements
-    DuckDB's quantile_disc returns, the smp_quantile_global contract);
-    the bucket assignment is then a pure projection, so the whole
-    operator adds one aggregate job and zero shuffles to the score."""
+    DuckDB's quantile_disc returns, the smp_quantile_global contract;
+    exactness is the right oracle-parity choice at gate scale, but GK
+    state grows without a relative-error floor, so a 100 TB run should
+    pass a nonzero rel_err — the bucket CASE is unchanged); the bucket
+    assignment is then a pure projection, so the whole operator adds
+    one aggregate job and zero shuffles to the score. The scored frame
+    is checkpointed first: both the quantile pass and the returned
+    projection consume it, and the LM score pipeline (two count-frame
+    joins plus the per-doc aggregate) must not run twice."""
+    scored = scored.localCheckpoint(eager=True)
     t1, t2 = scored.stat.approxQuantile(score, [1 / 3, 2 / 3], 0.0)
     return scored.withColumn(
         "bucket",
