@@ -444,7 +444,17 @@ def ann_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     same post-append state (even half by label, odd half by argmax
     centroid cosine) with the deleted slice anti-selected BEFORE
     ranking — so build, append, delete, and backfill semantics are all
-    graded hash-exact by one static SQL string."""
+    graded hash-exact by one static SQL string.
+
+    Harness note (ADVICE r9): the graded row builds its scratch index
+    under tempfile.mkdtemp() — a DRIVER-LOCAL path, valid only because
+    the gate runs single-JVM local mode where driver and executors
+    share a filesystem. On a real cluster the index dir must be a
+    Hadoop-resolvable shared path (hdfs://, s3a://, or an explicit
+    file: URI on shared storage); every lifecycle operation already
+    goes through the Hadoop FileSystem API, so ONLY this scratch-path
+    choice is local-mode-specific, not the lifecycle itself
+    (tests/test_ann.py::test_lifecycle_on_explicit_file_scheme)."""
     import shutil
     import tempfile
 

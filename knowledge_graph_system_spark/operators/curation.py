@@ -821,10 +821,24 @@ def pack_segments(
     )
 
 
-def pack_segments_sql(packed_sql: str, seq_len: int, max_extra_bins: int = 4) -> str:
+def pack_segments_sql(packed_sql: str, seq_len: int, max_tokens: int = 600) -> str:
     """DuckDB twin of `pack_segments` over a greedy_pack_sql subquery
-    (constant-bound series + WHERE, the lateral-bound discipline)."""
+    (constant-bound series + WHERE, the lateral-bound discipline).
+
+    The extra-bin fan-out bound is DERIVED from `max_tokens` rather
+    than guessed (ADVICE r9 — a fixed 4 silently dropped segments for
+    any doc spanning more than 4 bins): a doc of n_tokens starting at
+    the worst offset seq_len-1 spans 1 + floor((seq_len - 1 +
+    n_tokens - 1) / seq_len) bins, so the series covers every possible
+    u for n_tokens <= max_tokens and the WHERE trims the rest. The
+    default 600 is the fixture-pinned per-document word ceiling
+    (tests/test_dedup_multimodal.py::
+    test_documents_fixture_is_ascii_nonempty, the same constant
+    lm_score_sql's position series leans on); a longer-doc corpus must
+    pass its own max_tokens or the twin diverges from Spark's exact
+    arbitrary-span explode."""
     L = seq_len
+    max_extra_bins = (L - 1 + max_tokens - 1) // L + 1
     return f"""
 WITH __packed AS ({packed_sql}),
 __s AS (

@@ -20,7 +20,15 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape as _sax_escape
+
+
+def escape(s: str) -> str:
+    """XML-escape for ATTRIBUTE context: saxutils' & < > plus '"' —
+    every emitted value sits inside a double-quoted attribute, where a
+    raw quote is malformed (ADVICE r9). Mirrors _XML_ESC below so the
+    bounded document and the distributed fragment rows agree."""
+    return _sax_escape(s, entities={'"': "&quot;"})
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -230,7 +238,12 @@ _register()
 
 # the escape / color expressions are written once as SQL strings and
 # used VERBATIM by both engines, so the projections cannot drift
-_XML_ESC = "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+# '"' must be escaped too: every value lands inside a double-quoted
+# XML attribute, where a raw quote is malformed (ADVICE r9)
+_XML_ESC = (
+    "replace(replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'),"
+    " '>', '&gt;'), '\"', '&quot;')"
+)
 _PAL_CASE = {
     "r": "CASE ci WHEN 0 THEN 228 WHEN 1 THEN 55 WHEN 2 THEN 77 WHEN 3 THEN 152"
          " WHEN 4 THEN 255 WHEN 5 THEN 255 WHEN 6 THEN 166 ELSE 247 END",

@@ -167,9 +167,16 @@ def streaming_span_dedup(
         if i < n_batches - 1:
             part = part.filter(F.col("doc_id") <= cuts[i])
             lo = cuts[i]
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(landing, f"batch{i}")
-        )
+        bdir = os.path.join(landing, f"batch{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(bdir)
+        # ascending-range replay is only exact if batch i is PROCESSED
+        # before batch i+1; with maxFilesPerTrigger=1 the file source
+        # orders by modification time, and back-to-back writes can
+        # share an mtime on coarse-granularity filesystems (ADVICE
+        # r9). Stamp strictly increasing mtimes so the order is
+        # explicit, not a filesystem accident.
+        for fname in os.listdir(bdir):
+            os.utime(os.path.join(bdir, fname), (1_000_000 + i, 1_000_000 + i))
 
     stream = (
         spark.readStream.schema(_DOCS_SCHEMA)

@@ -72,6 +72,45 @@ def test_gexf_bounded_and_wellformed(ctx):
         assert e.get("source") in ids and e.get("target") in ids
 
 
+def test_gexf_quotes_in_attribute_values_stay_wellformed(spark):
+    """A double quote in a name/rel_type must escape to &quot; — the
+    values sit inside double-quoted XML attributes, where a raw quote
+    is malformed (ADVICE r9). Pinned on BOTH surfaces: the bounded
+    to_gexf document parses, and the distributed fragment rows parse
+    individually with the original value round-tripping back out."""
+    import xml.etree.ElementTree as ET2
+
+    from knowledge_graph_system_spark.sources.export import (
+        _EDGE_FRAG,
+        _NODE_FRAG,
+        to_gexf,
+    )
+
+    nodes = spark.createDataFrame(
+        [("n1", 'say "hi"', "ont<&>1"), ("n2", "plain", 'o"2')],
+        "node_id string, name string, ontology string",
+    )
+    edges = spark.createDataFrame(
+        [("n1", "n2", 'rel "quoted" <type>')], "src string, dst string, rel_type string"
+    )
+    doc = to_gexf(nodes, edges, max_nodes=10)
+    root = ET2.fromstring(doc)  # raises on malformed XML
+    ns = "{http://gexf.net/1.3}"
+    assert {n.get("label") for n in root.findall(f".//{ns}node")} == {
+        'say "hi"', "plain",
+    }
+    assert [e.get("label") for e in root.findall(f".//{ns}edge")] == [
+        'rel "quoted" <type>'
+    ]
+    # the distributed fragment projections share the same escape string
+    nfrag = nodes.withColumn("ci", F.lit(0)).selectExpr(f"{_NODE_FRAG} AS f")
+    efrag = edges.selectExpr(f"{_EDGE_FRAG} AS f")
+    for r in nfrag.collect() + efrag.collect():
+        # wrap to bind the viz: prefix a fragment uses but can't declare
+        el = ET2.fromstring(f'<w xmlns:viz="v">{r["f"]}</w>')[0]
+        assert '"' in (el.get("label") or "") or el.get("label") == "plain"
+
+
 def test_ingest_extract_and_upsert(spark):
     docs = spark.createDataFrame(
         [
