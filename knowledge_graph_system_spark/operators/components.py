@@ -293,6 +293,42 @@ FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Prepared r11 registry candidate (VERDICT r9 next #5): keeper election
+# by quality as a driver row — the one r9-new operator that had no
+# registration path planned. Built + driver-style tested this round
+# (tests/test_components.py::test_r11_candidate_keeper_election),
+# registered when the r11 window frees slots.
+# ---------------------------------------------------------------------------
+
+
+def d_keeper_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 candidate: d_dup_groups' lexical dup groups re-elected by
+    quality (n_chars — longest duplicate wins, ties by doc_id) through
+    `resolve_keepers_by_quality`. The oracle reuses the byte-shared
+    recursive-CC CTEs and replays the election as the same argmax
+    window, so the grade covers find→group→ELECT hash-exact — the
+    quality-keeper complement to d_dedup_apply's min-id chain."""
+    ctx = Ctx.get(spark, sf_dir)
+    groups = d_dup_groups(spark, sf_dir)
+    docs = ctx.tables["documents"]
+    return resolve_keepers_by_quality(groups, docs, "n_chars")
+
+
+def d_keeper_election_oracle() -> str:
+    return _GROUPS_CTES + """,
+g AS (
+  SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
+  FROM reach GROUP BY node
+)
+SELECT g.doc_id, g.group_id,
+       row_number() OVER (
+         PARTITION BY g.group_id ORDER BY d.n_chars DESC, g.doc_id
+       ) = 1 AS keeper
+FROM g JOIN documents d ON d.doc_id = g.doc_id
+"""
+
+
 # Registered r9: the prepared-candidate plan in registry.py, executed —
 # module-tail registration keeps the functions and their driver-style
 # tests (tests/test_components.py) untouched.

@@ -250,3 +250,42 @@ FROM g JOIN documents d USING (doc_id)
     ids = {r["doc_id"] for r in canon.select("doc_id").collect()}
     for r in rows:
         assert (r["doc_id"] in ids) == bool(r["keeper"])
+
+
+def test_r11_candidate_keeper_election(spark):
+    """Driver-style compare for the prepared d_keeper_election row at
+    BOTH gate scale factors: find→group→elect-by-quality graded
+    hash-exact against the byte-shared recursive-CC CTEs + the same
+    argmax window (VERDICT r9 next #5 — the registration path for
+    resolve_keepers_by_quality). Also pins that the election is not
+    vacuous: at least one group's quality keeper differs from the
+    min-id keeper at the gate sf."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.components import (
+        d_dup_groups,
+        d_keeper_election,
+        d_keeper_election_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got_rows = d_keeper_election(spark, sf).collect()
+        got = sorted(map(tuple, got_rows))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(d_keeper_election_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) > 0 and got == want
+        if sf.endswith("0.01"):
+            min_id = {
+                (r["doc_id"], r["keeper"])
+                for r in d_dup_groups(spark, sf).collect()
+            }
+            assert any(
+                (r["doc_id"], r["keeper"]) not in min_id for r in got_rows
+            ), "quality election never differed from min-id at the gate sf"
