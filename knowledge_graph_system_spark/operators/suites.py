@@ -279,3 +279,109 @@ def an_suite_candidate_oracle() -> str:
         f"SELECT {', '.join(_proj(probe, m))} FROM ({sql})"
         for probe, _fn, sql, m in _an_captured()
     )
+
+
+# ---------------------------------------------------------------------------
+# Prepared r11 consolidation candidates (the r11 plan in registry.py).
+# The r11 window budget breaks without consolidation (6 prepared
+# candidate rows + the 48-row r10 tail = 54 > 50), so three
+# always-green families fold: the streaming foreachBatch family
+# (5 -> 1), the set-ops family (2 registered + the prepared
+# so_conditional_demo -> 1), and the Cypher front-end family (8 -> 1,
+# the VERDICT r9 "natural next suite"). Same lazy-capture shape as
+# an_suite_candidate: testable now, registry untouched until r11
+# registration. so_conditional_demo is captured from its module (it
+# was never individually registered — it lands INSIDE the suite, its
+# effective-path oracle embedded like every other member's).
+# ---------------------------------------------------------------------------
+
+_ST_STREAM_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    ("st_ingest_e2e", dict(n1="epoch", k1="action", n2="n", n3="n_resolved")),
+    ("st_neardup_stream", dict(n1="doc_a", n2="doc_b", x1="jaccard")),
+    ("st_enrich_stream", dict(k1="segment", n1="n_events", x1="total_value")),
+    ("st_hll_stream", dict(k1="source", x1="est_distinct")),
+    ("st_cms_stream", dict(k1="w", n1="exact_count", n2="est_count")),
+]
+
+_P7_CYPHER_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    ("p7_cypher_subset", dict(k1="segment", k2="brand", n1="n")),
+    ("p7_cypher_varlen", dict(k1="label", n1="paths")),
+    ("p7_cypher_trail", dict(k1="label", n1="paths")),
+    ("p7_cypher_optional", dict(k1="cid", n1="big_orders")),
+    ("p7_cypher_union", dict(k1="id")),
+    ("p7_cypher_unwind", dict(k1="segment", k2="prio")),
+    ("p7_cypher_with", dict(k1="segment", n1="big_orders")),
+    ("p7_cypher_shortest", dict(n1="d", n2="n_pairs")),
+]
+
+_SO_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    ("so_program_demo", dict(k1="node_id", k2="label")),
+    ("so_dispatch_matrix", dict(k1="node_id", k2="label")),
+    ("so_conditional_demo", dict(k1="node_id", k2="label")),
+]
+
+
+def _so_captured():
+    from .setops import so_conditional_demo, so_conditional_demo_oracle
+
+    extra = {"so_conditional_demo": (so_conditional_demo, so_conditional_demo_oracle())}
+    out = []
+    for probe, m in _SO_MEMBERS:
+        if probe in extra:
+            fn, sql = extra[probe]
+        else:
+            fn, sql = QUERIES[probe].fn, QUERIES[probe].oracle
+        out.append((probe, fn, sql, m))
+    return out
+
+
+def _registered_captured(members):
+    return [
+        (probe, QUERIES[probe].fn, QUERIES[probe].oracle, m)
+        for probe, m in members
+    ]
+
+
+def _candidate_fn(captured):
+    def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [
+            fn(spark, sf_dir).selectExpr(*_proj(probe, m))
+            for probe, fn, _oracle, m in captured
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return suite
+
+
+def _candidate_oracle(captured) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT {', '.join(_proj(probe, m))} FROM ({sql})"
+        for probe, _fn, sql, m in captured
+    )
+
+
+def st_stream_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_fn(_registered_captured(_ST_STREAM_MEMBERS))(spark, sf_dir)
+
+
+def st_stream_suite_candidate_oracle() -> str:
+    return _candidate_oracle(_registered_captured(_ST_STREAM_MEMBERS))
+
+
+def p7_cypher_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_fn(_registered_captured(_P7_CYPHER_MEMBERS))(spark, sf_dir)
+
+
+def p7_cypher_suite_candidate_oracle() -> str:
+    return _candidate_oracle(_registered_captured(_P7_CYPHER_MEMBERS))
+
+
+def so_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_fn(_so_captured())(spark, sf_dir)
+
+
+def so_suite_candidate_oracle() -> str:
+    return _candidate_oracle(_so_captured())

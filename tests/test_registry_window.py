@@ -4,6 +4,8 @@ stream (registry.py's alternation rule)."""
 
 from __future__ import annotations
 
+import pytest
+
 from knowledge_graph_system_spark import registry
 
 
@@ -126,3 +128,51 @@ def test_r10_contingency_an_suite(spark):
         )
         con.close()
         assert len(got) > 0 and got == want
+
+
+_ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _duck_all(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "cand",
+    ["st_stream_suite", "p7_cypher_suite", "so_suite"],
+)
+def test_r11_consolidation_candidates(spark, cand):
+    """Driver-style compare for the three prepared r11 consolidation
+    suites at BOTH gate scale factors (streaming foreachBatch family
+    5->1, Cypher front end 8->1, set-ops 2+conditional->1 — the r11
+    plan in registry.py): every member's exact registered oracle (or,
+    for so_conditional_demo, its prepared effective-path oracle)
+    embedded as a subquery, hash-exact, every member carrying one
+    probe arm — so the r11 consolidation is registration-only."""
+    from knowledge_graph_system_spark.operators import suites
+
+    fn = getattr(suites, f"{cand}_candidate")
+    oracle = getattr(suites, f"{cand}_candidate_oracle")()
+    n_members = {
+        "st_stream_suite": len(suites._ST_STREAM_MEMBERS),
+        "p7_cypher_suite": len(suites._P7_CYPHER_MEMBERS),
+        "so_suite": len(suites._SO_MEMBERS),
+    }[cand]
+    assert oracle.count("AS probe") == n_members
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, fn(spark, sf).collect()))
+        con = _duck_all(sf)
+        want = sorted(map(tuple, con.execute(oracle).fetchall()))
+        con.close()
+        assert len(got) > 0 and got == want
+        assert len({r[0] for r in got}) == n_members  # every probe non-empty
