@@ -105,15 +105,40 @@ def test_skew_naive_is_shuffle_salted_spreads(spark, specs):
     assert "_salt" in salted  # spread key reaches the physical join
 
 
-def test_multimodal_scans_prune_to_two_columns(spark, specs):
+def test_multimodal_scans_prune_to_two_columns(spark):
     """mapInPandas decode paths must scan only (doc_id, text) — a scan
-    reading lang/source/n_chars for a 2-column decode is wrong."""
-    for q in ("m_jpeg_decode", "m_audio_decode"):
-        plan = _plan(specs[q].fn(spark, SF_DIR))
+    reading lang/source/n_chars for a 2-column decode is wrong. The
+    member fns live on in operators/multimodal.py after the r10
+    m_decode_suite consolidation (only their individual driver rows
+    were de-registered), so the pin targets the module fns."""
+    from knowledge_graph_system_spark.operators.multimodal import (
+        m_audio_decode,
+        m_jpeg_decode,
+    )
+
+    for q, fn in (("m_jpeg_decode", m_jpeg_decode), ("m_audio_decode", m_audio_decode)):
+        plan = _plan(fn(spark, SF_DIR))
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         assert m, plan[:500]
         cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert cols == {"doc_id", "text"}, (q, cols)
+
+
+def test_gexf_fragments_plan_shape(spark):
+    """s6_gexf_fragments (r10 window row): node/edge fragments are
+    pure per-row projections over the cached graph frames — exactly
+    one broadcast join (the dimension-sized ontology palette), no
+    sort-merge join, no Python, and the only SinglePartition exchange
+    feeds the DISTINCT-ontology window (bounded — 36 rows at the gate
+    sfs), never the corpus."""
+    from knowledge_graph_system_spark.sources.export import s6_gexf_fragments
+
+    plan = _plan(s6_gexf_fragments(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(ontology" in plan  # the tiny dim agg, not the corpus
 
 
 def test_lsh_candidates_have_no_band_self_join(spark):
