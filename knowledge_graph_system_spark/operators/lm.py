@@ -58,19 +58,10 @@ def _maybe_broadcast_counts(frame: DataFrame, n_rows: int) -> DataFrame:
     return frame
 
 
-def _fan_out(docs: DataFrame) -> DataFrame:
-    """Parallelism floor for the explode-heavy corpus passes. The
-    bigram stream inherits the scan's split count, and a small
-    single-file probe input yields fewer splits than cores,
-    serializing the whole pipeline (the r9 decade probe read sf1 as 2
-    splits — 2 of 32 cores busy). When, and only when, input splits <
-    defaultParallelism, one round-robin repartition spreads the
-    explode across the machine; at real corpus scale the scan already
-    carries >= cores splits and this adds nothing (no shuffle)."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+# Parallelism floor for the explode-heavy corpus passes (the r9 decade
+# probe read sf1 as 2 splits — 2 of 32 cores busy); shared with the
+# multimodal decode family, see functions/scale.py for the full note.
+from ..functions.scale import fan_out as _fan_out  # noqa: E402
 
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scale import fan_out
 from ..registry import Ctx, query
 
 FEATURE_SCHEMA = "doc_id long, n_bytes int, checksum int, feature array<double>"
@@ -75,7 +76,7 @@ def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_features(docs: DataFrame) -> DataFrame:
     """binary payload → per-doc features via Arrow-batched mapInPandas."""
-    return with_binary_payload(docs).select("doc_id", "payload").mapInPandas(
+    return fan_out(with_binary_payload(docs).select("doc_id", "payload")).mapInPandas(
         decode_stub, schema=FEATURE_SCHEMA
     )
 
@@ -402,7 +403,7 @@ def image_features(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
             rows = {k: [] for k in rows}
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         batch,
         schema="doc_id long, fmt string, width int, height int, "
                "mean_r double, mean_g double, mean_b double",
@@ -507,7 +508,7 @@ def jpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
             rows = {k: [] for k in rows}
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         batch,
         schema="doc_id long, width int, height int, qr int, qg int, qb int",
     )
@@ -619,7 +620,7 @@ def audio_features(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
             rows = {k: [] for k in rows}
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         batch,
         schema="doc_id long, sample_rate int, n_samples int, "
                "duration_ms int, rms double, peak int",
@@ -671,7 +672,7 @@ def audio_frame_features(docs: DataFrame, frame: int = 256) -> DataFrame:
             yield pd.DataFrame(rows)
             rows = {k: [] for k in rows}
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         batch,
         schema="doc_id long, frame_idx int, n int, rms double, mcr int",
     )
@@ -932,7 +933,7 @@ def video_frame_features(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
             rows = {k: [] for k in rows}
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         batch,
         schema="doc_id long, frame_idx int, ts_ms int, width int, height int, "
                "qr int, qg int, qb int",
@@ -1011,7 +1012,7 @@ def image_resize_features(
             yield pd.DataFrame(rows)
             rows = {k: [] for k in rows}
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         batch,
         schema="doc_id long, fmt string, in_w int, in_h int, "
                "out_w int, out_h int, mean_r double, mean_g double, "

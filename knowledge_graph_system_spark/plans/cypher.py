@@ -521,26 +521,36 @@ def _shortest_pairs(
     """(__src, __node, __plen): minimal hop count from each source to
     every node reachable within `hi` hops — multi-source BFS with
     per-source visited sets. Frontiers broadcast into the edge join
-    (the edge frame is never re-shuffled); per-level eager
-    checkpoints cut the lineage like the traversal BFS. State is
-    O(|sources| x reach) rows — the per-query cost of pairwise
-    shortest paths, bounded by the mandatory hop cap."""
+    ONLY while they fit (`traversal._frontier_side`, the shared
+    2M-row guard: multi-source state is O(|sources| x reach) rows, and
+    an unguarded broadcast of a many-million-row frontier kills the
+    executors — found by the r10 sf1 decade probe, the same defect
+    class as r8's tombstones and r9's LM count frames); past the
+    threshold the planner shuffles the join. Per-level eager
+    checkpoints cut the lineage like the traversal BFS; the checkpoint
+    doubles as the emptiness probe (count on materialized data, no
+    separate take(1) job). The O(|sources| x reach) state itself is
+    the declared per-query cost of pairwise shortest paths, bounded by
+    the mandatory hop cap."""
+    from ..operators.traversal import _frontier_side
+
     seen = a_ids.select(
         F.col("__src"), F.col("__src").alias("__node")
     ).localCheckpoint(eager=True)
     frontier = seen
+    n_frontier = seen.count()
     levels = [seen.withColumn("__plen", F.lit(0))] if lo == 0 else []
     for d in range(1, hi + 1):
+        side = _frontier_side(frontier, n_frontier)
         nxt = (
-            edf.join(
-                F.broadcast(frontier), frontier["__node"] == edf["__from"]
-            )
+            edf.join(side, side["__node"] == edf["__from"])
             .select("__src", F.col("__to").alias("__node"))
             .distinct()
             .join(seen, ["__src", "__node"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        if not nxt.take(1):
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         levels.append(nxt.withColumn("__plen", F.lit(d)))
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
