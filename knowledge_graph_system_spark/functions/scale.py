@@ -1,5 +1,20 @@
 """Shared scale-shape guards.
 
+`maybe_broadcast` is the counted-broadcast guard: hint a frame into a
+broadcast join only when its measured row count is under the caller's
+bound, else return it unhinted and let the planner (AQE) pick the join
+strategy — past the bound the correct open-data plan is a shuffle
+join, and a forced hint would blow the driver. This is the third
+occurrence of the same defect class caught in three rounds (r8 IVF
+tombstones, r9 LM count frames, r10 Cypher shortestPath frontier), so
+the guard is now a shared util; the per-site thresholds stay local
+constants because row width differs (ann.TOMBSTONE_BROADCAST_MAX and
+lm.LM_COUNT_BROADCAST_MAX predate this util and keep their own guard
+fns — consolidating them is an executed-path edit to rows outside the
+current recording window, scheduled for their rotation round). The
+count is a real job: callers should localCheckpoint frames whose
+lineage is expensive so the count and the join share materialization.
+
 `fan_out` is the parallelism floor for per-row-heavy stages that
 inherit the scan's split count (explodes, Arrow mapInPandas decodes):
 a small single-file probe input yields fewer splits than cores and
@@ -17,6 +32,20 @@ lookup, not a plan change.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def maybe_broadcast(
+    df: DataFrame, max_rows: int, n_rows: int | None = None
+) -> DataFrame:
+    """Broadcast-hint `df` iff its row count is ≤ `max_rows`.
+
+    Pass `n_rows` when the caller already knows the count (avoids the
+    extra job); otherwise one count() is paid here.
+    """
+    if n_rows is None:
+        n_rows = df.count()
+    return F.broadcast(df) if n_rows <= max_rows else df
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -16,8 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scale import maybe_broadcast
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
+
+# Vocabulary-sized frames (per-word doc frequency) above this row
+# count lose the broadcast hint — same bound class as
+# lm.LM_COUNT_BROADCAST_MAX (same row width: one word + one count).
+IDF_BROADCAST_MAX = 1_000_000
 
 
 @query(
@@ -239,10 +245,18 @@ def a14_tfidf_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ctx.tables["documents"]
     words = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("source", "word").agg(F.count("*").alias("tf"))
-    df = words.groupBy("word").agg(F.countDistinct("source").alias("df"))
+    # The doc-frequency frame is vocabulary-sized — Heaps-law growth
+    # with the corpus, the same class as lm.py's count frames — so the
+    # broadcast is counted, not forced (checkpoint shares the
+    # aggregation between the count and the join).
+    df = (
+        words.groupBy("word")
+        .agg(F.countDistinct("source").alias("df"))
+        .localCheckpoint(eager=True)
+    )
     total = docs.select(F.countDistinct("source").cast("double").alias("total"))
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(maybe_broadcast(df, IDF_BROADCAST_MAX), "word")
         .join(F.broadcast(total))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("total") / F.col("df")), 6))
     )

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import oracle_snippets as osql
+from ..functions.scale import maybe_broadcast
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
 
@@ -64,6 +65,12 @@ RENAME_DOMINANCE = 0.0065    # hub's share of its ontology's degree mass
 RESCUE_WEIGHT = 10.0         # coherence re-weight in the NO_ACTION re-score
 MERGE_RESCUE_FLOOR = -0.05   # re-score above which MERGE beats ESCALATE
 PRIMORDIAL = "primordial"   # reference primordial_pool_name
+
+# A cleave's moved set (the nucleus' 1-hop neighborhood) above this
+# row count loses the broadcast hint — a hub nucleus at corpus scale
+# can out-degree any sane broadcast, so past the bound the membership
+# rewrite joins by shuffle instead.
+MOVED_BROADCAST_MAX = 2_000_000
 PRESSURE_COMFORT_MIN = 10.0
 PRESSURE_COMFORT_MAX = 80.0
 PRESSURE_EMERGENCY = 150.0
@@ -411,10 +418,15 @@ def execute_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cleave.select(F.col("nucleus").alias("node_id"), "new_onto"))
         .groupBy("node_id")
         .agg(F.min("new_onto").alias("new_onto"))
+        # the moved set = the nucleus' 1-hop neighborhood — hub-degree-
+        # sized, so the broadcast is counted, not forced (the shared
+        # functions/scale.py guard class); checkpoint shares the
+        # neighborhood aggregation between the count and the join
+        .localCheckpoint(eager=True)
     )
     rewritten = (
         ctx.nodes.join(F.broadcast(demos), "ontology", "left")
-        .join(F.broadcast(moved), "node_id", "left")
+        .join(maybe_broadcast(moved, MOVED_BROADCAST_MAX), "node_id", "left")
         .select(
             "node_id",
             F.coalesce(

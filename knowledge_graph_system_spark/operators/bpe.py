@@ -50,7 +50,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scale import maybe_broadcast
 from ..registry import query
+
+# Distinct-word vocabulary rows above this lose the broadcast hint and
+# the per-doc token-count join shuffles on word instead — the correct
+# open-vocabulary plan (same bound class as lm.LM_COUNT_BROADCAST_MAX;
+# same row width: a word plus a count).
+VOCAB_BROADCAST_MAX = 1_000_000
 
 _ALPHA = "^[a-z]+$"
 
@@ -160,19 +167,23 @@ def bpe_token_counts(
     """(doc_id, n_words, n_bpe_tokens): tokenizer-real per-doc budget.
 
     The merge folds run over the DISTINCT-word vocabulary only; the
-    exploded corpus joins to it (vocab side broadcast — at 100 TB an
-    open vocabulary would bucket-join instead) and sums per doc. This
-    is the count `greedy_pack(tokens_col=...)` / `corpus_mix` should
-    consume instead of the whitespace proxy."""
+    exploded corpus joins to it and sums per doc. The vocab side's
+    broadcast is counted, not forced (functions/scale.py guard class):
+    an open vocabulary grows with the corpus under Heaps' law, and past
+    the bound the word join correctly shuffles instead. This is the
+    count `greedy_pack(tokens_col=...)` / `corpus_mix` should consume
+    instead of the whitespace proxy."""
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     )
-    vocab = bpe_segment_words(words.select("word").distinct(), merges).select(
-        "word", "n_bpe_tokens"
+    vocab = (
+        bpe_segment_words(words.select("word").distinct(), merges)
+        .select("word", "n_bpe_tokens")
+        .localCheckpoint(eager=True)  # count + join share the fold pass
     )
     return (
-        words.join(F.broadcast(vocab), "word")
+        words.join(maybe_broadcast(vocab, VOCAB_BROADCAST_MAX), "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

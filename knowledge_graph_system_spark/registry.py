@@ -316,6 +316,20 @@ class Ctx:
 #   - extend the explicit landing-file mtime ordering (ADVICE r9,
 #     landed in span_stream.py this round) to the other three
 #     foreachBatch harnesses in the same edit.
+#   - finish the counted-broadcast audit (SCALE_NOTES r10 part 3):
+#     the three data-proportional sites whose consumers were OUTSIDE
+#     the r10 window rotate into r11's window, so their guards land
+#     free then — (a) shortest_path_length / shortest_path's per-hop
+#     frontier broadcasts (operators/traversal.py:259,296; route
+#     through the existing _maybe_broadcast_frontier — consumers
+#     g2_shortest_path / g3_k_shortest_paths / lc_connect_by_search
+#     are r9-recorded, r11-tail rows); (b) setops' path-corridor and
+#     bfs-neighborhood frames (operators/setops.py:95-114,179 — fwd/
+#     bwd distance maps and nset are O(reach); consumers fold into
+#     so_suite, a new r11 row); (c) lc_related's depth-3 BFS
+#     neighborhood broadcast (operators/lifecycle.py:60 — r11-tail
+#     row). Use functions/scale.py:maybe_broadcast, pin hint-drop +
+#     row identity per site (tests/test_broadcast_guards.py pattern).
 _RECORD_FIRST = [
     # ---- new (r10): the consolidation suite + the five prepared
     # candidates, registered exactly as the pre-computed plan above
