@@ -330,6 +330,21 @@ class Ctx:
 #     neighborhood broadcast (operators/lifecycle.py:60 — r11-tail
 #     row). Use functions/scale.py:maybe_broadcast, pin hint-drop +
 #     row identity per site (tests/test_broadcast_guards.py pattern).
+#
+# r12 CANDIDATE (built + driver-style validated hash-exact at both
+# gate sfs in r10; drains into r12's ~8 regained slots, or fills
+# r11's one slack slot if the window holds):
+#   - pipe_curation_graded — the END-TO-END curation pipeline as one
+#     graded row: exact dedup (planted clones, negative-id keepers
+#     visible in the final hash) → MinHash/LSH/CC near-dedup → span
+#     rewrite → exact-GK quantile cut → decontamination → temperature
+#     mix → whitespace-budget greedy pack → epoch order, against ONE
+#     composed SQL oracle that byte-shares the stages' registered
+#     oracle pieces (pipelines/curate.py:pipe_curation_graded /
+#     pipe_curation_oracle; tests/test_pipelines.py::
+#     test_r12_candidate_pipe_curation_graded). Closes the "pipeline
+#     is pytest-only" gap: the only stage swapped from curate_corpus
+#     is the BPE budget (not SQL-expressible; keeps its parity gate).
 _RECORD_FIRST = [
     # ---- new (r10): the consolidation suite + the five prepared
     # candidates, registered exactly as the pre-computed plan above

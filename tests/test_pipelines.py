@@ -60,3 +60,42 @@ def test_curate_corpus_deterministic(spark):
     a = sorted(map(tuple, _run(spark).packed.collect()))
     b = sorted(map(tuple, _run(spark).packed.collect()))
     assert a == b and len(a) > 0
+
+
+def test_r12_candidate_pipe_curation_graded(spark):
+    """Driver-style compare for the prepared pipe_curation_graded row
+    at BOTH gate scale factors — the full curation chain (exact dedup
+    → MinHash/LSH/CC near-dedup → span rewrite → quantile cut →
+    decontamination → temperature mix → whitespace-budget pack →
+    epoch order) in one hash compare — plus the invariants that make
+    the row non-trivial: the planted negative-id clones WIN their
+    exact-dedup groups and surface in the final rows (stage 1 provably
+    reshapes the output), upsampled sources carry mix_copy > 0
+    replicas, and the trainer-facing (shard, pos) order is a dense
+    permutation."""
+    import duckdb
+
+    from knowledge_graph_system_spark.pipelines.curate import (
+        pipe_curation_graded,
+        pipe_curation_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = pipe_curation_graded(spark, sf).collect()
+        got = sorted(tuple(r) for r in rows)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(map(tuple, con.execute(pipe_curation_oracle()).fetchall()))
+        con.close()
+        assert len(got) > 0 and got == want
+        assert any(r["doc_id"] < 0 for r in rows)
+        assert any(r["mix_copy"] > 0 for r in rows)
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(4))
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
