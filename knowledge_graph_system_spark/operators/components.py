@@ -334,3 +334,7 @@ FROM g JOIN documents d ON d.doc_id = g.doc_id
 # tests (tests/test_components.py) untouched.
 query("d_dedup_apply", oracle=d_dedup_apply_oracle())(d_dedup_apply)
 query("d_embedding_groups", oracle=d_embedding_groups_oracle())(d_embedding_groups)
+
+# Registered r11: the prepared-candidate plan in registry.py, executed
+# (VERDICT r9 next #5 — keeper election by quality as a driver row).
+query("d_keeper_election", oracle=d_keeper_election_oracle())(d_keeper_election)

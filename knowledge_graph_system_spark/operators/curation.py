@@ -876,3 +876,6 @@ def cur_pack_segments_oracle() -> str:
 
 # Registered r10: the prepared-candidate plan in registry.py, executed.
 query("cur_span_dedup", oracle=cur_span_dedup_oracle())(cur_span_dedup)
+
+# Registered r11: the prepared-candidate plan in registry.py, executed.
+query("cur_pack_segments", oracle=cur_pack_segments_oracle())(cur_pack_segments)

@@ -273,3 +273,7 @@ SELECT s.doc_id, s.n_bigrams, s.lm_logp,
             ELSE 'head' END AS bucket
 FROM s, t
 """
+
+
+# Registered r11: the prepared-candidate plan in registry.py, executed.
+query("t_ccnet_buckets", oracle=t_ccnet_buckets_oracle())(t_ccnet_buckets)

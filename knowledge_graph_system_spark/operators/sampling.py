@@ -625,3 +625,6 @@ _query("smp_weighted", oracle=smp_weighted_oracle())(smp_weighted)
 _query("smp_temperature_mix", oracle=smp_temperature_mix_oracle())(
     smp_temperature_mix
 )
+
+# Registered r11: the prepared-candidate plan in registry.py, executed.
+_query("smp_epoch_order", oracle=smp_epoch_order_oracle())(smp_epoch_order)

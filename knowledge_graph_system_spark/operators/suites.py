@@ -363,25 +363,70 @@ def _candidate_oracle(captured) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# r11 consolidation (the pre-computed plan in registry.py, executed
+# verbatim): capture each member's fn/oracle BEFORE de-registration,
+# register the three suites, then pop the folded members. Registration
+# only — zero member-code edits; the exact suite shapes were
+# driver-style validated hash-exact at both gate sfs in r10
+# (tests/test_registry_window.py::test_r11_consolidation_candidates).
+# so_conditional_demo lands INSIDE so_suite (it was never individually
+# registered), giving SO6 its first driver evidence without a slot.
+# ---------------------------------------------------------------------------
+
+_ST_CAPTURED = _registered_captured(_ST_STREAM_MEMBERS)
+_P7_CAPTURED = _registered_captured(_P7_CYPHER_MEMBERS)
+_SO_CAPTURED = _so_captured()
+
+
+def _register_suite(name: str, captured):
+    fn = _candidate_fn(captured)
+    fn.__name__ = name
+    return query(name, oracle=_candidate_oracle(captured))(fn)
+
+
+st_stream_suite = _register_suite("st_stream_suite", _ST_CAPTURED)
+p7_cypher_suite = _register_suite("p7_cypher_suite", _P7_CAPTURED)
+so_suite = _register_suite("so_suite", _SO_CAPTURED)
+
+CONSOLIDATED_R11 = [
+    # streaming foreachBatch family -> st_stream_suite
+    "st_ingest_e2e", "st_neardup_stream", "st_enrich_stream",
+    "st_hll_stream", "st_cms_stream",
+    # set-ops family -> so_suite (so_conditional_demo rides inside)
+    "so_program_demo", "so_dispatch_matrix",
+    # Cypher front end -> p7_cypher_suite
+    "p7_cypher_subset", "p7_cypher_varlen", "p7_cypher_trail",
+    "p7_cypher_optional", "p7_cypher_union", "p7_cypher_unwind",
+    "p7_cypher_with", "p7_cypher_shortest",
+]
+CONSOLIDATED.extend(CONSOLIDATED_R11)
+for _n in CONSOLIDATED_R11:
+    QUERIES.pop(_n)
+
+
+# The r10 candidate aliases stay importable (their tests now pin the
+# REGISTERED suites' captured members — same fns, same oracles).
+
 def st_stream_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _candidate_fn(_registered_captured(_ST_STREAM_MEMBERS))(spark, sf_dir)
+    return _candidate_fn(_ST_CAPTURED)(spark, sf_dir)
 
 
 def st_stream_suite_candidate_oracle() -> str:
-    return _candidate_oracle(_registered_captured(_ST_STREAM_MEMBERS))
+    return _candidate_oracle(_ST_CAPTURED)
 
 
 def p7_cypher_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _candidate_fn(_registered_captured(_P7_CYPHER_MEMBERS))(spark, sf_dir)
+    return _candidate_fn(_P7_CAPTURED)(spark, sf_dir)
 
 
 def p7_cypher_suite_candidate_oracle() -> str:
-    return _candidate_oracle(_registered_captured(_P7_CYPHER_MEMBERS))
+    return _candidate_oracle(_P7_CAPTURED)
 
 
 def so_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _candidate_fn(_so_captured())(spark, sf_dir)
+    return _candidate_fn(_SO_CAPTURED)(spark, sf_dir)
 
 
 def so_suite_candidate_oracle() -> str:
-    return _candidate_oracle(_so_captured())
+    return _candidate_oracle(_SO_CAPTURED)

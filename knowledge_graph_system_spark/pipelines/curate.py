@@ -502,3 +502,13 @@ SELECT doc_id, source, mix_copy, n_tokens, pack_group, bin_id,
        bin_offset, spans_boundary, shard, pos
 FROM ({epoch}) z
 """
+
+
+# Registered r11 (the pre-computed plan's one slack slot — registry.py
+# "r12 CANDIDATE ... or fills r11's one slack slot if the window
+# holds"): the end-to-end curation pipeline as one driver-graded row.
+from ..registry import query as _query  # noqa: E402  (module tail)
+
+_query("pipe_curation_graded", oracle=pipe_curation_oracle())(
+    pipe_curation_graded
+)

@@ -331,78 +331,96 @@ class Ctx:
 #     row). Use functions/scale.py:maybe_broadcast, pin hint-drop +
 #     row identity per site (tests/test_broadcast_guards.py pattern).
 #
-# r12 CANDIDATE (built + driver-style validated hash-exact at both
-# gate sfs in r10; drains into r12's ~8 regained slots, or fills
-# r11's one slack slot if the window holds):
-#   - pipe_curation_graded — the END-TO-END curation pipeline as one
-#     graded row: exact dedup (planted clones, negative-id keepers
-#     visible in the final hash) → MinHash/LSH/CC near-dedup → span
-#     rewrite → exact-GK quantile cut → decontamination → temperature
-#     mix → whitespace-budget greedy pack → epoch order, against ONE
-#     composed SQL oracle that byte-shares the stages' registered
-#     oracle pieces (pipelines/curate.py:pipe_curation_graded /
-#     pipe_curation_oracle; tests/test_pipelines.py::
-#     test_r12_candidate_pipe_curation_graded). Closes the "pipeline
-#     is pytest-only" gap: the only stage swapped from curate_corpus
-#     is the BPE budget (not SQL-expressible; keeps its parity gate).
+# r11 EXECUTED (this round, the plan above verbatim): the three
+# consolidation suites registered (operators/suites.py r11 block —
+# st_stream_suite 5->1, so_suite 2+so_conditional_demo->1,
+# p7_cypher_suite 8->1; 15 members de-registered), the five standalone
+# candidates registered via module-tail query() lines (smp_epoch_order,
+# st_spandedup_stream, cur_pack_segments, t_ccnet_buckets,
+# d_keeper_election), and the ONE slack slot filled with the prepared
+# r12 candidate pipe_curation_graded (pipelines/curate.py — the
+# END-TO-END curation chain graded against ONE composed AS-MATERIALIZED
+# oracle; "fills r11's one slack slot if the window holds" — it held).
+# Window math: 9 new + the 41-row r10 tail remainder (48 tail rows
+# MINUS the five st_stream members and the two so members) = 50 exactly.
+# Registry total after r11: 98 + 9 - 15 = 92; the r12 tail is 42,
+# restoring ~8 free r12 slots.
+#
+# r12 REGISTRATION PLAN, PRE-COMPUTED (execute verbatim next round;
+# ~8 free slots after this window's tail math). The three remaining
+# unregistered candidates, all built + driver-style validated in r10
+# (VERDICT r10 next #4), drain first:
+#   1. d_semdedup — within-cluster semantic dedup, cluster = shuffle
+#      key (operators/semdedup.py:125; tests/test_semdedup.py).
+#   2. ann_sq8_topk — SQ8 scalar-quantized top-k with exact re-rank
+#      (operators/quant.py:159; tests/test_quant.py).
+#   3. st_contamination_stream — streaming decontamination, stateless
+#      O(batch)/trigger (streaming/contamination_stream.py:132;
+#      tests/test_contamination_stream.py).
+# Remaining slots go to rows whose code changed in r11 (the Class-C
+# broadcast-guard consumers g2_shortest_path / g3_k_shortest_paths /
+# lc_connect_by_search / lc_related rotate in as r11-tail rows anyway)
+# and then the standing alternation rule (two-round-old tail first,
+# bench headliners fill). NO new operator families before the queue is
+# drained (VERDICT r10 next #4 freeze).
 _RECORD_FIRST = [
-    # ---- new (r10): the consolidation suite + the five prepared
-    # candidates, registered exactly as the pre-computed plan above
-    "m_decode_suite",
-    "smp_weighted",
-    "ann_ivf_lifecycle",
-    "smp_temperature_mix",
-    "cur_span_dedup",
-    "s6_gexf_fragments",
-    # ---- the r9 non-window tail, same enumeration order (44 rows:
-    # the 48 rows past slot 50 last round MINUS the four consolidated
-    # members m_decode_features / m_image_decode / m_video_decode /
-    # m_audio_frames; m_jpeg_decode / m_audio_decode recorded r9 and
-    # left the registry via the suite)
-    "a2a3_confidence_score",
-    "a5_graph_stats",
-    "a6_category_distribution",
-    "a12_evidence_dedup",
-    "a13_best_chunk_per_source",
-    "a14_tfidf_naming",
-    "a15_lifetime_page",
-    "q5_supplier_volume",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "an_annealing_cycle",
-    "an_execute_proposals",
-    "x1_asof_join",
-    "x2_range_join",
-    "t_bpe_counts",
-    "cur_pack_bpe",
-    "s8_catalog_rebuild",
-    "t_cms_words",
-    "d_simhash",
-    "g_pagerank",
-    "g_communities",
-    "g_weighted_sssp",
-    "j1_evidence_join",
-    "j5_cross_ontology_affinity",
-    "g1_bfs_out_depth3",
-    "t_lm_quality",
-    "f6_dbscan",
-    "u4_pruning_recommendations",
-    "t_hll_words",
-    "v1_vector_search",
-    "so_block_compiler",
-    "p7_cypher_subset",
-    "p7_cypher_varlen",
-    "p7_cypher_trail",
-    "p7_cypher_optional",
-    "p7_cypher_union",
-    "p7_cypher_unwind",
-    "p7_cypher_with",
-    "p7_cypher_shortest",
-    "st_epoch_snapshot",
-    "sq_saved_query",
-    "s4_export_roundtrip",
-    "st_session_window",
-    "st_json_props",
+    # ---- new (r11): the three consolidation suites + five prepared
+    # candidates + the slack-slot pipeline row, registered exactly as
+    # the pre-computed plan above
+    "st_stream_suite",
+    "so_suite",
+    "p7_cypher_suite",
+    "smp_epoch_order",
+    "st_spandedup_stream",
+    "cur_pack_segments",
+    "t_ccnet_buckets",
+    "d_keeper_election",
+    "pipe_curation_graded",
+    # ---- the r10 non-window tail, same enumeration order (41 rows:
+    # the 48 rows past slot 50 last round MINUS the five st_stream
+    # members and the two so members, which leave the registry via
+    # their suites)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "ann_ivf_persisted",
+    "a4_grounding",
+    "o1_ontology_edges",
+    "ep_status_measurement",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_embedding_neardup",
+    "d_dup_groups",
+    "d_dedup_apply",
+    "d_embedding_groups",
+    "smp_quantile_global",
+    "cur_repetition_spans",
+    "cur_pii_redact",
+    "smp_split_mix",
+    "cur_pack_quota",
+    "cur_contamination",
+    "x2_skew_naive_join",
+    "x2_skew_salted_join",
+    "g1_bfs_both_depth2_conf",
+    "g2_shortest_path",
+    "g3_k_shortest_paths",
+    "g4_subgraph",
+    "a1_degree_top20",
+    "lc_related",
+    "lc_connect_by_search",
+    "f5_projection",
+    "f7_centroids",
+    "r_bm25_topk",
+    "t_corpus_filter",
+    "md_blocks",
+    "p7_guarded_query",
+    "src_jsonl_quarantine",
+    "a_scores_suite",
+    "j_enrich_suite",
+    "v_search_suite",
+    "t_textstats_suite",
+    "p_filter_matrix",
+    "st_windows_suite",
+    "f_catalog_suite",
 ]
 
 
@@ -438,12 +456,14 @@ def load_all() -> dict[str, QuerySpec]:
     from .functions import markdown  # noqa: F401
     from .plans import blocks, cypher, guard, saved  # noqa: F401
     from .sources import export, jsonl  # noqa: F401
+    from .pipelines import curate  # noqa: F401
     from .streaming import (  # noqa: F401
         dedup_stream,
         epochs,
         ingest_stream,
         joins as stream_joins,
         sketch_stream,
+        span_stream,
         windows,
     )
 

@@ -213,3 +213,11 @@ def st_spandedup_stream_oracle() -> str:
     from ..operators.curation import cur_span_dedup_oracle
 
     return cur_span_dedup_oracle()
+
+
+# Registered r11: the prepared-candidate plan in registry.py, executed.
+from ..registry import query as _query  # noqa: E402  (module tail)
+
+_query("st_spandedup_stream", oracle=st_spandedup_stream_oracle())(
+    st_spandedup_stream
+)

@@ -44,11 +44,15 @@ def test_suites_carry_member_oracles_and_members_are_deregistered():
         "a_scores_suite", "j_enrich_suite", "v_search_suite",
         "t_textstats_suite", "p_filter_matrix", "st_windows_suite",
         "f_catalog_suite", "m_decode_suite",
+        # r11 consolidation
+        "st_stream_suite", "so_suite", "p7_cypher_suite",
     }
     assert suite_defs <= set(registry.QUERIES)
     joined = "\n".join(registry.QUERIES[s].oracle for s in suite_defs)
-    # every folded member contributed exactly one probe-tagged arm
-    assert joined.count("AS probe") == len(suites.CONSOLIDATED)
+    # every folded member contributed exactly one probe-tagged arm,
+    # plus so_conditional_demo — it lands INSIDE so_suite without ever
+    # having been individually registered (so it is not in CONSOLIDATED)
+    assert joined.count("AS probe") == len(suites.CONSOLIDATED) + 1
 
 
 def test_tail_has_recent_driver_evidence():
