@@ -345,18 +345,22 @@ def _maybe_broadcast_tombstones(tombs: DataFrame) -> DataFrame:
     return tombs
 
 
+# r11: factored into the shared util (functions/fs.py) so the
+# streaming state probes resolve through the identical path; the
+# module-local names stay as thin aliases for existing callers/tests.
+from ..functions.fs import fs_delete as _shared_fs_delete  # noqa: E402
+from ..functions.fs import hadoop_fs as _shared_hadoop_fs  # noqa: E402
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for any Hadoop-supported scheme — the
     spark._jvm route keeps the lifecycle free of local-only os/shutil
-    calls without adding a dependency."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
+    calls without adding a dependency. Shared impl: functions/fs.py."""
+    return _shared_hadoop_fs(spark, path)
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:
-    fs, jpath = _hadoop_fs(spark, path)
-    fs.delete(jpath, True)  # recursive; False (missing path) is fine
+    _shared_fs_delete(spark, path)
 
 
 def delete_from_ivf_index(vec_ids: DataFrame, index_dir: str) -> None:

@@ -18,8 +18,9 @@ from ..functions import oracle_snippets as osql
 from ..functions.vectors import dot_expr, lit_vec, unit_vec_py
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
+from ..functions.scale import maybe_broadcast
 from .scores import _PROJ_ORACLE, grounding
-from .traversal import _paths_cte, bfs_paths
+from .traversal import _BROADCAST_FRONTIER_MAX, _paths_cte, bfs_paths
 
 _START = "C7"
 
@@ -56,8 +57,10 @@ def lc_related(spark: SparkSession, sf_dir: str) -> DataFrame:
     grounding cache)."""
     ctx = Ctx.get(spark, sf_dir)
     neigh = bfs_paths(ctx.edges, [_START], 3).filter(F.col("dist") > 0)
+    # depth-3 reach is O(V) on hub graphs — counted guard, not a forced
+    # hint (traversal._BROADCAST_FRONTIER_MAX policy)
     return (
-        F.broadcast(neigh.drop("path_dirs"))
+        maybe_broadcast(neigh.drop("path_dirs"), _BROADCAST_FRONTIER_MAX)
         .join(ctx.nodes, "node_id")
         .join(grounding(ctx.edges).select("node_id", "grounding"), "node_id", "left")
         .select("node_id", "dist", "path_types", "label", "name", "ontology", "grounding")

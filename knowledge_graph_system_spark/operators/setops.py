@@ -31,10 +31,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scale import maybe_broadcast
 from ..functions.vectors import unit_vec_py
 from ..plans.program import Result, WorkingGraph, execute_program
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
+
+# Counted guard for the O(reach) frames below (BFS neighborhoods and
+# path-corridor distance maps): on a hub-heavy graph a depth-k reach is
+# O(V), and a forced broadcast hint would OOM the driver-side build.
+# Same bound as traversal._BROADCAST_FRONTIER_MAX; past it the frame is
+# left unhinted and AQE picks the join strategy. k-bounded frames
+# (vector-search hits, LIMIT'ed source lists) keep their plain hints.
+_REACH_BROADCAST_MAX = 2_000_000
 
 
 def make_dispatch(ctx: Ctx):
@@ -92,12 +101,31 @@ def make_dispatch(ctx: Ctx):
                 .filter(F.col("_dfw") + F.col("_dbw") == dd)
                 .select("node_id")
             )
-            nodes = ctx.nodes.join(F.broadcast(corridor), "node_id")
+            n_fwd, n_bwd = fwd.count(), bwd.count()
+            # corridor ⊆ fwd ∩ bwd, so min(n_fwd, n_bwd) bounds its size
+            # — reusing the two counts avoids a third job; past the
+            # bound AQE still converts small builds at runtime
+            nodes = ctx.nodes.join(
+                maybe_broadcast(corridor, _REACH_BROADCAST_MAX, min(n_fwd, n_bwd)),
+                "node_id",
+            )
             links = (
                 ctx.edges.join(
-                    F.broadcast(fwd.withColumnRenamed("node_id", "src")), "src"
+                    maybe_broadcast(
+                        fwd.withColumnRenamed("node_id", "src"),
+                        _REACH_BROADCAST_MAX,
+                        n_fwd,
+                    ),
+                    "src",
                 )
-                .join(F.broadcast(bwd.withColumnRenamed("node_id", "dst")), "dst")
+                .join(
+                    maybe_broadcast(
+                        bwd.withColumnRenamed("node_id", "dst"),
+                        _REACH_BROADCAST_MAX,
+                        n_bwd,
+                    ),
+                    "dst",
+                )
                 .filter(F.col("_dfw") + 1 + F.col("_dbw") == dd)
                 .select("src", "dst", "rel_type", "confidence")
             )
@@ -111,7 +139,10 @@ def make_dispatch(ctx: Ctx):
                 source.get("depth", 1),
                 direction=source.get("direction", "out"),
             )
-            nodes = ctx.nodes.join(F.broadcast(nset.select("node_id")), "node_id")
+            nodes = ctx.nodes.join(
+                maybe_broadcast(nset.select("node_id"), _REACH_BROADCAST_MAX),
+                "node_id",
+            )
             return Result(nodes=nodes, links=subgraph(ctx.edges, nset))
         if kind == "vector":
             from .vector import vector_search
@@ -176,7 +207,10 @@ def make_dispatch(ctx: Ctx):
                 direction=source.get("direction", "out"),
                 rel_types=source.get("relationship_types"),
             )
-            nodes = ctx.nodes.join(F.broadcast(nset.select("node_id")), "node_id")
+            nodes = ctx.nodes.join(
+                maybe_broadcast(nset.select("node_id"), _REACH_BROADCAST_MAX),
+                "node_id",
+            )
             return Result(nodes=nodes, links=subgraph(ctx.edges, nset))
         if kind == "concepts_batch":
             ids = source["concept_ids"]

@@ -254,15 +254,25 @@ def shortest_path_length(
     adj = directed_edges(edges, direction)
     visited = spark.createDataFrame([(src_id, 0)], "node_id string, dist int")
     frontier = visited.select("node_id")
+    # per-hop frontier is O(V) worst case (hub graphs) — counted guard,
+    # same policy as bfs's _frontier_side; the count is free (each
+    # hop's count() is already paid for the early-exit check)
+    n_frontier = 1
     for depth in range(1, max_hops + 1):
         nxt = (
-            adj.join(F.broadcast(frontier.withColumnRenamed("node_id", "src")), "src")
+            adj.join(
+                _frontier_side(
+                    frontier.withColumnRenamed("node_id", "src"), n_frontier
+                ),
+                "src",
+            )
             .select(F.col("dst").alias("node_id"))
             .distinct()
             .join(visited.select("node_id"), "node_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == 0:
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         if nxt.filter(F.col("node_id") == dst_id).count() > 0:
             found = depth
@@ -290,16 +300,23 @@ def shortest_path(
     adj = directed_edges(edges, direction)
     visited = spark.createDataFrame([(src_id,)], "node_id string")
     frontier = visited
+    n_frontier = 1  # counted frontier guard, as in shortest_path_length
     levels: list[DataFrame] = []  # checkpointed (node_id, parent) per depth
     for _ in range(max_hops):
         step = (
-            adj.join(F.broadcast(frontier.withColumnRenamed("node_id", "src")), "src")
+            adj.join(
+                _frontier_side(
+                    frontier.withColumnRenamed("node_id", "src"), n_frontier
+                ),
+                "src",
+            )
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.min("src").alias("parent"))  # deterministic parent choice
             .join(visited, "node_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if step.count() == 0:
+        n_frontier = step.count()
+        if n_frontier == 0:
             return []
         levels.append(step)
         hit = step.filter(F.col("node_id") == dst_id).take(1)

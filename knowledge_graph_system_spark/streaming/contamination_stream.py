@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.curation import word_ngrams
+from .landing import dedup_cuts, stamp_landing_mtimes
 
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -65,7 +66,14 @@ def streaming_contamination(
     cur_contamination) as an availableNow file stream in `n_batches`
     ascending doc_id ranges; the eval split (doc_id % 25 == 0) is the
     static side. Returns the accumulated per-contaminated-doc counts —
-    equal to the batch operator over the full corpus exactly."""
+    equal to the batch operator over the full corpus exactly.
+
+    The tempfile.mkdtemp landing/checkpoint/out dirs are DRIVER-LOCAL
+    by design — this function is the replay harness; a real deployment
+    points the stream at an object-store landing zone and checkpoint
+    (the ann_ivf_lifecycle note). The state probe side is stateless
+    here (eval grams are a static broadcast-side frame), so no
+    Hadoop-FS probe is needed."""
     tmp = tempfile.mkdtemp(prefix="kg_contam_stream_")
     landing = os.path.join(tmp, "landing")
     out_dir = os.path.join(tmp, "out")
@@ -87,15 +95,21 @@ def streaming_contamination(
         .localCheckpoint(eager=True)
     )
 
-    cuts = tr.stat.approxQuantile(
-        "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
+    # dedup_cuts: duplicate quantile values would yield empty batch
+    # ranges — a silent degenerate replay (ADVICE r10); the effective
+    # batch count honors the data, len(cuts) + 1
+    cuts = dedup_cuts(
+        tr.stat.approxQuantile(
+            "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
+        )
     )
+    n_eff = len(cuts) + 1
     lo = None
-    for i in range(n_batches):
+    for i in range(n_eff):
         part = tr
         if lo is not None:
             part = part.filter(F.col("doc_id") > lo)
-        if i < n_batches - 1:
+        if i < n_eff - 1:
             part = part.filter(F.col("doc_id") <= cuts[i])
             lo = cuts[i]
         bdir = os.path.join(landing, f"batch{i}")
@@ -104,8 +118,7 @@ def streaming_contamination(
         # depend on filesystem timestamp granularity (ADVICE r9 —
         # harmless here since parity is order-free, but the harness
         # discipline is uniform across the streaming family)
-        for fname in os.listdir(bdir):
-            os.utime(os.path.join(bdir, fname), (1_000_000 + i, 1_000_000 + i))
+        stamp_landing_mtimes(bdir, i)
 
     stream = (
         spark.readStream.schema(_DOCS_SCHEMA)

@@ -43,6 +43,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fs import parquet_state_exists
+from .landing import stamp_landing_mtimes
 from ..operators.dedup import (
     JACCARD_THRESHOLD,
     MAX_BUCKET,
@@ -102,7 +104,10 @@ def process_batch(
     sigs_new = minhash_signatures(sh_new)
     bands_new = _bands_of(sigs_new).localCheckpoint(eager=True)
 
-    have_index = bool(os.listdir(band_dir)) if os.path.isdir(band_dir) else False
+    # Hadoop-FS probe, not os.path — the band index lives wherever the
+    # checkpoint does (HDFS/object store in production); a driver-local
+    # isdir would silently report "no index" there (functions/fs.py)
+    have_index = parquet_state_exists(spark, band_dir)
 
     # batch-internal candidates: the batch operator's capped pair expansion
     internal = lsh_candidates(sigs_new, max_bucket=max_bucket)
@@ -202,9 +207,13 @@ def streaming_near_dup(
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     for i in range(n_batches):
+        bdir = os.path.join(landing, f"batch{i}")
         docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(landing, f"batch{i}"))
+        ).parquet(bdir)
+        # explicit per-batch mtime order (streaming/landing.py) — the
+        # pair set is order-insensitive, but batch_id labels aren't
+        stamp_landing_mtimes(bdir, i)
 
     stream = (
         spark.readStream.schema(_DOCS_SCHEMA)

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .landing import stamp_landing_mtimes
+
 
 def stream_interval_join(
     clicks: DataFrame,
@@ -100,9 +102,13 @@ def st_enrich_stream(spark, sf_dir: str) -> DataFrame:
 
     events = ctx.tables["events"]
     for i in range(3):
+        bdir = os.path.join(landing, f"batch{i}")
         events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(landing, f"batch{i}"))
+        ).parquet(bdir)
+        # explicit per-batch mtime order (streaming/landing.py) — the
+        # aggregate is order-insensitive; determinism discipline only
+        stamp_landing_mtimes(bdir, i)
 
     dim = ctx.tables["customer"].select(
         F.col("c_custkey").alias("user_id"),

@@ -25,7 +25,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fs import parquet_state_exists
 from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+from .landing import stamp_landing_mtimes
 
 
 def merge_batch_registers(
@@ -38,9 +40,8 @@ def merge_batch_registers(
     state (read tiny state → merge → atomic overwrite)."""
     regs_new = hll_registers(batch_df, value, group)
     spark = batch_df.sparkSession
-    have_state = os.path.isdir(state_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(state_dir)
-    )
+    # Hadoop-FS probe, not os.path (functions/fs.py — see dedup_stream)
+    have_state = parquet_state_exists(spark, state_dir)
     if have_state:
         old = spark.read.parquet(state_dir)
         merged = hll_merge(old, regs_new)
@@ -69,9 +70,14 @@ def streaming_distinct_estimate(
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     for i in range(n_batches):
+        bdir = os.path.join(landing, f"batch{i}")
         docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(landing, f"batch{i}"))
+        ).parquet(bdir)
+        # explicit per-batch mtime order (streaming/landing.py) — the
+        # merged sketch is order-insensitive by algebra; the stamp makes
+        # the replay's micro-batch sequence deterministic anyway
+        stamp_landing_mtimes(bdir, i)
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     stream = (
@@ -114,9 +120,8 @@ def merge_batch_cms(
 
     sk_new = cms_sketch(batch_df, value, group)
     spark = batch_df.sparkSession
-    have_state = os.path.isdir(state_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(state_dir)
-    )
+    # Hadoop-FS probe, not os.path (functions/fs.py — see dedup_stream)
+    have_state = parquet_state_exists(spark, state_dir)
     merged = cms_merge(spark.read.parquet(state_dir), sk_new) if have_state else sk_new
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)
 
@@ -172,9 +177,14 @@ def streaming_cms_estimate(
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     for i in range(n_batches):
+        bdir = os.path.join(landing, f"batch{i}")
         docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(landing, f"batch{i}"))
+        ).parquet(bdir)
+        # explicit per-batch mtime order (streaming/landing.py) — the
+        # merged sketch is order-insensitive by algebra; the stamp makes
+        # the replay's micro-batch sequence deterministic anyway
+        stamp_landing_mtimes(bdir, i)
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     stream = (

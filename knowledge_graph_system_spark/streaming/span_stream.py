@@ -32,6 +32,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fs import parquet_state_exists
+from .landing import dedup_cuts, stamp_landing_mtimes
+
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
@@ -95,7 +98,8 @@ def process_span_batch(
         F.min(F.struct("doc_id", "start")).alias("bf")
     )
 
-    have_index = bool(os.listdir(gram_dir)) if os.path.isdir(gram_dir) else False
+    # Hadoop-FS probe, not os.path (functions/fs.py — see dedup_stream)
+    have_index = parquet_state_exists(spark, gram_dir)
     if have_index:
         # prune the store to the batch's gram keys FIRST — per-batch
         # state read is O(batch ∩ index) regardless of history size
@@ -155,16 +159,21 @@ def streaming_span_dedup(
     os.makedirs(gram_dir)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    # exact quantile boundaries (rel_err=0) → deterministic ranges
-    cuts = docs.stat.approxQuantile(
-        "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
+    # exact quantile boundaries (rel_err=0) → deterministic ranges;
+    # dedup_cuts drops duplicate boundaries so no batch is empty
+    # (ADVICE r10 — effective batch count is len(cuts) + 1)
+    cuts = dedup_cuts(
+        docs.stat.approxQuantile(
+            "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
+        )
     )
+    n_eff = len(cuts) + 1
     lo = None
-    for i in range(n_batches):
+    for i in range(n_eff):
         part = docs
         if lo is not None:
             part = part.filter(F.col("doc_id") > lo)
-        if i < n_batches - 1:
+        if i < n_eff - 1:
             part = part.filter(F.col("doc_id") <= cuts[i])
             lo = cuts[i]
         bdir = os.path.join(landing, f"batch{i}")
@@ -174,9 +183,8 @@ def streaming_span_dedup(
         # orders by modification time, and back-to-back writes can
         # share an mtime on coarse-granularity filesystems (ADVICE
         # r9). Stamp strictly increasing mtimes so the order is
-        # explicit, not a filesystem accident.
-        for fname in os.listdir(bdir):
-            os.utime(os.path.join(bdir, fname), (1_000_000 + i, 1_000_000 + i))
+        # explicit, not a filesystem accident (streaming/landing.py).
+        stamp_landing_mtimes(bdir, i)
 
     stream = (
         spark.readStream.schema(_DOCS_SCHEMA)

@@ -24,7 +24,9 @@ def _analyzed(df) -> str:
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # key=repr: rows may carry NULLs (e.g. nullable confidence), which
+    # plain tuple ordering cannot compare
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 def test_maybe_broadcast_unit(spark):
@@ -81,6 +83,82 @@ def test_range_join_band_guard(spark, monkeypatch):
     bare = asof.range_join(left, "v", bands, bucket_width=25.0)
     assert "broadcast" not in _analyzed(bare)
     assert _rows(bare) == _rows(hinted)
+
+
+def test_shortest_path_frontier_guard(spark, monkeypatch):
+    """r11: the Class-C per-hop frontier broadcasts in
+    shortest_path_length / shortest_path route through _frontier_side
+    (counted, O(V)-worst-case frontier on hub graphs). The hint lives
+    on loop-intermediate frames (the functions return materialized
+    results), so the pin here is the semantic half: with the bound
+    forced to 0 the unhinted path returns identical results, and
+    _frontier_side's hint-drop itself is pinned below."""
+    from knowledge_graph_system_spark.operators import traversal
+    from knowledge_graph_system_spark.registry import Ctx
+
+    edges = Ctx.get(spark, SF_DIR).edges
+    hinted_len = _rows(traversal.shortest_path_length(edges, "C1", "S1"))
+    hinted_path = traversal.shortest_path(edges, "C1", "S1")
+    assert hinted_len and hinted_len[0][2] is not None  # reachable
+    assert hinted_path and hinted_path[0] == "C1" and hinted_path[-1] == "S1"
+    # hint-drop at the helper level: past the bound the frame is bare
+    probe = spark.range(3).toDF("node_id")
+    assert "broadcast" in _analyzed(
+        probe.join(traversal._frontier_side(probe, 3), "node_id")
+    )
+    monkeypatch.setattr(traversal, "_BROADCAST_FRONTIER_MAX", 0)
+    assert "broadcast" not in _analyzed(
+        probe.join(traversal._frontier_side(probe, 3), "node_id")
+    )
+    # row identity through the real loops on the fallback path
+    assert _rows(traversal.shortest_path_length(edges, "C1", "S1")) == hinted_len
+    assert traversal.shortest_path(edges, "C1", "S1") == hinted_path
+
+
+def test_setops_reach_guards(spark, monkeypatch):
+    """r11: the path-corridor distance maps (fwd/bwd, O(reach)) and the
+    neighborhood/concepts_related node sets go through maybe_broadcast.
+    Hint-drop pinned on the returned plans, row identity on both."""
+    from knowledge_graph_system_spark.operators import setops
+    from knowledge_graph_system_spark.registry import Ctx
+
+    dispatch = setops.make_dispatch(Ctx.get(spark, SF_DIR))
+    corridor = {"kind": "path_to", "from_id": "C1", "to_id": "S1"}
+    nbhd = {"kind": "neighborhood", "start": "C1", "depth": 2}
+    rel = {"kind": "concepts_related", "concept_id": "C1", "max_depth": 2}
+
+    h_cor, h_nb, h_rel = dispatch(corridor), dispatch(nbhd), dispatch(rel)
+    counts = {
+        "cor_nodes": _analyzed(h_cor.nodes).count("broadcast"),
+        "cor_links": _analyzed(h_cor.links).count("broadcast"),
+        "nb_nodes": _analyzed(h_nb.nodes).count("broadcast"),
+        "rel_nodes": _analyzed(h_rel.nodes).count("broadcast"),
+    }
+    monkeypatch.setattr(setops, "_REACH_BROADCAST_MAX", 0)
+    b_cor, b_nb, b_rel = dispatch(corridor), dispatch(nbhd), dispatch(rel)
+    assert _analyzed(b_cor.nodes).count("broadcast") == counts["cor_nodes"] - 1
+    assert _analyzed(b_cor.links).count("broadcast") == counts["cor_links"] - 2
+    assert _analyzed(b_nb.nodes).count("broadcast") == counts["nb_nodes"] - 1
+    assert _analyzed(b_rel.nodes).count("broadcast") == counts["rel_nodes"] - 1
+    assert _rows(b_cor.nodes) == _rows(h_cor.nodes)
+    assert _rows(b_cor.links) == _rows(h_cor.links)
+    assert _rows(b_nb.nodes) == _rows(h_nb.nodes)
+    assert _rows(b_rel.nodes) == _rows(h_rel.nodes)
+    assert _rows(h_cor.nodes)  # the corridor is non-empty (C1 -> S1)
+
+
+def test_lc_related_neighborhood_guard(spark, monkeypatch):
+    """r11: lc_related's depth-3 BFS neighborhood broadcast is counted
+    (same bound as the traversal frontier)."""
+    from knowledge_graph_system_spark.operators import lifecycle
+
+    hinted = lifecycle.lc_related(spark, SF_DIR)
+    n_hints = _analyzed(hinted).count("broadcast")
+    monkeypatch.setattr(lifecycle, "_BROADCAST_FRONTIER_MAX", 0)
+    bare = lifecycle.lc_related(spark, SF_DIR)
+    assert _analyzed(bare).count("broadcast") == n_hints - 1
+    assert _rows(bare) == _rows(hinted)
+    assert _rows(hinted)  # non-empty neighborhood
 
 
 def test_annealing_moved_guard(spark, monkeypatch):
