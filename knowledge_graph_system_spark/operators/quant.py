@@ -76,22 +76,39 @@ def _bounds_cols(bounds: list[tuple[float, float]]) -> tuple[F.Column, F.Column]
     return mns.alias("mns"), mxs.alias("mxs")
 
 
-# code_d = floor(((x - mn) / (mx - mn)) * 255 + 0.5), clamped by
-# construction (min ≤ x ≤ max ⇒ 0 ≤ code ≤ 255); degenerate dimension
-# (mn = mx) codes to 0 and decodes back to mn exactly.
-_ENCODE = (
-    f"transform(sequence(1, {_DIM}), d -> CAST(floor(CASE"
-    " WHEN element_at(mxs, d) = element_at(mns, d) THEN 0.0D"
-    " ELSE ((element_at(v, d) - element_at(mns, d))"
-    " / (element_at(mxs, d) - element_at(mns, d))) * 255.0D + 0.5D END) AS INT))"
-)
+# code_d = floor(((x - mn) / (mx - mn)) * 255 + 0.5). Bounds computed
+# over the encoded set give 0 ≤ code ≤ 255 by construction, but encode
+# is WRITE-TIME against FROZEN bounds — an appended vector outside the
+# frozen per-dim [min, max] must clamp to the code range, not emit
+# out-of-range codes silently (ADVICE r10). Degenerate dimension
+# (mn = mx) codes to 0 and decodes back to mn exactly. The transform
+# length derives from len(bounds), so a non-64-dim table fails loudly
+# in sq8_bounds/encode agreement rather than element_at reading nulls.
+
+
+def _encode_expr(dim: int) -> str:
+    return (
+        f"transform(sequence(1, {dim}), d -> greatest(0, least(255,"
+        " CAST(floor(CASE"
+        " WHEN element_at(mxs, d) = element_at(mns, d) THEN 0.0D"
+        " ELSE ((element_at(v, d) - element_at(mns, d))"
+        " / (element_at(mxs, d) - element_at(mns, d))) * 255.0D + 0.5D END)"
+        " AS INT))))"
+    )
+
 
 # decoded approximation x̂_d = mn + code * ((mx - mn) / 255)
-_DECODE = (
-    f"transform(sequence(1, {_DIM}), d -> element_at(mns, d)"
-    " + CAST(element_at(codes, d) AS DOUBLE)"
-    " * ((element_at(mxs, d) - element_at(mns, d)) / 255.0D))"
-)
+def _decode_expr(dim: int) -> str:
+    return (
+        f"transform(sequence(1, {dim}), d -> element_at(mns, d)"
+        " + CAST(element_at(codes, d) AS DOUBLE)"
+        " * ((element_at(mxs, d) - element_at(mns, d)) / 255.0D))"
+    )
+
+
+# fixture-dimension instances (tests exercise these directly)
+_ENCODE = _encode_expr(_DIM)
+_DECODE = _decode_expr(_DIM)
 
 # asymmetric approximate score: raw query × decoded base (same fold
 # order and 6-dp rounding as ann.py's _COS, vhat in the base slot)
@@ -108,7 +125,7 @@ def sq8_encode(vectors: DataFrame, bounds: list[tuple[float, float]]) -> DataFra
     vector parquet; here the int array keeps the parity math visible."""
     mns, mxs = _bounds_cols(bounds)
     return vectors.select("vec_id", "v", mns, mxs).select(
-        "vec_id", F.expr(_ENCODE).alias("codes")
+        "vec_id", F.expr(_encode_expr(len(bounds))).alias("codes")
     )
 
 
@@ -129,7 +146,7 @@ def sq8_topk(
     mns, mxs = _bounds_cols(bounds)
     codes = sq8_encode(vectors, bounds)
     decoded = codes.select("vec_id", "codes", mns, mxs).select(
-        "vec_id", F.expr(_DECODE).alias("vhat")
+        "vec_id", F.expr(_decode_expr(len(bounds))).alias("vhat")
     )
     approx = (
         decoded.join(F.broadcast(queries))
@@ -185,9 +202,10 @@ dims AS (
 b AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dims),
 enc AS (
   SELECT vec_id,
-         list_transform(range(1, {_DIM + 1}), d -> CAST(floor(CASE
+         list_transform(range(1, {_DIM + 1}), d -> greatest(0, least(255,
+           CAST(floor(CASE
            WHEN mxs[d] = mns[d] THEN 0.0
-           ELSE ((v[d] - mns[d]) / (mxs[d] - mns[d])) * 255.0 + 0.5 END) AS INT)) AS codes
+           ELSE ((v[d] - mns[d]) / (mxs[d] - mns[d])) * 255.0 + 0.5 END) AS INT)))) AS codes
   FROM e CROSS JOIN b
 ),
 dec AS (

@@ -80,7 +80,7 @@ def test_sq8_recall_vs_brute(spark):
     """The exact re-rank repairs the quantization error: per-query
     top-10 overlap with the exact brute-force row is >= 9/10 at both
     gate scale factors (on this corpus it is exact at sf0.001)."""
-    from knowledge_graph_system_spark.operators.ann import ann_brute_topk
+    from knowledge_graph_system_spark.operators.ann import _QUERY_IDS, ann_brute_topk
     from knowledge_graph_system_spark.operators.quant import ann_sq8_topk
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
@@ -88,7 +88,31 @@ def test_sq8_recall_vs_brute(spark):
             (r["query_id"], r["vec_id"]) for r in ann_brute_topk(spark, sf).collect()
         }
         sq8 = {(r["query_id"], r["vec_id"]) for r in ann_sq8_topk(spark, sf).collect()}
-        per_q: dict[int, int] = {}
+        # seed per_q with every query id brute returned — a query with
+        # ZERO overlap must fail the bound, not vanish from the min
+        # (ADVICE r10); and all expected query ids must be present
+        per_q: dict[int, int] = {q: 0 for q, _v in brute}
+        assert set(per_q) == set(_QUERY_IDS)
         for q, v in brute & sq8:
-            per_q[q] = per_q.get(q, 0) + 1
+            per_q[q] += 1
         assert min(per_q.values()) >= 9, per_q
+
+
+def test_sq8_encode_clamps_out_of_bounds(spark):
+    """Encode is write-time against FROZEN bounds: a vector appended
+    after the bounds froze may fall outside the per-dim [min, max] and
+    must clamp to the [0, 255] code range, not emit out-of-range codes
+    silently (ADVICE r10). Also pins that the transform length derives
+    from len(bounds) — a 2-dim table works though the fixture is
+    64-dim."""
+    from knowledge_graph_system_spark.operators.quant import sq8_encode
+
+    bounds = [(0.0, 1.0), (2.0, 2.0)]  # second dimension degenerate
+    vecs = spark.createDataFrame(
+        [(1, [-5.0, 9.0]), (2, [0.5, 2.0]), (3, [7.0, -1.0])],
+        "vec_id long, v array<double>",
+    )
+    rows = {r["vec_id"]: r["codes"] for r in sq8_encode(vecs, bounds).collect()}
+    assert rows[1] == [0, 0]    # below min clamps to 0; degenerate -> 0
+    assert rows[2] == [128, 0]  # in-range: floor(127.5 + 0.5) = 128
+    assert rows[3] == [255, 0]  # above max clamps to 255
