@@ -265,13 +265,170 @@ def cur_pack_bpe(spark, sf_dir: str) -> DataFrame:
     return _pack_bpe_chain(spark, sf_dir, learn_bpe(docs, n_merges=24))
 
 
-# r8 driver row(s): prepared in r7, registered this round (prepared-plan
-# discipline — registration only; candidate code and oracles unchanged).
-# rows-only by design: the learned merge table cannot live in a static
-# SQL string; value parity is the pure-Python reference gate in
-# tests/test_bpe.py (the driver records the weaker rows-only check).
-query("t_bpe_counts")(t_bpe_counts)
-query("cur_pack_bpe")(cur_pack_bpe)
+# ---------------------------------------------------------------------------
+# r11: the SQL twin that ends "rows-only by design" (VERDICT r10 next
+# #6). The blocker was never the greedy loop's MATH — it was believing
+# a learned merge table "cannot live in a static SQL string". It can:
+# the whole learn-then-segment chain is a pure function of the corpus,
+# so a GENERATED static SQL string with one CTE block per merge
+# iteration replays it exactly.
+#
+# Encoding trick that makes both the learning loop and the segmenter
+# pure string ops: a segmentation [s1, s2, ..., sk] is stored as the
+# string '||s1||s2||...||sk||' (double-pipe separators, double-pipe
+# ends; '|' never occurs in corpus text — asserted by the parity test).
+# Applying merge (a, b) is then
+#     replace(seg, '|a||b|', '|ab|')
+# and SQL replace()'s left-to-right NON-OVERLAPPING semantics is
+# EXACTLY the canonical greedy-left fold: '||a||a||a||a||' ->
+# '||aa||aa||', matching _merge_fold on ['a','a','a','a'] ->
+# ['aa','aa']. Each pattern keeps one '|' of the boundary on each side,
+# so the double-separator invariant survives every application and a
+# symbol's TAIL can never false-match (a match needs '|a', but an
+# interior 'a' is preceded by a letter).
+#
+# Token count after all merges: symbols = separators - 1, and every
+# '|' in the string is a separator char, so
+#     n = (length(seg) - length(replace(seg, '|', ''))) / 2 - 1
+# which also agrees with Spark on the degenerate empty word ('' ->
+# ['']: seg '||||' -> 1).
+#
+# The learning loop (one block per merge k): pair counts over the
+# current vocab segmentation (lateral unnest of adjacent positions,
+# weighted by word frequency), argmax with the Python loop's exact
+# tie-break (count desc, then lexicographic pair), then the replace
+# application. Every CTE is AS MATERIALIZED — each round reads the
+# previous round twice, and DuckDB re-inlines unhinted CTEs per
+# reference (the geometric-blowup lesson from pipe_curation_oracle).
+#
+# Assumption, stated: the corpus yields at least `n_merges` merges
+# (an exhausted pair supply would end the Python loop early while the
+# SQL's empty argmax row would empty the chain). Gate corpora satisfy
+# it; the parity test asserts len(learn_bpe(...)) == n_merges.
+# ---------------------------------------------------------------------------
+
+
+def _seg0(col: str) -> str:
+    return f"'||' || array_to_string(string_split({col}, ''), '||') || '||'"
+
+
+def _bpe_vocab_ctes(n_merges: int = 24, max_vocab: int = 20_000) -> str:
+    """The shared CTE prefix: corpus words (w), the n_merges learning
+    loop (p{k}/b{k}/v{k}), the all-distinct-word segmentation chain
+    (s{k}), ending at vocab_counts(word, n_bpe_tokens)."""
+    parts = [f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+v0 AS MATERIALIZED (
+  SELECT word, n, {_seg0("word")} AS seg FROM (
+    SELECT word, count(*) AS n FROM w
+    WHERE regexp_matches(word, '^[a-z]+$')
+    GROUP BY word ORDER BY n DESC, word LIMIT {max_vocab}
+  )
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt
+  FROM (
+    SELECT n, list_filter(string_split(seg, '||'), x -> x <> '') AS syms
+    FROM v{k - 1}
+  ), unnest(range(1, len(syms))) AS t(i)
+  GROUP BY a, b
+),
+b{k} AS MATERIALIZED (
+  SELECT a, b FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+),
+v{k} AS MATERIALIZED (
+  SELECT word, n,
+         replace(seg, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seg
+  FROM v{k - 1}, b{k}
+)""")
+    parts.append(f""",
+s0 AS MATERIALIZED (
+  SELECT word, {_seg0("word")} AS seg FROM (SELECT DISTINCT word FROM w)
+)""")
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+s{k} AS MATERIALIZED (
+  SELECT word,
+         replace(seg, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seg
+  FROM s{k - 1}, b{k}
+)""")
+    parts.append(f""",
+vocab_counts AS MATERIALIZED (
+  SELECT word,
+         (length(seg) - length(replace(seg, '|', ''))) / 2 - 1 AS n_bpe_tokens
+  FROM s{n_merges}
+)""")
+    return "".join(parts)
+
+
+def bpe_counts_oracle_sql(n_merges: int = 24, max_vocab: int = 20_000) -> str:
+    """DuckDB twin of learn_bpe + bpe_token_counts + the t_bpe_counts
+    per-source rollup, as ONE generated static SQL string."""
+    return _bpe_vocab_ctes(n_merges, max_vocab) + """,
+perdoc AS (
+  SELECT w.doc_id, count(*) AS n_words,
+         CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+  FROM w JOIN vocab_counts USING (word)
+  GROUP BY w.doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+       sum(p.n_words) AS ws_tokens,
+       sum(p.n_bpe_tokens) AS bpe_tokens
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def pack_bpe_oracle_sql(n_merges: int = 24, max_vocab: int = 20_000) -> str:
+    """DuckDB twin of cur_pack_bpe's whole chain: the learned vocab
+    counts above, the domain quota (top-200 per source by n_chars, ties
+    by doc_id), greedy_pack budgeted in n_bpe_tokens, per-group rollup.
+    The quota's words are a subset of the corpus words, so joining
+    them to the full-corpus vocab_counts yields the identical per-word
+    counts bpe_token_counts(quota, merges) computes."""
+    from .curation import greedy_pack_sql
+
+    pack = greedy_pack_sql(
+        "(SELECT doc_id, n_bpe_tokens FROM budgeted) __b",
+        seq_len=2048,
+        n_groups=8,
+        tokens_sql="n_bpe_tokens",
+    )
+    return _bpe_vocab_ctes(n_merges, max_vocab) + f""",
+quota AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS __rn
+    FROM documents
+  ) WHERE __rn <= 200
+),
+budgeted AS MATERIALIZED (
+  SELECT w.doc_id, CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+  FROM w JOIN quota USING (doc_id) JOIN vocab_counts USING (word)
+  GROUP BY w.doc_id
+),
+pk AS MATERIALIZED (SELECT * FROM ({pack}))
+SELECT pack_group, count(*) AS n_docs,
+       count(DISTINCT bin_id) AS n_bins,
+       sum(n_tokens) AS total_tokens,
+       sum(CAST(spans_boundary AS BIGINT)) AS n_spanning
+FROM pk GROUP BY pack_group
+"""
+
+
+# r8 driver row(s): prepared in r7, registered r8. Rows-only through
+# r10; r11 attaches the generated SQL twin above, converting both BPE
+# rows' evidence from rows-only to hash-exact. The pure-Python
+# reference gate in tests/test_bpe.py stays (independent of BOTH
+# engines' string machinery).
+query("t_bpe_counts", oracle=bpe_counts_oracle_sql())(t_bpe_counts)
+query("cur_pack_bpe", oracle=pack_bpe_oracle_sql())(cur_pack_bpe)
 
 
 def save_bpe(merges: list[tuple[str, str]], spark, path: str) -> None:

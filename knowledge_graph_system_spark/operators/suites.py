@@ -389,6 +389,27 @@ st_stream_suite = _register_suite("st_stream_suite", _ST_CAPTURED)
 p7_cypher_suite = _register_suite("p7_cypher_suite", _P7_CAPTURED)
 so_suite = _register_suite("so_suite", _SO_CAPTURED)
 
+# The pre-computed r11 plan's escape clause fired: the BPE rows gained
+# SQL oracles this round (operators/bpe.py — ending 4 rounds of
+# rows-only), which moves both into the window as CHANGED rows and
+# breaks the zero-slack budget (52 > 50). Per the standing contingency
+# ("consolidate another always-green family first"), the curation
+# quality/safety trio — all three in the must-record r9-evidence tail —
+# folds 3 -> 1, landing the window at exactly 50.
+
+_CUR_QUALITY_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    ("cur_repetition_spans",
+     dict(n1="doc_id", n2="n_grams", n3="n_spans", x1="top_gram_frac",
+          x2="dup_gram_frac", x3="n_shared_spans", x4="shared_frac")),
+    ("cur_pii_redact",
+     dict(n1="doc_id", k1="text_redacted", n2="n_email", n3="n_ipv4",
+          x1="n_phone", x2="n_pii")),
+    ("cur_contamination",
+     dict(n1="doc_id", n2="n_eval_ngrams", n3="n_eval_docs")),
+]
+
+cur_quality_suite = _make_suite("cur_quality_suite", _CUR_QUALITY_MEMBERS)
+
 CONSOLIDATED_R11 = [
     # streaming foreachBatch family -> st_stream_suite
     "st_ingest_e2e", "st_neardup_stream", "st_enrich_stream",
@@ -399,6 +420,8 @@ CONSOLIDATED_R11 = [
     "p7_cypher_subset", "p7_cypher_varlen", "p7_cypher_trail",
     "p7_cypher_optional", "p7_cypher_union", "p7_cypher_unwind",
     "p7_cypher_with", "p7_cypher_shortest",
+    # curation quality/safety trio -> cur_quality_suite (contingency)
+    "cur_repetition_spans", "cur_pii_redact", "cur_contamination",
 ]
 CONSOLIDATED.extend(CONSOLIDATED_R11)
 for _n in CONSOLIDATED_R11:

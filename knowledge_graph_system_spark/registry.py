@@ -331,20 +331,29 @@ class Ctx:
 #     row). Use functions/scale.py:maybe_broadcast, pin hint-drop +
 #     row identity per site (tests/test_broadcast_guards.py pattern).
 #
-# r11 EXECUTED (this round, the plan above verbatim): the three
-# consolidation suites registered (operators/suites.py r11 block —
-# st_stream_suite 5->1, so_suite 2+so_conditional_demo->1,
-# p7_cypher_suite 8->1; 15 members de-registered), the five standalone
-# candidates registered via module-tail query() lines (smp_epoch_order,
-# st_spandedup_stream, cur_pack_segments, t_ccnet_buckets,
-# d_keeper_election), and the ONE slack slot filled with the prepared
-# r12 candidate pipe_curation_graded (pipelines/curate.py — the
-# END-TO-END curation chain graded against ONE composed AS-MATERIALIZED
-# oracle; "fills r11's one slack slot if the window holds" — it held).
-# Window math: 9 new + the 41-row r10 tail remainder (48 tail rows
-# MINUS the five st_stream members and the two so members) = 50 exactly.
-# Registry total after r11: 98 + 9 - 15 = 92; the r12 tail is 42,
-# restoring ~8 free r12 slots.
+# r11 EXECUTED (this round, the plan above verbatim plus the escape
+# clause): the three consolidation suites registered
+# (operators/suites.py r11 block — st_stream_suite 5->1, so_suite
+# 2+so_conditional_demo->1, p7_cypher_suite 8->1; 15 members
+# de-registered), the five standalone candidates registered via
+# module-tail query() lines (smp_epoch_order, st_spandedup_stream,
+# cur_pack_segments, t_ccnet_buckets, d_keeper_election), and the ONE
+# slack slot filled with the prepared r12 candidate
+# pipe_curation_graded (pipelines/curate.py — the END-TO-END curation
+# chain graded against ONE composed AS-MATERIALIZED oracle).
+# ESCAPE CLAUSE FIRED: the two BPE rows gained generated SQL oracles
+# this round (operators/bpe.py:bpe_counts_oracle_sql /
+# pack_bpe_oracle_sql — VERDICT r10 next #6, ending four rounds of
+# rows-only), which moves t_bpe_counts + cur_pack_bpe into the window
+# as CHANGED rows (52 > 50). Contingency per the standing rule: the
+# curation quality/safety trio (cur_repetition_spans, cur_pii_redact,
+# cur_contamination — all three in the must-record r9-evidence tail)
+# folds into cur_quality_suite, 3 -> 1, net -2.
+# Window math: 10 new (9 planned + cur_quality_suite) + 2 changed +
+# the 38-row r10 tail remainder (48 tail rows MINUS five st_stream
+# members, two so members, three cur_quality members) = 50 exactly.
+# Registry total after r11: 98 + 10 - 18 = 90; the r12 tail is 40,
+# restoring ~10 free r12 slots.
 #
 # r12 REGISTRATION PLAN, PRE-COMPUTED (execute verbatim next round;
 # ~8 free slots after this window's tail math). The three remaining
@@ -364,22 +373,26 @@ class Ctx:
 # bench headliners fill). NO new operator families before the queue is
 # drained (VERDICT r10 next #4 freeze).
 _RECORD_FIRST = [
-    # ---- new (r11): the three consolidation suites + five prepared
-    # candidates + the slack-slot pipeline row, registered exactly as
-    # the pre-computed plan above
+    # ---- new (r11): the four consolidation suites + five prepared
+    # candidates + the slack-slot pipeline row
     "st_stream_suite",
     "so_suite",
     "p7_cypher_suite",
+    "cur_quality_suite",
     "smp_epoch_order",
     "st_spandedup_stream",
     "cur_pack_segments",
     "t_ccnet_buckets",
     "d_keeper_election",
     "pipe_curation_graded",
-    # ---- the r10 non-window tail, same enumeration order (41 rows:
+    # ---- changed (r11): the BPE rows' oracles went from None to the
+    # generated SQL twins (hash-exact for the first time)
+    "t_bpe_counts",
+    "cur_pack_bpe",
+    # ---- the r10 non-window tail, same enumeration order (38 rows:
     # the 48 rows past slot 50 last round MINUS the five st_stream
-    # members and the two so members, which leave the registry via
-    # their suites)
+    # members, the two so members, and the three cur_quality members,
+    # which leave the registry via their suites)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "ann_ivf_persisted",
@@ -393,11 +406,8 @@ _RECORD_FIRST = [
     "d_dedup_apply",
     "d_embedding_groups",
     "smp_quantile_global",
-    "cur_repetition_spans",
-    "cur_pii_redact",
     "smp_split_mix",
     "cur_pack_quota",
-    "cur_contamination",
     "x2_skew_naive_join",
     "x2_skew_salted_join",
     "g1_bfs_both_depth2_conf",

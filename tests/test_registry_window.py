@@ -44,8 +44,9 @@ def test_suites_carry_member_oracles_and_members_are_deregistered():
         "a_scores_suite", "j_enrich_suite", "v_search_suite",
         "t_textstats_suite", "p_filter_matrix", "st_windows_suite",
         "f_catalog_suite", "m_decode_suite",
-        # r11 consolidation
+        # r11 consolidation (cur_quality_suite = the escape-clause fold)
         "st_stream_suite", "so_suite", "p7_cypher_suite",
+        "cur_quality_suite",
     }
     assert suite_defs <= set(registry.QUERIES)
     joined = "\n".join(registry.QUERIES[s].oracle for s in suite_defs)
