@@ -596,16 +596,22 @@ def cur_pack_quota(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cur_contamination",
-    oracle=contamination_sql("tr", "ev", n=8).replace(
+def cur_contamination_oracle() -> str:
+    """Named so consumers that outlive the registry row can reach it —
+    since the r11 cur_quality_suite fold, `cur_contamination` is no
+    longer individually registered, and st_contamination_stream's
+    oracle (streaming/contamination_stream.py) reads this function
+    rather than QUERIES."""
+    return contamination_sql("tr", "ev", n=8).replace(
         "WITH __tr_grams",
         "WITH tr AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),\n"
         "     ev AS (SELECT * FROM documents WHERE doc_id % 25 = 0),\n"
         "     __tr_grams",
         1,
-    ),
-)
+    )
+
+
+@query("cur_contamination", oracle=cur_contamination_oracle())
 def cur_contamination(spark, sf_dir: str) -> DataFrame:
     """Driver row for the decontamination check: every 25th document
     plays the eval set, the rest the training corpus; output is the

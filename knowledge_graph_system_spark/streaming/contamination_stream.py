@@ -151,7 +151,8 @@ def st_contamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def st_contamination_stream_oracle() -> str:
-    from ..registry import QUERIES, load_all
+    # module function, not QUERIES["cur_contamination"]: the batch row
+    # folded into cur_quality_suite in r11 and left the registry
+    from ..operators.curation import cur_contamination_oracle
 
-    load_all()
-    return QUERIES["cur_contamination"].oracle
+    return cur_contamination_oracle()
