@@ -355,23 +355,34 @@ class Ctx:
 # Registry total after r11: 98 + 10 - 18 = 90; the r12 tail is 40,
 # restoring ~10 free r12 slots.
 #
-# r12 REGISTRATION PLAN, PRE-COMPUTED (execute verbatim next round;
-# ~8 free slots after this window's tail math). The three remaining
-# unregistered candidates, all built + driver-style validated in r10
-# (VERDICT r10 next #4), drain first:
+# r12 REGISTRATION PLAN, PRE-COMPUTED with exact window math (execute
+# verbatim next round). The r11 tail is 40 rows (positions 51-90 this
+# round), all carrying r10 evidence that turns two rounds old in r12 —
+# so all 40 must record. The three remaining unregistered candidates,
+# all built + driver-style validated (VERDICT r10 next #4), drain
+# first as new rows:
 #   1. d_semdedup — within-cluster semantic dedup, cluster = shuffle
 #      key (operators/semdedup.py:125; tests/test_semdedup.py).
 #   2. ann_sq8_topk — SQ8 scalar-quantized top-k with exact re-rank
-#      (operators/quant.py:159; tests/test_quant.py).
+#      (operators/quant.py:159; tests/test_quant.py::
+#      test_r12_candidate_ann_sq8).
 #   3. st_contamination_stream — streaming decontamination, stateless
 #      O(batch)/trigger (streaming/contamination_stream.py:132;
-#      tests/test_contamination_stream.py).
-# Remaining slots go to rows whose code changed in r11 (the Class-C
-# broadcast-guard consumers g2_shortest_path / g3_k_shortest_paths /
-# lc_connect_by_search / lc_related rotate in as r11-tail rows anyway)
-# and then the standing alternation rule (two-round-old tail first,
-# bench headliners fill). NO new operator families before the queue is
-# drained (VERDICT r10 next #4 freeze).
+#      tests/test_contamination_stream.py::
+#      test_r12_candidate_st_contamination_stream).
+# r12 WINDOW = 3 new + the 40-row r11 tail (the enumeration order
+# printed by load_all() this round: a2a3_confidence_score ...
+# m_decode_suite) = 43 rows — SEVEN slack slots. Fill per the standing
+# rule: first any rows whose code or oracle r12 changes (each such
+# change costs one slack slot; with 7 free this is the round for any
+# deferred executed-path maintenance on tail rows), then bench
+# headliners from the r11 window (g1/j1/j5/d_minhash are the usual
+# suspects). Registry total after r12: 90 + 3 = 93; the r13 tail is
+# 93 - 50 = 43, so r13 keeps ~7 slots of headroom without further
+# consolidation (the prepared an_suite contingency stays available).
+# NO new operator families before the candidate queue is drained
+# (VERDICT r10 next #4 freeze — after r12 registers these three, the
+# queue is EMPTY for the first time since r6).
 _RECORD_FIRST = [
     # ---- new (r11): the four consolidation suites + five prepared
     # candidates + the slack-slot pipeline row
