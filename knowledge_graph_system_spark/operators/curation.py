@@ -61,6 +61,12 @@ def word_ngrams(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Distinct (eval_id, gram) rows above this lose the broadcast hint and
+# the contamination join shuffles on gram instead — same bound class
+# and row width as lm.LM_COUNT_BROADCAST_MAX (a string plus an id).
+EVAL_GRAM_BROADCAST_MAX = 1_000_000
+
+
 def contamination_check(
     train: DataFrame,
     eval_df: DataFrame,
@@ -72,16 +78,24 @@ def contamination_check(
     """Per contaminated training doc: how many DISTINCT eval n-grams it
     contains and how many eval docs it collides with.
 
-    Plan shape: eval n-grams (small — eval sets are thousands of rows)
-    are dedup'd and broadcast; train n-grams stream through the join
-    exploded but never shuffle. Output: (doc_id, n_eval_ngrams,
-    n_eval_docs) for docs with >= min_hits distinct shared n-grams."""
+    Plan shape: eval n-grams (small in the intended use — eval sets are
+    thousands of rows) are dedup'd, checkpointed, and broadcast WHILE
+    COUNTED under EVAL_GRAM_BROADCAST_MAX — distinct (eval_id, gram)
+    rows grow with the eval set, and a maliciously-or-accidentally
+    large "eval set" must shuffle-join rather than blow the driver
+    (r11: the one forced data-proportional hint the r10 audit missed).
+    Train n-grams stream through the join exploded but never shuffle.
+    Output: (doc_id, n_eval_ngrams, n_eval_docs) for docs with >=
+    min_hits distinct shared n-grams."""
+    from ..functions.scale import maybe_broadcast
+
     ev = (
         eval_df.select(
             F.col(id_col).alias("eval_id"),
             F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
         )
         .distinct()
+        .localCheckpoint(eager=True)  # guard count + join share one pass
     )
     # no .distinct() on the train side: it would be a full (doc_id,
     # gram) exchange over the whole corpus before the broadcast join,
@@ -91,7 +105,7 @@ def contamination_check(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
-    hits = tr.join(F.broadcast(ev), "gram")
+    hits = tr.join(maybe_broadcast(ev, EVAL_GRAM_BROADCAST_MAX), "gram")
     return (
         hits.groupBy("doc_id")
         .agg(

@@ -37,18 +37,29 @@ _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars lo
 
 
 def process_contamination_batch(
-    batch_docs: DataFrame, ev_grams: DataFrame, out_dir: str, n: int = 8, min_hits: int = 1
+    batch_docs: DataFrame,
+    ev_grams: DataFrame,
+    out_dir: str,
+    n: int = 8,
+    min_hits: int = 1,
+    n_ev: int | None = None,
 ) -> None:
     """One micro-batch: the batch's exploded n-grams against the static
-    eval-gram frame — the same broadcast-join + per-doc aggregation
-    shape as `contamination_check`, restated here against the pre-built
-    eval side (the batch operator derives its own; its registered
-    executed path stays untouched). Appended to the output log."""
+    eval-gram frame — the same guarded-broadcast-join + per-doc
+    aggregation shape as `contamination_check`, restated here against
+    the pre-built eval side (the batch operator derives its own). The
+    eval side broadcasts only while counted under the shared
+    EVAL_GRAM_BROADCAST_MAX bound (pass `n_ev` from the harness so the
+    count is paid once per RUN, not per batch). Appended to the
+    output log."""
+    from ..functions.scale import maybe_broadcast
+    from ..operators.curation import EVAL_GRAM_BROADCAST_MAX
+
     tr = batch_docs.select(
         "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
     )
     flagged = (
-        tr.join(F.broadcast(ev_grams), "gram")
+        tr.join(maybe_broadcast(ev_grams, EVAL_GRAM_BROADCAST_MAX, n_ev), "gram")
         .groupBy("doc_id")
         .agg(
             F.count_distinct("gram").alias("n_eval_ngrams"),
@@ -126,8 +137,10 @@ def streaming_contamination(
         .parquet(os.path.join(landing, "batch*"))
     )
 
+    n_ev = ev_grams.count()  # guard count paid once per run
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_contamination_batch(batch_df, ev_grams, out_dir, n)
+        process_contamination_batch(batch_df, ev_grams, out_dir, n, n_ev=n_ev)
 
     try:
         q = (

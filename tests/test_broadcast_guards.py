@@ -161,6 +161,26 @@ def test_lc_related_neighborhood_guard(spark, monkeypatch):
     assert _rows(hinted)  # non-empty neighborhood
 
 
+def test_contamination_eval_gram_guard(spark, monkeypatch):
+    """r11: contamination_check's eval-gram side is counted, not forced
+    — distinct (eval_id, gram) rows grow with the eval set (the one
+    forced data-proportional hint the r10 audit missed)."""
+    from pyspark.sql import functions as F2
+
+    from knowledge_graph_system_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F2.col("doc_id") % 25 == 0)
+    tr = docs.filter(F2.col("doc_id") % 25 != 0)
+    hinted = curation.contamination_check(tr, ev)
+    assert "broadcast" in _analyzed(hinted)
+    monkeypatch.setattr(curation, "EVAL_GRAM_BROADCAST_MAX", 0)
+    bare = curation.contamination_check(tr, ev)
+    assert "broadcast" not in _analyzed(bare)
+    assert _rows(bare) == _rows(hinted)
+    assert _rows(hinted)  # the fixture split really collides
+
+
 def test_vocab_guard_fires_on_data(spark):
     """r11: one guard fallback exercised ORGANICALLY (VERDICT r10
     'fixture headroom' note — the sf1 fixture's 31-word vocabulary can
