@@ -19,6 +19,10 @@ from ..functions import oracle_snippets as osql
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
 
+# Node rows above this lose hydrate_ids' broadcast hint (wide rows:
+# id + label + name + ontology strings — the LM-count width class).
+NODE_HYDRATE_BROADCAST_MAX = 1_000_000
+
 
 def evidence_join(tables: dict[str, DataFrame]) -> DataFrame:
     """J1: the Concept→Instance→Source evidence chain, modeled as
@@ -48,10 +52,19 @@ def concepts_for_sources(tables: dict[str, DataFrame]) -> DataFrame:
 
 def hydrate_ids(nodes: DataFrame, ids: DataFrame) -> DataFrame:
     """J4: batch label/name hydration for an ID set; unresolved ids keep
-    NULLs (reference IN-list fetch, `graph_facade.py:930-967`)."""
-    return ids.join(F.broadcast(nodes), "node_id", "left").select(
-        ids["node_id"], "label", "name", "ontology"
-    )
+    NULLs (reference IN-list fetch, `graph_facade.py:930-967`).
+
+    The build side of a broadcast LEFT join must be the right (nodes)
+    side, and the node table is O(V) — so the hint is counted, not
+    forced (r11 sweep): under the bound the tiny IN-list avoids a
+    node-table shuffle entirely; at 100 TB the join correctly shuffles
+    on node_id (where the graph's hash-bucketed layout makes it a
+    co-located join anyway)."""
+    from ..functions.scale import maybe_broadcast
+
+    return ids.join(
+        maybe_broadcast(nodes, NODE_HYDRATE_BROADCAST_MAX), "node_id", "left"
+    ).select(ids["node_id"], "label", "name", "ontology")
 
 
 @query(

@@ -456,13 +456,23 @@ def yen_k_shortest(
 
 
 def subgraph(edges: DataFrame, node_set: DataFrame) -> DataFrame:
-    """Edges whose BOTH endpoints are in node_set (G4) — double semi-join,
-    node_set broadcast twice; edge table untouched by shuffle."""
-    ids = node_set.select("node_id")
+    """Edges whose BOTH endpoints are in node_set (G4) — double
+    semi-join; node_set hinted into both joins WHILE COUNTED (r11
+    sweep: node sets from BFS are O(reach), the frontier defect class),
+    edge table untouched by shuffle under the bound. One count serves
+    both hints (BFS outputs arrive checkpointed)."""
+    ids = node_set.select("node_id").localCheckpoint(eager=True)
+    n_ids = ids.count()
     return (
         edges.join(
-            F.broadcast(ids.withColumnRenamed("node_id", "src")), "src", "left_semi"
-        ).join(F.broadcast(ids.withColumnRenamed("node_id", "dst")), "dst", "left_semi")
+            _frontier_side(ids.withColumnRenamed("node_id", "src"), n_ids),
+            "src",
+            "left_semi",
+        ).join(
+            _frontier_side(ids.withColumnRenamed("node_id", "dst"), n_ids),
+            "dst",
+            "left_semi",
+        )
     ).select("src", "dst", "rel_type", "confidence")
 
 

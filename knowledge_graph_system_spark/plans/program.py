@@ -58,11 +58,22 @@ class WorkingGraph:
 
     def _prune_dangling(self) -> "WorkingGraph":
         """Dangling-link invariant: every link endpoint must exist in the
-        node set (`program_operators.py:42-53`)."""
-        ids = self.nodes.select("node_id")
+        node set (`program_operators.py:42-53`). The node-id frame is a
+        program RESULT — O(V) for a match-all — so the semi-join hints
+        are counted, not forced (r11 sweep; one count serves both)."""
+        from ..operators.traversal import _frontier_side
+
+        ids = self.nodes.select("node_id").localCheckpoint(eager=True)
+        n_ids = ids.count()
         links = self.links.join(
-            F.broadcast(ids.withColumnRenamed("node_id", "src")), "src", "left_semi"
-        ).join(F.broadcast(ids.withColumnRenamed("node_id", "dst")), "dst", "left_semi")
+            _frontier_side(ids.withColumnRenamed("node_id", "src"), n_ids),
+            "src",
+            "left_semi",
+        ).join(
+            _frontier_side(ids.withColumnRenamed("node_id", "dst"), n_ids),
+            "dst",
+            "left_semi",
+        )
         return WorkingGraph(self.nodes, links)
 
 

@@ -161,6 +161,49 @@ def test_lc_related_neighborhood_guard(spark, monkeypatch):
     assert _rows(hinted)  # non-empty neighborhood
 
 
+def test_subgraph_and_prune_dangling_guards(spark, monkeypatch):
+    """r11 sweep: subgraph()'s node-set semi-joins and WorkingGraph's
+    dangling-prune semi-joins hint only while counted (node sets are
+    O(reach)/O(result))."""
+    from knowledge_graph_system_spark.operators import traversal
+    from knowledge_graph_system_spark.plans.program import WorkingGraph
+    from knowledge_graph_system_spark.registry import Ctx
+
+    ctx = Ctx.get(spark, SF_DIR)
+    nset = traversal.bfs(ctx.edges, ["C1"], 2)
+    hinted = traversal.subgraph(ctx.edges, nset)
+    assert _analyzed(hinted).count("broadcast") >= 2
+    wg_h = WorkingGraph(ctx.nodes, ctx.edges)._prune_dangling()
+    n_wg_hints = _analyzed(wg_h.links).count("broadcast")
+    assert n_wg_hints >= 2
+    monkeypatch.setattr(traversal, "_BROADCAST_FRONTIER_MAX", 0)
+    bare = traversal.subgraph(ctx.edges, nset)
+    assert "broadcast" not in _analyzed(bare)
+    wg_b = WorkingGraph(ctx.nodes, ctx.edges)._prune_dangling()
+    assert _analyzed(wg_b.links).count("broadcast") == n_wg_hints - 2
+    assert _rows(bare) == _rows(hinted) and _rows(bare)
+    assert _rows(wg_b.links) == _rows(wg_h.links) and _rows(wg_b.links)
+
+
+def test_hydrate_ids_node_guard(spark, monkeypatch):
+    """r11 sweep: hydrate_ids broadcast the FULL node table (O(V), the
+    build side of its left join) unconditionally — now counted."""
+    from knowledge_graph_system_spark.operators import joins
+    from knowledge_graph_system_spark.registry import Ctx
+
+    ctx = Ctx.get(spark, SF_DIR)
+    ids = spark.createDataFrame(
+        [("C1",), ("P1",), ("nosuch",)], "node_id string"
+    )
+    hinted = joins.hydrate_ids(ctx.nodes, ids)
+    assert "broadcast" in _analyzed(hinted)
+    monkeypatch.setattr(joins, "NODE_HYDRATE_BROADCAST_MAX", 0)
+    bare = joins.hydrate_ids(ctx.nodes, ids)
+    assert "broadcast" not in _analyzed(bare)
+    assert _rows(bare) == _rows(hinted)
+    assert len(_rows(hinted)) == 3  # unresolved id kept with NULLs
+
+
 def test_contamination_eval_gram_guard(spark, monkeypatch):
     """r11: contamination_check's eval-gram side is counted, not forced
     — distinct (eval_id, gram) rows grow with the eval set (the one
