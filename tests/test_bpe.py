@@ -269,3 +269,102 @@ def test_pack_bpe_saved_table_identity(spark, tmp_path):
     got = sorted(map(tuple, cur_pack_bpe_from_saved(spark, SF_DIR, table).collect()))
     want = sorted(map(tuple, cur_pack_bpe(spark, SF_DIR).collect()))
     assert len(got) > 0 and got == want
+
+
+# ---------------------------------------------------------------------------
+# r11: property test for the GENERATED SQL oracle (bpe_counts_oracle_sql)
+# — three-way agreement on RANDOM corpora, not just the fixture: the
+# Spark fold chain, the DuckDB replace()-chain oracle, and the pure-
+# Python reference must produce identical per-source (n_docs,
+# ws_tokens, bpe_tokens) rollups. Small 'a'/'b'-heavy alphabet
+# maximizes merge interactions (greedy-left runs like 'aaaa'); the
+# occasional non-alpha word exercises the learn-filter vs
+# segment-everything split.
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_oracle_three_way_property(spark):
+    import duckdb
+    import pandas as pd
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    from knowledge_graph_system_spark.operators.bpe import (
+        bpe_counts_oracle_sql,
+        bpe_token_counts,
+        learn_bpe,
+    )
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    odd = st.sampled_from(["a1b", "x!", "ba9"])  # non-alpha: segment-only
+    doc = st.lists(st.one_of(word, word, word, odd), min_size=1, max_size=8)
+    corpus = st.lists(doc, min_size=2, max_size=6)
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus=corpus)
+    def check(corpus):
+        n_merges = 4
+        rows = [
+            (i, " ".join(words), "s" + str(i % 2))
+            for i, words in enumerate(corpus)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        merges = learn_bpe(docs, n_merges=n_merges)
+        # the generated oracle assumes the corpus yields all n_merges
+        # (documented in bpe.py); skip early-exhausted random corpora
+        assume(len(merges) == n_merges)
+
+        # leg 1: Python reference, per-source rollup
+        from collections import Counter
+
+        wc = Counter(
+            w
+            for _i, text, _s in rows
+            for w in text.split(" ")
+            if w and w.isalpha() and w == w.lower() and w.isascii()
+        )
+        ref_merges = _reference_learn(dict(wc), n_merges)
+        assert merges == ref_merges
+        expect = {}
+        for i, text, src in rows:
+            words = text.split(" ")
+            nd, ws, bp = expect.get(src, (0, 0, 0))
+            expect[src] = (
+                nd + 1,
+                ws + len(words),
+                bp + sum(len(_reference_segment(w, merges)) for w in words),
+            )
+
+        # leg 2: the Spark fold chain
+        got_spark = {
+            r["source"]: (r["n_docs"], r["ws_tokens"], r["bpe_tokens"])
+            for r in bpe_token_counts(docs, merges)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_words").alias("ws_tokens"),
+                F.sum("n_bpe_tokens").alias("bpe_tokens"),
+            )
+            .collect()
+        }
+        assert got_spark == expect
+
+        # leg 3: the generated DuckDB oracle (learning INCLUDED)
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(rows, columns=["doc_id", "text", "source"]),
+        )
+        got_duck = {
+            s: (nd, ws, bp)
+            for s, nd, ws, bp in con.execute(
+                bpe_counts_oracle_sql(n_merges=n_merges)
+            ).fetchall()
+        }
+        con.close()
+        assert got_duck == expect
+
+    check()
