@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scale import fan_out
 from ..registry import Ctx
 from .ann import _COS, _QUERY_IDS, _TOPK, _vectors
 
@@ -179,7 +180,13 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same (query_id, vec_id, cos, rank) shape as the brute/IVF rows so
     the three ANN legs grade through one schema."""
     ctx = Ctx.get(spark, sf_dir)
-    vecs = _vectors(ctx).drop("label").localCheckpoint(eager=True)
+    # fan_out BEFORE the checkpoint: the single-file embeddings scan
+    # yields 2 splits, and every vector-side stage (encode, decode,
+    # the |q|×N approximate scoring) inherits that parallelism — the
+    # r11 candidate decade probe measured 7.7× (sf0.1→sf1) with the
+    # scoring stage serialized on 2 of 32 cores (the lm.py/multimodal
+    # defect class, functions/scale.py)
+    vecs = fan_out(_vectors(ctx).drop("label")).localCheckpoint(eager=True)
     bounds = sq8_bounds(vecs)
     queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -51,6 +51,10 @@ from .components import connected_components
 # at ≥ τ inside one cluster are the planted semantic clones.
 SEMDEDUP_THRESHOLD = 0.4
 
+# Assignment rows above this lose the pair-join broadcast hint (the
+# frontier/LM bound class: an id + a label per row).
+_ASSIGN_BROADCAST_MAX = 2_000_000
+
 
 def cluster_assign(vectors: DataFrame) -> DataFrame:
     """(vec_id, clabel, ccos): nearest label-centroid per vector —
@@ -83,10 +87,24 @@ def semdedup_pairs(
     vectors: DataFrame, assign: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
 ) -> DataFrame:
     """(vec_a, vec_b, cos) — exact cosine ≥ threshold, computed ONLY
-    for pairs sharing an assigned cluster (the equi-join key)."""
-    a = assign.select(F.col("vec_id").alias("vec_a"), "clabel")
+    for pairs sharing an assigned cluster (the equi-join key).
+
+    Parallelism shape (r11 candidate decade probe): the self-join
+    EXPLODES output Σ|c|²-fold, so its parallelism must come from the
+    LEFT side's partitioning, not from AQE's input-byte sizing (the
+    assignment frame is megabytes, so AQE coalesces it to ~1 partition
+    and the expansion serializes) and not from a clabel shuffle (only
+    |clusters| distinct keys → ≤ |clusters| active cores). fan_out the
+    left side, broadcast the right WHILE COUNTED — past the bound the
+    clabel shuffle is the fallback and AQE's skew split handles the
+    hot clusters."""
+    from ..functions.scale import fan_out, maybe_broadcast
+
+    a = fan_out(assign.select(F.col("vec_id").alias("vec_a"), "clabel"))
     b = assign.select(F.col("vec_id").alias("vec_b"), "clabel")
-    cand = a.join(b, "clabel").filter(F.col("vec_a") < F.col("vec_b"))
+    cand = a.join(
+        maybe_broadcast(b, _ASSIGN_BROADCAST_MAX), "clabel"
+    ).filter(F.col("vec_a") < F.col("vec_b"))
     va = vectors.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = vectors.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
@@ -99,12 +117,28 @@ def semdedup_pairs(
 
 
 def semdedup_groups(
-    vectors: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+    vectors: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, clabel, group_id, keeper): semantic duplicate groups
     with the paper's exemplar rule — keeper = the group member with
-    the LOWEST cosine to its cluster centroid, ties by vec_id."""
-    assign = cluster_assign(vectors).localCheckpoint(eager=True)
+    the LOWEST cosine to its cluster centroid, ties by vec_id.
+
+    SCALE CONTRACT (measured, r11 candidate decade probe): the default
+    label quantizer has FIXED cluster count, so Σ_c |c|² grows
+    quadratically in corpus size — the probe read 67× wall for 10×
+    data before the fan-out fix and stays superlinear after it, which
+    is exactly why the paper scales its cluster count WITH the corpus
+    (k ∝ N; Abbas et al. run 100k k-means clusters on LAION). At
+    production scale pass `assign` — a precomputed (vec_id, clabel,
+    ccos) assignment from a real k ∝ N quantizer, written at ingest
+    time like the IVF cell column — and the within-cluster pair volume
+    stays linear. The default stays label-based because it is a pure
+    deterministic function of the table (what the driver-graded row
+    must be) and correct at gate scale."""
+    if assign is None:
+        assign = cluster_assign(vectors).localCheckpoint(eager=True)
     pairs = semdedup_pairs(vectors, assign, threshold)
     comp = connected_components(pairs, "vec_a", "vec_b")
     grouped = comp.select(
@@ -127,15 +161,20 @@ def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, clabel, group_id, keeper), composing with `dedup_apply`
     (keyed on vec_id) exactly like the other group resolvers."""
     ctx = Ctx.get(spark, sf_dir)
-    vecs = (
-        ctx.tables["embeddings"]
-        .select(
+    # fan_out BEFORE the checkpoint: the single-file scan yields 2
+    # splits and the N×nlist assignment stage inherits them (the r11
+    # candidate decade probe caught the stage serialized on 2 of 32
+    # cores; see semdedup_groups' scale contract for the remaining —
+    # inherent — Σ|c|² term)
+    from ..functions.scale import fan_out
+
+    vecs = fan_out(
+        ctx.tables["embeddings"].select(
             "vec_id",
             "label",
             F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         )
-        .localCheckpoint(eager=True)  # feeds assignment + both pair sides
-    )
+    ).localCheckpoint(eager=True)  # feeds assignment + both pair sides
     return semdedup_groups(vecs)
 
 
