@@ -316,6 +316,9 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_THRESHOLD = 0.4
 _NEARDUP_NPROBE = 4
+# multi-probe assignment rows above this lose the pair-join broadcast
+# hint (the frontier/LM bound class: an id + a label per row)
+_ASSIGN_BROADCAST_MAX = 2_000_000
 
 
 def embedding_neardup_brute(vectors: DataFrame, threshold: float = _NEARDUP_THRESHOLD) -> DataFrame:
@@ -341,10 +344,16 @@ def embedding_candidates_ivf(vectors: DataFrame, nprobe: int = _NEARDUP_NPROBE) 
 
     At 100 TB the assignment is a write-time column and the candidate
     join shuffles on the bucket key — candidate volume ≈ Σ_bucket
-    |bucket|² · (nprobe/nlist overlap), never all-pairs. Recall < 1 by
-    design (multi-probe bounds the miss rate); the oracle reproduces the
-    SAME algorithm so the correctness gate pins these semantics, exactly
-    as `ann_ivf_topk` does."""
+    |bucket|² · (nprobe/nlist overlap), never all-pairs. Σ|bucket|²
+    stays linear only when the bucket COUNT grows with the corpus
+    (k ∝ N, the SemDeDup scale contract in operators/semdedup.py —
+    the r11 decade probes measured the fixed-label quantizer
+    superlinear by construction); the label quantizer here is the
+    gate-scale default, a write-time k ∝ N cell column is the
+    production form. Recall < 1 by design (multi-probe bounds the
+    miss rate); the oracle reproduces the SAME algorithm so the
+    correctness gate pins these semantics, exactly as `ann_ivf_topk`
+    does."""
     from ..functions.vectors import cosine_expr
     from pyspark.sql.window import Window
 
@@ -365,10 +374,19 @@ def embedding_candidates_ivf(vectors: DataFrame, nprobe: int = _NEARDUP_NPROBE) 
         .filter(F.col("rn") <= nprobe)
         .select("vec_id", "clabel")
     )
-    a = assign.select(F.col("vec_id").alias("vec_a"), "clabel")
+    # Explosive-join parallelism (the r11 d_semdedup finding): the
+    # assignment frame is megabytes, so AQE's input-byte sizing would
+    # coalesce it to ~1 partition and the Σ|bucket|² pair expansion
+    # would serialize; a clabel shuffle caps at |buckets| cores.
+    # fan_out the left side, broadcast the right while counted.
+    from ..functions.scale import fan_out, maybe_broadcast
+
+    assign = assign.localCheckpoint(eager=True)  # count + join share it
+    n_assign = assign.count()
+    a = fan_out(assign.select(F.col("vec_id").alias("vec_a"), "clabel"))
     b = assign.select(F.col("vec_id").alias("vec_b"), "clabel")
     return (
-        a.join(b, "clabel")
+        a.join(maybe_broadcast(b, _ASSIGN_BROADCAST_MAX, n_assign), "clabel")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
@@ -433,10 +451,18 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a property of the fixture, not the plan
     (ref threshold policy: `api/app/lib/concept_matcher.py:135-228`)."""
     ctx = Ctx.get(spark, sf_dir)
+    from ..functions.scale import fan_out
     from ..functions.vectors import cosine_expr
 
-    e = ctx.tables["embeddings"].select(
-        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    # fan_out before the checkpoint: the single-file scan yields 2
+    # splits and the N×nlist assignment stage inherits them (the r11
+    # d_semdedup/sq8 finding, functions/scale.py)
+    e = fan_out(
+        ctx.tables["embeddings"].select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
     ).localCheckpoint(eager=True)  # feeds assignment + both verify sides
     cand = embedding_candidates_ivf(e)
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
