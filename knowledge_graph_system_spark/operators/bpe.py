@@ -301,10 +301,14 @@ def cur_pack_bpe(spark, sf_dir: str) -> DataFrame:
 # previous round twice, and DuckDB re-inlines unhinted CTEs per
 # reference (the geometric-blowup lesson from pipe_curation_oracle).
 #
-# Assumption, stated: the corpus yields at least `n_merges` merges
-# (an exhausted pair supply would end the Python loop early while the
-# SQL's empty argmax row would empty the chain). Gate corpora satisfy
-# it; the parity test asserts len(learn_bpe(...)) == n_merges.
+# Exhausted-merge case (corpus yields fewer than n_merges distinct
+# pairs): the Python loop ends early, applying no further merges. The
+# SQL chain matches that EXACTLY via LEFT JOIN b{k} ON TRUE +
+# COALESCE — an empty argmax row leaves a/b NULL, replace(seg, NULL,
+# NULL) is NULL, and COALESCE carries the previous segmentation
+# forward unchanged (ADVICE r11: previously a cross join silently
+# annihilated the whole chain; parity on exhausted corpora is now
+# pinned by tests/test_bpe.py::test_bpe_oracle_exhausted_merges).
 # ---------------------------------------------------------------------------
 
 
@@ -342,8 +346,10 @@ b{k} AS MATERIALIZED (
 ),
 v{k} AS MATERIALIZED (
   SELECT word, n,
-         replace(seg, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seg
-  FROM v{k - 1}, b{k}
+         coalesce(
+           replace(seg, '|' || a || '||' || b || '|', '|' || a || b || '|'),
+           seg) AS seg
+  FROM v{k - 1} LEFT JOIN b{k} ON TRUE
 )""")
     parts.append(f""",
 s0 AS MATERIALIZED (
@@ -353,8 +359,10 @@ s0 AS MATERIALIZED (
         parts.append(f""",
 s{k} AS MATERIALIZED (
   SELECT word,
-         replace(seg, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seg
-  FROM s{k - 1}, b{k}
+         coalesce(
+           replace(seg, '|' || a || '||' || b || '|', '|' || a || b || '|'),
+           seg) AS seg
+  FROM s{k - 1} LEFT JOIN b{k} ON TRUE
 )""")
     parts.append(f""",
 vocab_counts AS MATERIALIZED (
@@ -376,8 +384,8 @@ perdoc AS (
   GROUP BY w.doc_id
 )
 SELECT d.source, count(*) AS n_docs,
-       sum(p.n_words) AS ws_tokens,
-       sum(p.n_bpe_tokens) AS bpe_tokens
+       CAST(sum(p.n_words) AS BIGINT) AS ws_tokens,
+       CAST(sum(p.n_bpe_tokens) AS BIGINT) AS bpe_tokens
 FROM perdoc p JOIN documents d USING (doc_id)
 GROUP BY d.source
 """
@@ -416,8 +424,8 @@ budgeted AS MATERIALIZED (
 pk AS MATERIALIZED (SELECT * FROM ({pack}))
 SELECT pack_group, count(*) AS n_docs,
        count(DISTINCT bin_id) AS n_bins,
-       sum(n_tokens) AS total_tokens,
-       sum(CAST(spans_boundary AS BIGINT)) AS n_spanning
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(spans_boundary AS BIGINT)) AS BIGINT) AS n_spanning
 FROM pk GROUP BY pack_group
 """
 

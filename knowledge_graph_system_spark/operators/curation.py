@@ -221,7 +221,7 @@ c AS (
 )
 SELECT doc_id, n_tokens, pack_group,
        CAST(floor(__start / {seq_len}) AS BIGINT) AS bin_id,
-       __start % {seq_len} AS bin_offset,
+       CAST(__start % {seq_len} AS BIGINT) AS bin_offset,
        (__start % {seq_len}) + n_tokens > {seq_len} AS spans_boundary
 FROM c
 """

@@ -9,7 +9,13 @@ Determinism rules every registered query follows:
 - float outputs rounded (6 dp scores, 2 dp money sums) on BOTH sides;
 - threshold filters compare the rounded value;
 - any LIMIT is preceded by a total order (tie-break on a unique key);
-- aggregate/computed columns aliased identically in Spark and SQL.
+- aggregate/computed columns aliased identically in Spark and SQL;
+- every integer aggregate in an oracle is CAST to BIGINT — DuckDB
+  widens sum(BIGINT) to HUGEINT (int128), which the DRIVER's hasher
+  renders differently from Spark's int64 while local fetchall()-based
+  checks coerce to Python int and mask it (the r11 hash-red lesson:
+  t_bpe_counts / cur_pack_bpe / pipe_curation_graded).
+  tests/test_oracle_types.py lints every registered oracle for this.
 """
 
 from __future__ import annotations

@@ -286,7 +286,7 @@ def test_pack_bpe_saved_table_identity(spark, tmp_path):
 def test_bpe_oracle_three_way_property(spark):
     import duckdb
     import pandas as pd
-    from hypothesis import assume, given, settings
+    from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from knowledge_graph_system_spark.operators.bpe import (
@@ -312,9 +312,9 @@ def test_bpe_oracle_three_way_property(spark):
             rows, "doc_id long, text string, source string"
         )
         merges = learn_bpe(docs, n_merges=n_merges)
-        # the generated oracle assumes the corpus yields all n_merges
-        # (documented in bpe.py); skip early-exhausted random corpora
-        assume(len(merges) == n_merges)
+        # r12: no assume(len(merges) == n_merges) — the oracle's LEFT
+        # JOIN carry-forward (ADVICE r11) makes exhausted corpora
+        # in-scope for the three-way check too
 
         # leg 1: Python reference, per-source rollup
         from collections import Counter
@@ -368,3 +368,44 @@ def test_bpe_oracle_three_way_property(spark):
         assert got_duck == expect
 
     check()
+
+
+# r12 (ADVICE r11, bpe.py:330): the generated oracle previously cross-
+# joined b{k} into v{k}/s{k}, so a corpus with fewer than n_merges
+# distinct pairs emptied the whole chain and the oracle silently
+# returned zero rows while the Python learn_bpe just ended early. The
+# LEFT JOIN ... ON TRUE + COALESCE carry-forward makes the exhausted
+# case match Python exactly; this pins it with a corpus that exhausts
+# after ONE merge ('aa' -> one pair, then all words single-symbol).
+
+
+def test_bpe_oracle_exhausted_merges(spark):
+    import duckdb
+    import pandas as pd
+
+    from knowledge_graph_system_spark.operators.bpe import (
+        bpe_counts_oracle_sql,
+        learn_bpe,
+    )
+
+    rows = [(0, "aa aa x9", "s0"), (1, "aa a", "s1")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    merges = learn_bpe(docs, n_merges=6)
+    assert len(merges) < 6  # the corpus really does exhaust early
+    assert merges[0] == ("a", "a")
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    got = {
+        s: (nd, ws, bp)
+        for s, nd, ws, bp in con.execute(
+            bpe_counts_oracle_sql(n_merges=6)
+        ).fetchall()
+    }
+    con.close()
+    # 'aa' -> ['aa'] (1), 'a' -> ['a'] (1), 'x9' non-alpha -> chars (2)
+    assert got == {"s0": (1, 3, 4), "s1": (1, 2, 2)}

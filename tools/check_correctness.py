@@ -85,6 +85,8 @@ def main():
             print(f"~ {name}: rows-only ({len(srows)} rows) [{t_spark:.2f}s]")
             continue
         try:
+            rel = con.sql(spec.oracle)
+            otypes = dict(zip(rel.columns, (str(t) for t in rel.types)))
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -92,9 +94,25 @@ def main():
             failed.append(name)
             print(f"✗ {name}: oracle error: {e}")
             continue
+        # r11 lesson: fetchall() coerces DuckDB HUGEINT to Python int,
+        # so the hash below CANNOT see the int128-vs-int64 divergence
+        # the driver's hasher sees. Flag it loudly even when values
+        # match (tests/test_oracle_types.py is the hard gate).
+        wide = {c: t for c, t in otypes.items() if "HUGEINT" in t.upper()}
+        if wide:
+            failed.append(name)
+            print(
+                f"✗ {name}: oracle emits width-changing integer types "
+                f"(driver hashes int128 != int64; CAST AS BIGINT): {wide}"
+            )
+            continue
         problems = []
         if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+            stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+            problems.append(
+                f"cols spark={sorted(scols)} oracle={sorted(ocols)}; "
+                f"types spark={stypes} oracle={otypes}"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
@@ -104,7 +122,14 @@ def main():
                 diffs = [
                     (a, b) for a, b in zip(s_sig, o_sig) if a != b
                 ][:3]
-                problems.append(f"value mismatch, first diffs: {diffs}")
+                stypes = {
+                    f.name: f.dataType.simpleString()
+                    for f in sdf.schema.fields
+                }
+                problems.append(
+                    f"value mismatch, first diffs: {diffs}; "
+                    f"types spark={stypes} oracle={otypes}"
+                )
         if problems:
             failed.append(name)
             print(f"✗ {name}: {'; '.join(problems)}")
