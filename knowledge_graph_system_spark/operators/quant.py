@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.scale import fan_out
-from ..registry import Ctx
+from ..registry import Ctx, query
 from .ann import _COS, _QUERY_IDS, _TOPK, _vectors
 
 # candidate slice width for the exact re-rank: C = 5k keeps the exact
@@ -245,3 +245,7 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
   FROM exact
 ) WHERE rank <= {_TOPK}
 """
+
+
+# r12 registration (the pre-computed window plan, registry.py).
+query("ann_sq8_topk", oracle=ann_sq8_topk_oracle())(ann_sq8_topk)

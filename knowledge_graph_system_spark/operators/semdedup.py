@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_expr
-from ..registry import Ctx
+from ..registry import Ctx, query
 from .components import connected_components
 
 # Within-cluster duplicate threshold. The fixture's embeddings are
@@ -84,7 +84,10 @@ def cluster_assign(vectors: DataFrame) -> DataFrame:
 
 
 def semdedup_pairs(
-    vectors: DataFrame, assign: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+    vectors: DataFrame,
+    assign: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    assign_rows: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cos) — exact cosine ≥ threshold, computed ONLY
     for pairs sharing an assigned cluster (the equi-join key).
@@ -102,8 +105,12 @@ def semdedup_pairs(
 
     a = fan_out(assign.select(F.col("vec_id").alias("vec_a"), "clabel"))
     b = assign.select(F.col("vec_id").alias("vec_b"), "clabel")
+    # assign_rows: callers that checkpointed `assign` pass the count so
+    # the guard costs nothing extra (ADVICE r11 — without it the guard's
+    # count() re-executed the full assignment lineage per invocation,
+    # the embedding_candidates_ivf one-checkpoint-one-count pattern)
     cand = a.join(
-        maybe_broadcast(b, _ASSIGN_BROADCAST_MAX), "clabel"
+        maybe_broadcast(b, _ASSIGN_BROADCAST_MAX, n_rows=assign_rows), "clabel"
     ).filter(F.col("vec_a") < F.col("vec_b"))
     va = vectors.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = vectors.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
@@ -138,8 +145,14 @@ def semdedup_groups(
     deterministic function of the table (what the driver-graded row
     must be) and correct at gate scale."""
     if assign is None:
-        assign = cluster_assign(vectors).localCheckpoint(eager=True)
-    pairs = semdedup_pairs(vectors, assign, threshold)
+        assign = cluster_assign(vectors)
+    # one checkpoint + one count shared between the broadcast guard and
+    # the join (a caller-passed production `assign` is checkpointed here
+    # too, so the guard never re-executes its lineage — ADVICE r11)
+    assign = assign.localCheckpoint(eager=True)
+    pairs = semdedup_pairs(
+        vectors, assign, threshold, assign_rows=assign.count()
+    )
     comp = connected_components(pairs, "vec_a", "vec_b")
     grouped = comp.select(
         F.col("node").alias("vec_id"), F.col("comp").alias("group_id")
@@ -224,3 +237,10 @@ SELECT g.vec_id, a.clabel, g.group_id,
        ) = 1 AS keeper
 FROM g JOIN assign a ON a.vec_id = g.vec_id
 """
+
+
+# r12 registration (the pre-computed window plan, registry.py): the
+# candidate was built + decade-probed in r11 (two scale defects fixed
+# pre-registration, SCALE_NOTES r11 part 7) and registers here as one
+# of the three r12 new rows — the queue-draining round.
+query("d_semdedup", oracle=d_semdedup_oracle())(d_semdedup)

@@ -148,10 +148,29 @@ def run_blocks(
             )
         elif d["kind"] == "limit":
             nodes = nodes.orderBy("node_id").limit(d["n"])
-    ids = nodes.select("node_id")
+    # ids is O(result) — a match-all program makes it O(V), the class
+    # the r11 sweep guarded in _prune_dangling (this was its deliberately
+    # deferred twin, VERDICT r11 next #4). One checkpoint + one count
+    # shared by both semi-join guards; a `limit` directive above keeps
+    # the frame bounded and the hint alive.
+    from ..functions.scale import maybe_broadcast
+    from ..operators.setops import _REACH_BROADCAST_MAX
+
+    ids = nodes.select("node_id").localCheckpoint(eager=True)
+    n_ids = ids.count()
     links = links.join(
-        F.broadcast(ids.withColumnRenamed("node_id", "src")), "src", "left_semi"
-    ).join(F.broadcast(ids.withColumnRenamed("node_id", "dst")), "dst", "left_semi")
+        maybe_broadcast(
+            ids.withColumnRenamed("node_id", "src"), _REACH_BROADCAST_MAX, n_ids
+        ),
+        "src",
+        "left_semi",
+    ).join(
+        maybe_broadcast(
+            ids.withColumnRenamed("node_id", "dst"), _REACH_BROADCAST_MAX, n_ids
+        ),
+        "dst",
+        "left_semi",
+    )
     return nodes, links
 
 

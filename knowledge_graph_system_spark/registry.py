@@ -389,9 +389,93 @@ class Ctx:
 # NO new operator families before the candidate queue is drained
 # (VERDICT r10 next #4 freeze — after r12 registers these three, the
 # queue is EMPTY for the first time since r6).
+#
+# r12 EXECUTED (this round, the plan above verbatim): the three
+# candidates registered via module-tail query() lines (d_semdedup —
+# operators/semdedup.py; ann_sq8_topk — operators/quant.py;
+# st_contamination_stream — streaming/contamination_stream.py); the
+# candidate queue is EMPTY. Changed rows consuming slack: the five
+# HUGEINT-cast oracle fixes (t_bpe_counts, cur_pack_bpe,
+# pipe_curation_graded directly; cur_pack_quota + cur_pack_segments
+# via the byte-shared greedy_pack_sql — VERDICT r11 next #1) plus
+# so_suite (its dispatch path gained the search_sources /
+# concepts_details counted broadcast guards, VERDICT r11 next #4).
+# 3 new + 6 changed + 40-row r11 tail = 49; the last slot goes to
+# d_minhash_lsh (bench headliner, VERDICT's usual-suspect list).
+# Registry total after r12: 90 + 3 = 93.
+#
+# r13 PLAN (window math, execute next round): the r12 tail is 43 rows
+# (the r11-window rows that did NOT re-enter: st_stream_suite,
+# p7_cypher_suite, cur_quality_suite, smp_epoch_order,
+# st_spandedup_stream, t_ccnet_buckets, d_keeper_election + the 36
+# r10-tail-remainder rows by enumeration order), all carrying r11
+# evidence that turns two rounds old in r13 — all 43 must record.
+# 50 - 43 = SEVEN slack slots: first any r13-changed rows (each costs
+# one slot), then new candidates (the freeze lifts — the prepared
+# an_suite contingency consolidates an_annealing_cycle +
+# an_execute_proposals if the budget breaks), then bench headliners.
 _RECORD_FIRST = [
-    # ---- new (r11): the four consolidation suites + five prepared
-    # candidates + the slack-slot pipeline row
+    # ---- new (r12): the three queue-draining candidates
+    "d_semdedup",
+    "ann_sq8_topk",
+    "st_contamination_stream",
+    # ---- changed (r12): HUGEINT->BIGINT oracle casts (three directly
+    # red rows + the two greedy_pack_sql co-consumers) and so_suite's
+    # dispatch-path broadcast guards
+    "t_bpe_counts",
+    "cur_pack_bpe",
+    "pipe_curation_graded",
+    "cur_pack_quota",
+    "cur_pack_segments",
+    "so_suite",
+    # ---- slack (1): bench headliner from the r11 window
+    "d_minhash_lsh",
+    # ---- the 40-row r11 tail, same enumeration order (all carry r10
+    # evidence that turns two rounds old this round — must record)
+    "a2a3_confidence_score",
+    "a5_graph_stats",
+    "a6_category_distribution",
+    "a12_evidence_dedup",
+    "a13_best_chunk_per_source",
+    "a14_tfidf_naming",
+    "a15_lifetime_page",
+    "q5_supplier_volume",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_ivf_lifecycle",
+    "an_annealing_cycle",
+    "an_execute_proposals",
+    "x1_asof_join",
+    "x2_range_join",
+    "smp_weighted",
+    "smp_temperature_mix",
+    "cur_span_dedup",
+    "s8_catalog_rebuild",
+    "t_cms_words",
+    "d_simhash",
+    "g_pagerank",
+    "g_communities",
+    "g_weighted_sssp",
+    "j1_evidence_join",
+    "j5_cross_ontology_affinity",
+    "g1_bfs_out_depth3",
+    "t_lm_quality",
+    "f6_dbscan",
+    "u4_pruning_recommendations",
+    "t_hll_words",
+    "v1_vector_search",
+    "so_block_compiler",
+    "st_epoch_snapshot",
+    "sq_saved_query",
+    "s4_export_roundtrip",
+    "s6_gexf_fragments",
+    "st_session_window",
+    "st_json_props",
+    "m_decode_suite",
+]
+
+# r11 window (history — superseded by the r12 list above):
+_RECORD_FIRST_R11 = [
     "st_stream_suite",
     "so_suite",
     "p7_cypher_suite",
@@ -402,14 +486,8 @@ _RECORD_FIRST = [
     "t_ccnet_buckets",
     "d_keeper_election",
     "pipe_curation_graded",
-    # ---- changed (r11): the BPE rows' oracles went from None to the
-    # generated SQL twins (hash-exact for the first time)
     "t_bpe_counts",
     "cur_pack_bpe",
-    # ---- the r10 non-window tail, same enumeration order (38 rows:
-    # the 48 rows past slot 50 last round MINUS the five st_stream
-    # members, the two so members, and the three cur_quality members,
-    # which leave the registry via their suites)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "ann_ivf_persisted",
@@ -472,8 +550,10 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         projection,
         pruning,
+        quant,
         ranking,
         scores,
+        semdedup,
         setops,
         sketches,
         textstats,
@@ -485,6 +565,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .sources import export, jsonl  # noqa: F401
     from .pipelines import curate  # noqa: F401
     from .streaming import (  # noqa: F401
+        contamination_stream,
         dedup_stream,
         epochs,
         ingest_stream,

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.curation import word_ngrams
+from ..registry import query
 from .landing import dedup_cuts, stamp_landing_mtimes
 
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -169,3 +170,11 @@ def st_contamination_stream_oracle() -> str:
     from ..operators.curation import cur_contamination_oracle
 
     return cur_contamination_oracle()
+
+
+# r12 registration (the pre-computed window plan, registry.py). The
+# oracle is the SAME static SQL the batch row graded hash-exact with
+# through r10 — stream==batch parity is the claim being graded.
+query(
+    "st_contamination_stream", oracle=st_contamination_stream_oracle()
+)(st_contamination_stream)

@@ -269,3 +269,54 @@ def test_annealing_moved_guard(spark, monkeypatch):
     bare = annealing.execute_proposals(spark, SF_DIR)
     assert _analyzed(bare).count("broadcast") == n_hints - 1
     assert _rows(bare) == _rows(hinted)
+
+
+def test_dispatch_degree_guards(spark, monkeypatch):
+    """r12 (VERDICT r11 wrong #3): the two dispatch-path
+    degree-proportional frames — search_sources' linked-neighbor set
+    (O(Σ degree) of the matched sources) and concepts_details' endpoint
+    set (one concept's full out-neighborhood) — are now counted. The
+    bounded top-k hits hint inside search_sources stays."""
+    from knowledge_graph_system_spark.operators import setops
+    from knowledge_graph_system_spark.registry import Ctx
+
+    dispatch = setops.make_dispatch(Ctx.get(spark, SF_DIR))
+    ss = {"kind": "search_sources", "query": "query:so",
+          "min_similarity": 0.3, "limit": 5}
+    cd = {"kind": "concepts_details", "concept_id": "C1"}
+
+    h_ss, h_cd = dispatch(ss), dispatch(cd)
+    n_ss = _analyzed(h_ss.nodes).count("broadcast")
+    n_cd = _analyzed(h_cd.nodes).count("broadcast")
+    monkeypatch.setattr(setops, "_REACH_BROADCAST_MAX", 0)
+    b_ss, b_cd = dispatch(ss), dispatch(cd)
+    assert _analyzed(b_ss.nodes).count("broadcast") == n_ss - 1
+    assert _analyzed(b_cd.nodes).count("broadcast") == n_cd - 1
+    assert _rows(b_ss.nodes) == _rows(h_ss.nodes)
+    assert _rows(b_cd.nodes) == _rows(h_cd.nodes)
+    assert _rows(h_cd.nodes)  # C1 has out-edges; the set is non-empty
+
+
+def test_blocks_result_ids_guard(spark, monkeypatch):
+    """r12 (VERDICT r11 next #4, the deferred twin): the block
+    compiler's terminal link semi-joins broadcast the program's full
+    result-node set — O(V) for a match-all program — now one
+    checkpointed count guards BOTH semi-joins."""
+    from knowledge_graph_system_spark.operators import setops
+    from knowledge_graph_system_spark.plans import blocks
+    from knowledge_graph_system_spark.registry import Ctx
+
+    ctx = Ctx.get(spark, SF_DIR)
+    demo = [
+        {"type": "start"},
+        {"type": "selectConcept", "params": {"concept_id": "C1"}},
+        {"type": "neighborhood", "params": {"concept_id": "C1", "depth": 2}},
+    ]
+    h_nodes, h_links = blocks.run_blocks(ctx, demo)
+    n_hints = _analyzed(h_links).count("broadcast")
+    monkeypatch.setattr(setops, "_REACH_BROADCAST_MAX", 0)
+    b_nodes, b_links = blocks.run_blocks(ctx, demo)
+    assert _analyzed(b_links).count("broadcast") == n_hints - 2
+    assert _rows(b_links) == _rows(h_links)
+    assert _rows(b_nodes) == _rows(h_nodes)
+    assert _rows(h_nodes)  # the neighborhood is non-empty
