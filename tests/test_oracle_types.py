@@ -82,3 +82,29 @@ def test_r11_regression_rows_are_bigint_now(con):
         types = dict(zip(rel.columns, (str(t).upper() for t in rel.types)))
         for c in cols:
             assert types[c] == "BIGINT", (name, c, types[c])
+
+
+def test_embedding_dim_consistent_across_oracles(con):
+    """VERDICT r11 next #7: quant._DIM, ann.py's hard-coded
+    generate_series(1, 64) oracle bounds, and the actual fixture
+    embedding width must agree — a re-generated fixture with a new
+    dim should fail HERE, not as a silent value mismatch."""
+    from knowledge_graph_system_spark.operators.quant import _DIM
+
+    (width,) = con.execute(
+        "SELECT len(embedding) FROM embeddings LIMIT 1"
+    ).fetchone()
+    assert width == _DIM
+
+    specs = load_all()
+    # the three oracles that hard-code the embedding dim in a series
+    # expression (every other embedding oracle derives it from len(v));
+    # a generic numeric-literal sweep over-matches n-gram/shingle
+    # series, so the site list is explicit
+    dim_pinned = {
+        "ann_ivf_topk": f"generate_series(1, {_DIM})",
+        "ann_ivf_lifecycle": f"generate_series(1, {_DIM})",
+        "ann_sq8_topk": f"range(1, {_DIM + 1})",
+    }
+    for name, needle in dim_pinned.items():
+        assert needle in specs[name].oracle, (name, needle)
