@@ -411,3 +411,188 @@ ORDER BY w.dist ASC, w.node_id LIMIT 25
 query("g_pagerank", oracle=g_pagerank_oracle())(g_pagerank)
 query("g_communities", oracle=g_communities_oracle())(g_communities)
 query("g_weighted_sssp", oracle=g_weighted_sssp_oracle())(g_weighted_sssp)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient (r13 candidate).
+#
+# The classic distributed formulation (Schank & Wagner 2005; Cohen 2009
+# "Graph Twiddling in a MapReduce World" — public literature):
+# orient every undirected edge from its lower-(degree, id) endpoint to
+# the higher one. Every vertex's OUT-degree in the oriented graph is
+# O(sqrt(m)), so enumerating 2-paths (pairs of out-neighbors) costs
+# sum(outdeg^2) = O(m^1.5) total — never the naive sum(deg^2), which a
+# single 100M-degree hub would blow up. A 2-path u->v, u->w (with
+# (deg,id)(v) < (deg,id)(w)) closes into a triangle iff the oriented
+# edge v->w exists, and every triangle is found EXACTLY once.
+#
+# Shuffle shape: undirect+distinct (1 exchange), degree agg (1), two
+# node-key joins to attach endpoint degrees, the 2-path self-join
+# (shuffled on u), and the closure join (shuffled on the (v, w) pair)
+# — all equi-joins on graph keys, no broadcast of any O(V)/O(m) frame.
+# Determinism: tuple comparisons on (degree, node_id) — BIGINT +
+# string, identical ordering semantics in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """(node_id, n_triangles): per-vertex triangle participation over
+    the UNDIRECTED simple graph (parallel edges and self-loops
+    dropped). Each triangle counts once for each of its 3 vertices."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    # orientation: u -> v iff (deg(u), u) < (deg(v), v); carry the
+    # out-endpoint's (degree, id) for the canonical 2-path pair order
+    e = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    low_first = F.struct("da", "a") < F.struct("db", "b")
+    o = e.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    x, y = o.alias("x"), o.alias("y")
+    paths = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(
+            F.struct(F.col("x.dv"), F.col("x.v")) < F.struct(F.col("y.dv"), F.col("y.v"))
+        )
+        .select(
+            F.col("x.u").alias("u"), F.col("x.v").alias("v"), F.col("y.v").alias("w")
+        )
+    )
+    tri = paths.join(
+        o.select(F.col("u").alias("v"), F.col("v").alias("w")), ["v", "w"]
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+# Library surface only: the corpus graph is STRICTLY LAYERED (C-O,
+# O-P, P-S edge kinds and nothing else — proven by
+# tests/test_triangles.py::test_triangles_match_reference_on_corpus,
+# which pins the count at exactly zero), so a graded triangle row
+# would hash an all-zero column. The graded motif for THIS graph is
+# the bipartite butterfly below.
+
+
+# ---------------------------------------------------------------------------
+# Butterfly (2x2 biclique) counting — the bipartite analog of triangle
+# counting (Sanei-Mehri, Sariyuce & Tirthapura 2018, "Butterfly
+# Counting in Bipartite Networks" — public literature) and the r13
+# candidate motif row. A butterfly is two left-vertices sharing two
+# right-vertices: the densest co-occurrence primitive a layered graph
+# has (here: order pairs sharing >= 2 parts — co-purchase density).
+#
+# Count: wedges pivot on the RIGHT side (for each part p, all order
+# pairs o1 < o2 containing it), then per-pair shared-neighbor counts c
+# give C(c, 2) butterflies. Wedge volume is sum_p C(d_p, 2) — pivot on
+# the side whose max degree is smaller (here parts: ~3 orders/part vs
+# ~4 parts/order, and at 100 TB a hub part would be salted or capped
+# exactly like the skew-join family; the pair groupBy key (o1, o2) is
+# the shuffle key, so AQE's skew split handles hot pairs).
+# ---------------------------------------------------------------------------
+
+
+def butterflies(edges: DataFrame) -> DataFrame:
+    """(o1, o2, shared, n_butterflies) per left-vertex pair with
+    shared >= 2: C(shared, 2) butterflies each. `edges` is ONE
+    bipartite layer as (src=left, dst=right); parallel edges dropped."""
+    op = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    x, y = op.alias("x"), op.alias("y")
+    wedges = (
+        x.join(y, F.col("x.dst") == F.col("y.dst"))
+        .filter(F.col("x.src") < F.col("y.src"))
+        .select(F.col("x.src").alias("o1"), F.col("y.src").alias("o2"))
+    )
+    return (
+        wedges.groupBy("o1", "o2")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .withColumn(
+            "n_butterflies",
+            F.expr("CAST(shared * (shared - 1) div 2 AS BIGINT)"),
+        )
+    )
+
+
+def g_butterflies(spark, sf_dir: str) -> DataFrame:
+    """r13 candidate: top-20 orders by butterfly participation over the
+    order-part containment layer (rel_type L*), with the order's part
+    degree — the co-purchase density ranking. Ties break on node_id."""
+    from ..registry import Ctx
+
+    ctx = Ctx.get(spark, sf_dir)
+    layer = ctx.edges.filter(F.col("rel_type").startswith("L"))
+    bf = butterflies(layer)
+    per_order = (
+        bf.select(F.explode(F.array("o1", "o2")).alias("node_id"), "n_butterflies")
+        .groupBy("node_id")
+        .agg(F.sum("n_butterflies").alias("n_butterflies"))
+    )
+    deg = (
+        layer.select("src", "dst")
+        .distinct()
+        .groupBy(F.col("src").alias("node_id"))
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        per_order.join(deg, "node_id")
+        .join(ctx.nodes.select("node_id", "label"), "node_id")
+        .orderBy(F.col("n_butterflies").desc(), F.col("node_id"))
+        .limit(20)
+        .select("node_id", "label", "n_butterflies", "degree")
+    )
+
+
+def g_butterflies_oracle() -> str:
+    from ..sources.graph_view import graph_ctes
+
+    return graph_ctes(
+        """op AS (
+  SELECT DISTINCT src, dst FROM edges WHERE rel_type LIKE 'L%'
+)""",
+        """bf AS (
+  SELECT o1, o2, count(*) AS shared,
+         CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT) AS n_butterflies
+  FROM (
+    SELECT x.src AS o1, y.src AS o2
+    FROM op x JOIN op y ON x.dst = y.dst AND x.src < y.src
+  ) GROUP BY o1, o2 HAVING count(*) >= 2
+)""",
+        """po AS (
+  SELECT node_id, CAST(sum(n_butterflies) AS BIGINT) AS n_butterflies FROM (
+    SELECT o1 AS node_id, n_butterflies FROM bf
+    UNION ALL SELECT o2, n_butterflies FROM bf
+  ) GROUP BY node_id
+)""",
+        """dg AS (
+  SELECT src AS node_id, count(*) AS degree FROM op GROUP BY src
+)""",
+    ) + """
+SELECT po.node_id, n.label, po.n_butterflies, CAST(dg.degree AS BIGINT) AS degree
+FROM po JOIN dg USING (node_id) JOIN nodes n USING (node_id)
+ORDER BY po.n_butterflies DESC, po.node_id LIMIT 20
+"""
+
+
+# NOT registered in r12 (prepared r13 candidate, same two-line
+# registration pattern as the three rows above when its slot comes).
