@@ -244,3 +244,195 @@ FROM g JOIN assign a ON a.vec_id = g.vec_id
 # pre-registration, SCALE_NOTES r11 part 7) and registers here as one
 # of the three r12 new rows — the queue-draining round.
 query("d_semdedup", oracle=d_semdedup_oracle())(d_semdedup)
+
+
+# ---------------------------------------------------------------------------
+# k ∝ N SemDeDup (r13 candidate) — the production path the scale
+# contract above only DOCUMENTED until now, made executable.
+#
+# The graded d_semdedup keeps the fixed-count label quantizer, whose
+# Σ_c |c|² pair volume grows quadratically with the corpus (VERDICT
+# r11 watch item (b); the paper runs k ∝ N — 100k clusters on LAION —
+# for exactly this reason). This variant derives its assignment from a
+# deterministic Lloyd k-means with k = max(2, ceil(N / CLUSTER_TARGET))
+# — cluster population stays ~CLUSTER_TARGET as N grows, so the
+# within-cluster pair volume is Σ_c |c|² ≈ N·CLUSTER_TARGET: LINEAR.
+# The Lloyd loop is the operators/pq.py discipline (Forgy init on the
+# k smallest vec_ids, fixed iterations, 6-dp-rounded argmin with
+# smallest-index ties, empty clusters carry forward, codebook on a
+# broadcast one-row frame so the encode expression text — and its
+# codegen — is reused across iterations), so the whole chain stays a
+# pure function of the table and the oracle replays the training as
+# generated per-iteration CTEs.
+#
+# Honest scale ledger: with k ∝ N the centroid ARGMIN pass is O(N·k·D)
+# = O(N²·D / CLUSTER_TARGET) — Lloyd itself becomes the quadratic term
+# at true 100 TB scale. The production answer (FAISS coarse
+# quantizers; the paper trains on a sample) is to train on a bounded
+# sample and make assignment sub-linear in k via an ANN over the
+# CENTROIDS (IVF-over-centroids); the within-cluster pair volume —
+# what this variant fixes — stays Σ|c|² ≈ N·CLUSTER_TARGET either
+# way. Measured decade (SCALE_NOTES r12 part 6): 6.7 s → 24.6 s =
+# 3.7× for 10× data (k 40 → 400) vs the fixed-k row's 10.8×.
+# ---------------------------------------------------------------------------
+
+CLUSTER_TARGET = 50   # target cluster population (k = ceil(N / this))
+_KM_ITERS = 3
+
+
+def _km_frame(spark: SparkSession, cb: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame([(cb,)], "cb array<array<double>>")
+
+
+def _km_dists(k: int) -> str:
+    return (
+        f"transform(sequence(1, {k}), j -> round(aggregate("
+        "zip_with(v, element_at(cb, j), (x, c) -> (x - c) * (x - c)),"
+        " 0D, (acc, x) -> acc + x), 6))"
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame, k: int, iters: int = _KM_ITERS
+) -> DataFrame:
+    """(vec_id, clabel, ccos): full-vector deterministic Lloyd
+    assignment — clabel = 1-based nearest-centroid index after `iters`
+    sweeps, ccos = 6-dp cosine to the assigned centroid (what the
+    keeper election orders on). BOUNDED COLLECTS: k seed rows once,
+    then k·D mean rows per sweep."""
+    dim = len(vectors.select("v").first()["v"])
+    seeds = sorted(
+        vectors.select("vec_id", "v").orderBy("vec_id").limit(k).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cb = [list(r["v"]) for r in seeds]
+    assign_expr = (
+        f"array_position({_km_dists(k)}, array_min({_km_dists(k)}))"
+    )
+    for _ in range(iters):
+        enc = vectors.join(
+            F.broadcast(_km_frame(vectors.sparkSession, cb))
+        ).select("vec_id", F.expr(assign_expr).alias("j"))
+        stats = (
+            vectors.join(enc, "vec_id")
+            .select("j", F.posexplode("v").alias("d", "x"))
+            .groupBy("j", "d")
+            .agg(F.avg("x").alias("cv"))
+            .collect()
+        )
+        new = {(r["j"], r["d"]): r["cv"] for r in stats}
+        cb = [
+            [new.get((j + 1, d), cb[j][d]) for d in range(dim)]
+            for j in range(k)
+        ]
+    return (
+        vectors.join(F.broadcast(_km_frame(vectors.sparkSession, cb)))
+        .withColumn("clabel", F.expr(assign_expr))
+        .withColumn("cv", F.expr("element_at(cb, CAST(clabel AS INT))"))
+        .select(
+            "vec_id",
+            "clabel",
+            F.round(cosine_expr("v", "cv"), 6).alias("ccos"),
+        )
+    )
+
+
+def d_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 candidate: SemDeDup over a k ∝ N Lloyd assignment —
+    (vec_id, clabel, group_id, keeper), same shape and keeper rule as
+    d_semdedup, linear pair volume by construction."""
+    from ..functions.scale import fan_out
+
+    ctx = Ctx.get(spark, sf_dir)
+    vecs = fan_out(
+        ctx.tables["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+    k = max(2, -(-vecs.count() // CLUSTER_TARGET))  # ceil div
+    return semdedup_groups(vecs, assign=kmeans_assign(vecs, k))
+
+
+def d_semdedup_kmeans_oracle(k: int = 10, iters: int = _KM_ITERS) -> str:
+    """DuckDB twin, Lloyd training INCLUDED (generated per-iteration
+    CTEs, pq.py pattern). `k` is the GATE-SCALE instance: the driver
+    grades at sf0.01 where N = 500 → k = ceil(500/50) = 10; the pytest
+    gate asserts the Spark side derives the same k at both gate SFs."""
+    parts = [f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) AS j, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)"""]
+    dist = (
+        "round(list_sum(list_transform(range(1, len(v) + 1),"
+        " i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6)"
+    )
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+  SELECT vec_id, j FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {dist}, c.j
+           ) AS rn
+    FROM e JOIN cb{t - 1} c ON TRUE
+  ) WHERE rn = 1
+),
+m{t} AS MATERIALIZED (
+  SELECT j, list(cv ORDER BY d) AS cv FROM (
+    SELECT a.j, d, avg(x) AS cv FROM (
+      SELECT vec_id, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS x FROM e
+    ) ex JOIN a{t} a ON a.vec_id = ex.vec_id
+    GROUP BY a.j, d
+  ) GROUP BY j
+),
+cb{t} AS MATERIALIZED (
+  SELECT p.j, coalesce(n.cv, p.cv) AS cv
+  FROM cb{t - 1} p LEFT JOIN m{t} n ON n.j = p.j
+)""")
+    parts.append(f""",
+assign AS MATERIALIZED (
+  SELECT vec_id, j AS clabel,
+         round(list_dot_product(v, cv)
+           / nullif(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)), 0), 6) AS ccos
+  FROM (
+    SELECT e.vec_id, e.v, c.j, c.cv,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {dist}, c.j
+           ) AS rn
+    FROM e JOIN cb{iters} c ON TRUE
+  ) WHERE rn = 1
+),
+prs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign a JOIN assign b ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_dot_product(ea.v, eb.v)
+        / nullif(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)), 0), 6)
+        >= {SEMDEDUP_THRESHOLD}
+),
+und AS (SELECT vec_a AS a, vec_b AS b FROM prs
+        UNION ALL SELECT vec_b, vec_a FROM prs),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node
+),
+g AS (
+  SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(comp) AS BIGINT) AS group_id
+  FROM reach GROUP BY node
+)
+SELECT g.vec_id, a.clabel, g.group_id,
+       row_number() OVER (
+         PARTITION BY g.group_id ORDER BY a.ccos ASC, g.vec_id
+       ) = 1 AS keeper
+FROM g JOIN assign a ON a.vec_id = g.vec_id
+""")
+    return "".join(parts)
+
+
+# NOT registered in r12 (prepared r13 candidate — same two-line
+# registration pattern as the d_semdedup row above when its slot
+# comes; remember k is the gate-scale literal).

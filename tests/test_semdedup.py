@@ -7,6 +7,8 @@ from __future__ import annotations
 import duckdb
 from pyspark.sql import functions as F
 
+SF = "/root/testdata/sf0.001"
+
 
 def _oracle_rows(sql: str, sf: str):
     con = duckdb.connect()
@@ -78,3 +80,63 @@ def test_semdedup_groups_are_within_cluster(spark):
     for r in rows:
         labels_per_group.setdefault(r["group_id"], set()).add(r["clabel"])
     assert all(len(s) == 1 for s in labels_per_group.values())
+
+
+# ---------------------------------------------------------------------------
+# r13 candidate: k ∝ N SemDeDup over a deterministic Lloyd assignment
+# (the production contract the fixed-k row documents, made executable).
+# ---------------------------------------------------------------------------
+
+
+def test_r13_candidate_d_semdedup_kmeans(spark):
+    """Driver-style compare at BOTH gate scale factors, Lloyd training
+    included in the oracle; and the Spark side derives the oracle's
+    gate-scale k = 10 at both (N = 500, CLUSTER_TARGET = 50)."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.semdedup import (
+        CLUSTER_TARGET,
+        d_semdedup_kmeans,
+        d_semdedup_kmeans_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        assert max(2, -(-n // CLUSTER_TARGET)) == 10  # the oracle's literal
+        got = sorted(map(tuple, d_semdedup_kmeans(spark, sf).collect()))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = sorted(map(tuple, con.execute(d_semdedup_kmeans_oracle()).fetchall()))
+        con.close()
+        assert len(got) > 0 and got == want
+
+
+def test_kmeans_assign_contract(spark):
+    """Deterministic re-run equality; clabel in [1, k]; every vector
+    assigned exactly once; cluster populations actually bounded (the
+    linear-pair-volume claim needs no cluster to balloon — pinned at
+    4x the even share on this corpus)."""
+    from knowledge_graph_system_spark.functions.scale import fan_out
+    from knowledge_graph_system_spark.operators.semdedup import kmeans_assign
+    from knowledge_graph_system_spark.registry import Ctx
+    from pyspark.sql import functions as F
+
+    ctx = Ctx.get(spark, SF)
+    vecs = fan_out(
+        ctx.tables["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+    k = 10
+    a1 = {r["vec_id"]: (r["clabel"], r["ccos"]) for r in kmeans_assign(vecs, k).collect()}
+    a2 = {r["vec_id"]: (r["clabel"], r["ccos"]) for r in kmeans_assign(vecs, k).collect()}
+    assert a1 == a2
+    assert len(a1) == vecs.count()
+    assert all(1 <= c <= k for c, _ in a1.values())
+    from collections import Counter
+
+    pops = Counter(c for c, _ in a1.values())
+    assert max(pops.values()) <= 4 * (len(a1) // k)
