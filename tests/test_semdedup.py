@@ -140,3 +140,84 @@ def test_kmeans_assign_contract(spark):
 
     pops = Counter(c for c, _ in a1.values())
     assert max(pops.values()) <= 4 * (len(a1) // k)
+
+
+def test_kmeans_semdedup_property_random_corpora(spark):
+    """Property test (the test_bpe three-way pattern): on random small
+    vector sets — a coarse value grid to force distance TIES and
+    duplicate vectors to force EMPTY clusters — the Spark Lloyd
+    assignment, the generated DuckDB twin, and an independent
+    pure-Python Lloyd agree exactly; the full groups/keeper chain
+    agrees Spark-vs-DuckDB. Zero vectors are excluded by construction
+    (cosine-to-centroid is NULL there and the two engines order NULLs
+    differently; the embeddings fixture never contains one)."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from knowledge_graph_system_spark.operators.semdedup import (
+        d_semdedup_kmeans_oracle,
+        kmeans_assign,
+        semdedup_groups,
+    )
+
+    grid = st.sampled_from([0.0, 0.5, 1.0, 2.0])
+    vec = st.tuples(st.sampled_from([0.5, 1.0, 2.0]), grid, grid, grid)
+    corpus = st.lists(vec, min_size=4, max_size=12)
+
+    def py_lloyd(vs, k, iters=3):
+        ids = sorted(range(len(vs)))
+        cb = [list(vs[i]) for i in ids[:k]]
+        dim = len(vs[0])
+        for _ in range(iters):
+            assign = {}
+            for i in ids:
+                dists = [
+                    round(sum((vs[i][d] - c[d]) ** 2 for d in range(dim)), 6)
+                    for c in cb
+                ]
+                assign[i] = dists.index(min(dists))
+            for j in range(k):
+                members = [i for i in ids if assign[i] == j]
+                if members:
+                    cb[j] = [
+                        sum(vs[i][d] for i in members) / len(members)
+                        for d in range(dim)
+                    ]
+        out = {}
+        for i in ids:
+            dists = [
+                round(sum((vs[i][d] - c[d]) ** 2 for d in range(dim)), 6)
+                for c in cb
+            ]
+            out[i] = dists.index(min(dists)) + 1
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus=corpus)
+    def check(corpus):
+        vs = [list(map(float, v)) for v in corpus]
+        k = max(2, -(-len(vs) // 4))  # small clusters -> empties likely
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vs)], "vec_id long, v array<double>"
+        )
+        assign = kmeans_assign(df, k)
+        got_assign = {r["vec_id"]: r["clabel"] for r in assign.collect()}
+        assert got_assign == py_lloyd(vs, k)
+
+        got = sorted(map(tuple, semdedup_groups(df, assign=assign).collect()))
+        con = duckdb.connect()
+        con.register(
+            "embeddings",
+            pd.DataFrame(
+                {"vec_id": range(len(vs)), "embedding": [list(v) for v in vs]}
+            ),
+        )
+        want = sorted(
+            map(tuple, con.execute(d_semdedup_kmeans_oracle(k=k)).fetchall())
+        )
+        con.close()
+        assert got == want
+
+    check()
