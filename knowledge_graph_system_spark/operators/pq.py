@@ -321,3 +321,48 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
 # NOT registered in r12 (prepared r13 candidate — the registry's r13
 # plan comment allocates the slack; registration = a query() line here
 # plus a _RECORD_FIRST slot, the standing two-line pattern).
+
+
+def save_codebook(
+    cb: list[list[list[float]]], spark: SparkSession, path: str
+) -> None:
+    """Persist a trained codebook: (m, j, cw array<double>) parquet —
+    the write-once contract the module docstring describes (train once
+    offline, ship the tiny table with the plan; the IVF-index /
+    save_bpe posture). M·K rows."""
+    rows = [
+        (m, j, list(code))
+        for m, sub in enumerate(cb)
+        for j, code in enumerate(sub)
+    ]
+    spark.createDataFrame(
+        rows, "m int, j int, cw array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    """Load a persisted codebook in (m, j) order — a bounded collect
+    (M·K rows, the training-time budget)."""
+    rows = spark.read.parquet(path).orderBy("m", "j").collect()
+    cb: list[list[list[float]]] = []
+    for r in rows:
+        if r["m"] == len(cb):
+            cb.append([])
+        cb[r["m"]].append(list(r["cw"]))
+    return cb
+
+
+def pq_topk_from_saved(
+    spark: SparkSession, sf_dir: str, codebook_path: str
+) -> DataFrame:
+    """The build-once/load-many form of ann_pq_topk: consume a
+    PERSISTED codebook instead of re-training per run — row-identical
+    to the inline-training row when the saved codebook was trained on
+    the same corpus (pinned by tests/test_pq.py)."""
+    ctx = Ctx.get(spark, sf_dir)
+    vecs = fan_out(_vectors(ctx).drop("label")).localCheckpoint(eager=True)
+    cb = load_codebook(spark, codebook_path)
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return pq_topk(vecs, queries, cb)

@@ -140,3 +140,30 @@ def test_pq_compression_ratio_documented():
 
     assert _M * _SUB == _DIM
     assert (_DIM * 8) / _M == 64.0
+
+
+def test_pq_saved_codebook_identity(spark, tmp_path):
+    """save → load roundtrips the codebook exactly, and the loaded-
+    codebook query path is row-identical to inline training (the
+    save_bpe / persisted-IVF write-once contract)."""
+    from knowledge_graph_system_spark.functions.scale import fan_out
+    from knowledge_graph_system_spark.operators.ann import _vectors
+    from knowledge_graph_system_spark.operators.pq import (
+        ann_pq_topk,
+        load_codebook,
+        pq_codebook,
+        pq_topk_from_saved,
+        save_codebook,
+    )
+    from knowledge_graph_system_spark.registry import Ctx
+
+    ctx = Ctx.get(spark, SF)
+    vecs = fan_out(_vectors(ctx).drop("label")).localCheckpoint(eager=True)
+    cb = pq_codebook(vecs)
+    path = str(tmp_path / "pq_codebook")
+    save_codebook(cb, spark, path)
+    assert load_codebook(spark, path) == cb
+
+    inline = sorted(map(tuple, ann_pq_topk(spark, SF).collect()))
+    saved = sorted(map(tuple, pq_topk_from_saved(spark, SF, path).collect()))
+    assert inline == saved and len(inline) == 30
