@@ -1,0 +1,102 @@
+"""Pre-registration probe for UNREGISTERED candidates — the part of
+the measurement discipline bench_subset.py cannot cover (it resolves
+names through the registry, which candidates are deliberately not in).
+
+For each `module:function` given, runs the candidate at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) with warm pass + best-of-3 through the
+noop sink, and — when --oracle names a `module:function` returning SQL
+— compares against DuckDB at sf0.01 under a BARE SparkSession (the
+driver-fidelity mode; the r11 HUGEINT lesson is that a factory-session
+fetchall() check is weaker evidence than it sounds) and bind-lints the
+oracle's output types for HUGEINT.
+
+Usage:
+    python tools/probe_candidate.py \\
+        knowledge_graph_system_spark.operators.pq:ann_pq_topk \\
+        --oracle knowledge_graph_system_spark.operators.pq:ann_pq_topk_oracle
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _resolve(spec: str):
+    mod, fn = spec.split(":")
+    return getattr(importlib.import_module(mod), fn)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("candidates", nargs="+", help="module:function specs")
+    ap.add_argument("--oracle", action="append", default=[],
+                    help="module:function returning the candidate's SQL "
+                         "(positionally matched to candidates)")
+    ap.add_argument("--legs", type=int, default=4, help="1 warm + N-1 timed")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("kg-spark-candidate-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    for i, spec in enumerate(args.candidates):
+        fn = _resolve(spec)
+        ts = []
+        for _ in range(args.legs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        timed = ts[1:] or ts
+        print(
+            f"{spec} @ {sf_dir}: best {min(timed):.3f}s "
+            f"median {statistics.median(timed):.3f}s all {[round(t, 2) for t in ts]} "
+            f"loadavg {tuple(round(x, 1) for x in os.getloadavg())}"
+        )
+        if i < len(args.oracle):
+            import duckdb
+
+            osql = _resolve(args.oracle[i])()
+            con = duckdb.connect()
+            gate = "/root/testdata/sf0.01"
+            for t in _TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{gate}/{t}.parquet')"
+                )
+            rel = con.sql(osql)
+            wide = {
+                c: str(t)
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            }
+            got = sorted(map(tuple, fn(spark, gate).collect()))
+            want = sorted(map(tuple, con.execute(osql).fetchall()))
+            con.close()
+            status = "MATCH" if got == want else "MISMATCH"
+            print(
+                f"  oracle @ sf0.01 (bare session): {status} "
+                f"({len(got)} rows); HUGEINT cols: {wide or 'none'}"
+            )
+            if got != want or wide:
+                sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
