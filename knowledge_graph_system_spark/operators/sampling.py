@@ -628,3 +628,97 @@ _query("smp_temperature_mix", oracle=smp_temperature_mix_oracle())(
 
 # Registered r11: the prepared-candidate plan in registry.py, executed.
 _query("smp_epoch_order", oracle=smp_epoch_order_oracle())(smp_epoch_order)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splitting (r13 candidate) — near-duplicate GROUPS must
+# never straddle train/val/test. A plain per-doc hash split leaks:
+# two near-identical documents land in different splits and the eval
+# set scores memorization (the standard contamination failure mode a
+# per-doc split cannot see; Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better" measures exactly this). The fix
+# is one line of key discipline: split on the GROUP representative —
+# the dup-group id for grouped docs, the doc's own id for singletons —
+# with the same md5-bucket rule hash_split already grades.
+#
+# Scale shape: the groups frame is the DUPLICATE set (corpus-small by
+# definition — the dedup_apply argument), so the left join is
+# AQE-broadcast territory; the split itself stays a narrow projection.
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    groups: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "lsplit",
+) -> DataFrame:
+    """hash_split keyed on coalesce(group_id, own id): every member of
+    a near-dup group lands in the SAME split by construction. `groups`
+    is d_dup_groups-shaped (doc_id, group_id, keeper) — only grouped
+    docs appear in it."""
+    g = groups.select(F.col("doc_id").alias(id_col), "group_id")
+    keyed = docs.join(g, id_col, "left").withColumn(
+        "__skey", F.coalesce(F.col("group_id"), F.col(id_col))
+    )
+    return (
+        hash_split(keyed, "__skey", weights, salt)
+        .withColumn("grouped", F.col("group_id").isNotNull())
+        .drop("__skey", "group_id")
+    )
+
+
+_LSPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def smp_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 candidate: per-split rollup of the leakage-safe split over
+    documents with minhash dup groups — (split, n_docs, n_grouped_docs,
+    chars). The no-straddle invariant is pinned in pytest (zero groups
+    with >1 distinct split)."""
+    from ..registry import Ctx
+    from .components import d_dup_groups
+
+    ctx = Ctx.get(spark, sf_dir)
+    groups = d_dup_groups(spark, sf_dir).localCheckpoint(eager=True)
+    out = leakage_safe_split(
+        ctx.tables["documents"], groups, _LSPLIT_WEIGHTS
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("grouped").cast("bigint")).alias("n_grouped_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+def smp_leakage_split_oracle() -> str:
+    """DuckDB twin: the byte-shared recursive-CC group CTEs (the
+    d_dup_groups refactor-invariant prefix) + the hash_split CASE over
+    the coalesced key + the same rollup."""
+    from .components import _GROUPS_CTES
+
+    split_sel = hash_split_sql("keyed", "skey", _LSPLIT_WEIGHTS, "lsplit")
+    return (
+        _GROUPS_CTES
+        + f""",
+grp AS (
+  SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
+  FROM reach GROUP BY node
+),
+keyed AS (
+  SELECT d.doc_id, d.n_chars, g.group_id IS NOT NULL AS grouped,
+         coalesce(g.group_id, d.doc_id) AS skey
+  FROM documents d LEFT JOIN grp g USING (doc_id)
+),
+sp AS ({split_sel})
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(grouped AS BIGINT)) AS BIGINT) AS n_grouped_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM sp GROUP BY split
+"""
+    )
+
+
+# NOT registered in r12 (prepared r13 candidate, two-line registration
+# when its slot comes).

@@ -414,12 +414,16 @@ class Ctx:
 # one slot), then new candidates (the freeze lifts — the prepared
 # an_suite contingency consolidates an_annealing_cycle +
 # an_execute_proposals if the budget breaks), then bench headliners.
-# THREE candidates were prepared and pre-validated in r12 (driver-style
-# oracle compares at both gate SFs + decade probes, SCALE_NOTES r12
-# parts 4-6): ann_pq_topk (operators/pq.py), g_butterflies
-# (operators/graphalgo.py), d_semdedup_kmeans (operators/semdedup.py,
-# NOTE: its oracle's k=10 is the gate-scale literal). 3 new + 43 tail
-# = 46, leaving 4 slots for changed rows / bench headliners.
+# FOUR candidates were prepared and pre-validated in r12 (bare-session
+# oracle compares at sf0.01 + HUGEINT bind-lint + decade probes,
+# SCALE_NOTES r12 parts 4-6 and 8; tools/probe_candidate.py re-runs
+# the whole check per candidate): ann_pq_topk (operators/pq.py),
+# g_butterflies (operators/graphalgo.py), d_semdedup_kmeans
+# (operators/semdedup.py, NOTE: its oracle's k=10 is the gate-scale
+# literal), smp_leakage_split (operators/sampling.py). 4 new + 43
+# tail = 47, leaving 3 slots for changed rows / bench headliners;
+# smp_leakage_split is the defer-first candidate if maintenance needs
+# the room.
 _RECORD_FIRST = [
     # ---- new (r12): the three queue-draining candidates
     "d_semdedup",

@@ -487,3 +487,78 @@ def test_r11_candidate_epoch_order(spark):
     e2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_order(docs, "doc_id", 2, 8).collect()}
     assert set(e1) == set(e2)
     assert any(e1[k] != e2[k] for k in e1)
+
+
+# ---------------------------------------------------------------------------
+# r13 candidate: leakage-safe splitting (near-dup groups never straddle)
+# ---------------------------------------------------------------------------
+
+
+def test_r13_candidate_smp_leakage_split(spark):
+    """Driver-style compare at BOTH gate scale factors against the
+    composed oracle (byte-shared recursive-CC group CTEs + the
+    hash_split CASE over the coalesced key)."""
+    from knowledge_graph_system_spark.operators.sampling import (
+        smp_leakage_split,
+        smp_leakage_split_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, smp_leakage_split(spark, sf).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        want = sorted(
+            map(tuple, con.execute(smp_leakage_split_oracle()).fetchall())
+        )
+        con.close()
+        assert len(got) == 3 and got == want
+        assert sum(r[2] for r in got) > 0  # grouped docs really exist
+
+
+def test_leakage_split_no_group_straddles(spark):
+    """THE invariant: zero near-dup groups with members in more than
+    one split — and the contrast leg proves a plain per-doc hash split
+    DOES straddle on this corpus (the leak this operator exists to
+    close)."""
+    from knowledge_graph_system_spark.operators.components import d_dup_groups
+    from knowledge_graph_system_spark.operators.sampling import (
+        _LSPLIT_WEIGHTS,
+        hash_split,
+        leakage_safe_split,
+    )
+    from knowledge_graph_system_spark.registry import Ctx
+
+    sf = "/root/testdata/sf0.001"
+    ctx = Ctx.get(spark, sf)
+    docs = ctx.tables["documents"]
+    groups = d_dup_groups(spark, sf).localCheckpoint(eager=True)
+
+    safe = leakage_safe_split(docs, groups, _LSPLIT_WEIGHTS)
+    straddle = (
+        safe.join(groups.select("doc_id", "group_id"), "doc_id")
+        .groupBy("group_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+
+    naive = hash_split(docs, "doc_id", _LSPLIT_WEIGHTS, salt="lsplit")
+    naive_straddle = (
+        naive.join(groups.select("doc_id", "group_id"), "doc_id")
+        .groupBy("group_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert naive_straddle > 0  # the per-doc split really leaks here
+
+    # rates still track the weights (group keying must not skew them)
+    n = docs.count()
+    rates = {r["split"]: r["n"] / n for r in
+             safe.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    for name, w in _LSPLIT_WEIGHTS.items():
+        assert abs(rates[name] - w) < 0.05, (name, rates)

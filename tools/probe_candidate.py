@@ -45,15 +45,28 @@ def main() -> None:
                     help="module:function returning the candidate's SQL "
                          "(positionally matched to candidates)")
     ap.add_argument("--legs", type=int, default=4, help="1 warm + N-1 timed")
+    ap.add_argument(
+        "--factory",
+        action="store_true",
+        help="use the repo's session factory (bigger driver memory) — "
+        "needed for /tmp/kg_sf1 decade legs, where the default BARE "
+        "1 GiB-driver session OOMs on AQE broadcast builds; keep the "
+        "default bare session for sf0.01 oracle-fidelity checks",
+    )
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    if args.factory:
+        from knowledge_graph_system_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .appName("kg-spark-candidate-probe")
-        .getOrCreate()
-    )
+        spark = get_spark("kg-spark-candidate-probe")
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("kg-spark-candidate-probe")
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
