@@ -187,3 +187,23 @@ def test_motif_plan_shapes(spark):
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_butterflies_hub_part(spark):
+    """A hub right-vertex (one part in 40 orders) generates C(40,2) =
+    780 wedges — every order pair shares it. With a second shared part
+    for one specific pair, that pair alone reaches shared = 2 and forms
+    exactly C(2,2) = 1 butterfly; the other 779 pairs stay below the
+    threshold. Pins that the wedge pivot keeps hub arithmetic exact
+    (the skew mitigation changes the PLAN, never these counts)."""
+    from knowledge_graph_system_spark.operators.graphalgo import butterflies
+
+    edges = [(f"o{i:02d}", "hub") for i in range(40)]
+    edges += [("o00", "p2"), ("o01", "p2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = butterflies(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["o1"], r["o2"], r["shared"], r["n_butterflies"]) == (
+        "o00", "o01", 2, 1,
+    )
