@@ -5,7 +5,6 @@ plus the code-range, pure-Python encode parity, and recall contracts."""
 from __future__ import annotations
 
 import duckdb
-from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 

@@ -7,7 +7,6 @@ driver-style oracle compares at both gate scale factors."""
 from __future__ import annotations
 
 import duckdb
-from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
