@@ -42,8 +42,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("candidates", nargs="+", help="module:function specs")
     ap.add_argument("--oracle", action="append", default=[],
-                    help="module:function returning the candidate's SQL "
-                         "(positionally matched to candidates)")
+                    help="module:function returning the candidate's SQL. "
+                         "Paired to candidates BY POSITION (1st --oracle "
+                         "with 1st candidate, ...), so give either zero "
+                         "oracles or exactly one per candidate — a partial "
+                         "list is rejected rather than silently matching "
+                         "the wrong pair (ADVICE r12)")
     ap.add_argument("--legs", type=int, default=4, help="1 warm + N-1 timed")
     ap.add_argument(
         "--factory",
@@ -54,6 +58,11 @@ def main() -> None:
         "default bare session for sf0.01 oracle-fidelity checks",
     )
     args = ap.parse_args()
+    if args.oracle and len(args.oracle) != len(args.candidates):
+        ap.error(
+            f"--oracle is paired to candidates by position: give 0 or "
+            f"{len(args.candidates)} oracles, got {len(args.oracle)}"
+        )
 
     if args.factory:
         from knowledge_graph_system_spark.session import get_spark
