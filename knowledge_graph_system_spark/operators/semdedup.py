@@ -132,20 +132,29 @@ def semdedup_groups(
     with the paper's exemplar rule — keeper = the group member with
     the LOWEST cosine to its cluster centroid, ties by vec_id.
 
-    SCALE CONTRACT (measured, r11 candidate decade probe): the default
-    label quantizer has FIXED cluster count, so Σ_c |c|² grows
+    SCALE CONTRACT (measured, r11 candidate decade probe): the label
+    quantizer has FIXED cluster count, so Σ_c |c|² grows
     quadratically in corpus size — the probe read 67× wall for 10×
     data before the fan-out fix and stays superlinear after it, which
     is exactly why the paper scales its cluster count WITH the corpus
-    (k ∝ N; Abbas et al. run 100k k-means clusters on LAION). At
-    production scale pass `assign` — a precomputed (vec_id, clabel,
-    ccos) assignment from a real k ∝ N quantizer, written at ingest
-    time like the IVF cell column — and the within-cluster pair volume
-    stays linear. The default stays label-based because it is a pure
-    deterministic function of the table (what the driver-graded row
-    must be) and correct at gate scale."""
+    (k ∝ N; Abbas et al. run 100k k-means clusters on LAION). Since
+    r13 the DEFAULT assignment IS a k ∝ N Lloyd quantizer (3.3× decade
+    vs the label path's 10.8×); at production scale pass `assign` — a
+    precomputed (vec_id, clabel, ccos) assignment written at ingest
+    time like the IVF cell column — and no training runs here at all.
+    The fixed-count label quantizer remains available via
+    cluster_assign and is what the graded d_semdedup row passes
+    explicitly (its oracle replays label centroids)."""
     if assign is None:
-        assign = cluster_assign(vectors)
+        # DEFAULT = the k ∝ N Lloyd assignment (r13, VERDICT r12 next
+        # #3): cluster population stays ~CLUSTER_TARGET as N grows, so
+        # the within-cluster pair volume Σ|c|² ≈ N·CLUSTER_TARGET is
+        # LINEAR — the paper's contract (Abbas et al. scale k with the
+        # corpus). The fixed-count label quantizer (quadratic pair
+        # volume, 10.8× decade) is no longer what a bare call gets;
+        # d_semdedup passes it explicitly as the graded-compat twin.
+        k = max(2, -(-vectors.count() // CLUSTER_TARGET))
+        assign = kmeans_assign(vectors, k)
     # one checkpoint + one count shared between the broadcast guard and
     # the join (a caller-passed production `assign` is checkpointed here
     # too, so the guard never re-executes its lineage — ADVICE r11)
@@ -188,7 +197,11 @@ def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         )
     ).localCheckpoint(eager=True)  # feeds assignment + both pair sides
-    return semdedup_groups(vecs)
+    # EXPLICIT fixed-count label assignment: this row's oracle replays
+    # the label quantizer, so it stays the gate-compat twin; the
+    # module default (a bare semdedup_groups call) is the k ∝ N path
+    # since r13 — see d_semdedup_kmeans for the graded instance.
+    return semdedup_groups(vecs, assign=cluster_assign(vecs))
 
 
 def d_semdedup_oracle() -> str:
@@ -292,27 +305,48 @@ def _km_dists(k: int) -> str:
     )
 
 
+# Recomputed codeword means are rounded to 12 dp ON BOTH ENGINES
+# (pq.py shares the constant): distributed summation order can differ
+# by ULPs between runs and engines, and while the 6-dp distance
+# rounding absorbs that almost everywhere, an argmin sitting exactly
+# at a rounding boundary could still flip — rounding the means first
+# makes the tie surface identical by construction (ADVICE r12).
+MEAN_ROUND_DP = 12
+
+
 def kmeans_assign(
-    vectors: DataFrame, k: int, iters: int = _KM_ITERS
+    vectors: DataFrame, k: int, iters: int = _KM_ITERS, dim: int | None = None
 ) -> DataFrame:
     """(vec_id, clabel, ccos): full-vector deterministic Lloyd
     assignment — clabel = 1-based nearest-centroid index after `iters`
     sweeps, ccos = 6-dp cosine to the assigned centroid (what the
     keeper election orders on). BOUNDED COLLECTS: k seed rows once,
-    then k·D mean rows per sweep."""
-    dim = len(vectors.select("v").first()["v"])
+    then k·D mean rows per sweep. Pass `dim` when the caller knows the
+    vector width (every corpus caller does) — otherwise one first()
+    job probes it."""
+    if dim is None:
+        dim = len(vectors.select("v").first()["v"])
     seeds = sorted(
         vectors.select("vec_id", "v").orderBy("vec_id").limit(k).collect(),
         key=lambda r: r["vec_id"],
     )
     cb = [list(r["v"]) for r in seeds]
-    assign_expr = (
-        f"array_position({_km_dists(k)}, array_min({_km_dists(k)}))"
-    )
-    for _ in range(iters):
-        enc = vectors.join(
+    # the O(k·D) distance array is projected ONCE per row (__dists),
+    # then argmin'd over the projected attribute — never embedded twice
+    # in one expression (ADVICE r12; CollapseProject keeps the boundary
+    # because the producing transform is non-cheap and referenced
+    # twice; tests/test_semdedup.py pins one transform in the plan)
+    argmin = "array_position(__dists, array_min(__dists))"
+
+    def _with_dists(df: DataFrame) -> DataFrame:
+        return df.join(
             F.broadcast(_km_frame(vectors.sparkSession, cb))
-        ).select("vec_id", F.expr(assign_expr).alias("j"))
+        ).withColumn("__dists", F.expr(_km_dists(k)))
+
+    for _ in range(iters):
+        enc = _with_dists(vectors).select(
+            "vec_id", F.expr(argmin).alias("j")
+        )
         stats = (
             vectors.join(enc, "vec_id")
             .select("j", F.posexplode("v").alias("d", "x"))
@@ -320,14 +354,16 @@ def kmeans_assign(
             .agg(F.avg("x").alias("cv"))
             .collect()
         )
-        new = {(r["j"], r["d"]): r["cv"] for r in stats}
+        new = {
+            (r["j"], r["d"]): round(r["cv"], MEAN_ROUND_DP) for r in stats
+        }
         cb = [
             [new.get((j + 1, d), cb[j][d]) for d in range(dim)]
             for j in range(k)
         ]
     return (
-        vectors.join(F.broadcast(_km_frame(vectors.sparkSession, cb)))
-        .withColumn("clabel", F.expr(assign_expr))
+        _with_dists(vectors)
+        .withColumn("clabel", F.expr(argmin))
         .withColumn("cv", F.expr("element_at(cb, CAST(clabel AS INT))"))
         .select(
             "vec_id",
@@ -338,10 +374,11 @@ def kmeans_assign(
 
 
 def d_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13 candidate: SemDeDup over a k ∝ N Lloyd assignment —
-    (vec_id, clabel, group_id, keeper), same shape and keeper rule as
+    """r13 row: SemDeDup over a k ∝ N Lloyd assignment — (vec_id,
+    clabel, group_id, keeper), same shape and keeper rule as
     d_semdedup, linear pair volume by construction."""
     from ..functions.scale import fan_out
+    from .quant import _DIM
 
     ctx = Ctx.get(spark, sf_dir)
     vecs = fan_out(
@@ -351,14 +388,24 @@ def d_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=True)
     k = max(2, -(-vecs.count() // CLUSTER_TARGET))  # ceil div
-    return semdedup_groups(vecs, assign=kmeans_assign(vecs, k))
+    return semdedup_groups(vecs, assign=kmeans_assign(vecs, k, dim=_DIM))
 
 
-def d_semdedup_kmeans_oracle(k: int = 10, iters: int = _KM_ITERS) -> str:
+# The driver grades at sf0.01, whose embeddings fixture holds exactly
+# this many rows — the oracle's k literal is GENERATED from the same
+# ceil-div the Spark side derives at runtime (ADVICE r12: a fixture
+# regeneration that changes N now shifts both sides together or fails
+# the pytest pin loudly, never a silent value divergence).
+_GATE_N = 500
+_GATE_K = max(2, -(-_GATE_N // CLUSTER_TARGET))
+
+
+def d_semdedup_kmeans_oracle(k: int = _GATE_K, iters: int = _KM_ITERS) -> str:
     """DuckDB twin, Lloyd training INCLUDED (generated per-iteration
-    CTEs, pq.py pattern). `k` is the GATE-SCALE instance: the driver
-    grades at sf0.01 where N = 500 → k = ceil(500/50) = 10; the pytest
-    gate asserts the Spark side derives the same k at both gate SFs."""
+    CTEs, pq.py pattern). `k` defaults to the GATE-SCALE instance,
+    derived from _GATE_N by the same ceil-div as the Spark side: the
+    driver grades at sf0.01 where N = 500 → k = ceil(500/50) = 10; the
+    pytest gate asserts the derivation at both gate SFs."""
     parts = [f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cb0 AS MATERIALIZED (
@@ -382,7 +429,7 @@ a{t} AS MATERIALIZED (
 ),
 m{t} AS MATERIALIZED (
   SELECT j, list(cv ORDER BY d) AS cv FROM (
-    SELECT a.j, d, avg(x) AS cv FROM (
+    SELECT a.j, d, round(avg(x), {MEAN_ROUND_DP}) AS cv FROM (
       SELECT vec_id, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS x FROM e
     ) ex JOIN a{t} a ON a.vec_id = ex.vec_id
     GROUP BY a.j, d

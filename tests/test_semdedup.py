@@ -141,6 +141,22 @@ def test_kmeans_assign_contract(spark):
     pops = Counter(c for c, _ in a1.values())
     assert max(pops.values()) <= 4 * (len(a1) // k)
 
+    # the O(k·D) distance array is evaluated ONCE per row (ADVICE r12):
+    # the assignment plan carries exactly one distance transform — the
+    # __dists projection — not one inside array_position and another
+    # inside array_min
+    plan = (
+        kmeans_assign(vecs, k)._jdf.queryExecution().executedPlan().toString()
+    )
+    # argmin references the projected __dists attribute twice, but the
+    # distance transform itself is planned once: one array_min, one
+    # array_position, and exactly TWO zip_with sites total (the
+    # distance transform + the output cosine) — a duplicated distance
+    # array would make it three
+    assert plan.count("array_min") == 1
+    assert plan.count("array_position") == 1
+    assert plan.count("zip_with") == 2
+
 
 def test_kmeans_semdedup_property_random_corpora(spark):
     """Property test (the test_bpe three-way pattern): on random small
@@ -181,8 +197,13 @@ def test_kmeans_semdedup_property_random_corpora(spark):
             for j in range(k):
                 members = [i for i in ids if assign[i] == j]
                 if members:
+                    # recomputed means round to 12 dp on every engine
+                    # (semdedup.MEAN_ROUND_DP) so the argmin tie
+                    # surface is identical by construction
                     cb[j] = [
-                        sum(vs[i][d] for i in members) / len(members)
+                        round(
+                            sum(vs[i][d] for i in members) / len(members), 12
+                        )
                         for d in range(dim)
                     ]
         out = {}
