@@ -59,6 +59,7 @@ from ..functions.scale import fan_out
 from ..registry import Ctx
 from .ann import _COS, _QUERY_IDS, _TOPK, _vectors
 from .quant import _ACOS, _DIM
+from .semdedup import MEAN_ROUND_DP
 
 _M = 8             # subspaces
 _SUB = _DIM // _M  # dims per subspace (8)
@@ -92,7 +93,14 @@ def _encode_expr(k: int) -> str:
     """codes[m] = 1-based index of the nearest codeword in subspace m:
     squared L2 over the subvector, rounded to 6 dp, first-minimum wins
     (array_position returns the FIRST match, so ties break on the
-    smallest codeword index — mirrored by the oracle's ORDER BY dd, j)."""
+    smallest codeword index — mirrored by the oracle's ORDER BY dd, j).
+
+    The O(K) per-subspace distance array is built by an INNER transform
+    and argmin'd by an OUTER transform over its result — the lambda
+    variable `ds` binds the computed array, so each distance is
+    evaluated once per (row, subspace), not once inside array_position
+    and again inside array_min (ADVICE r12; SQL lambdas have no let-
+    binding, the nested transform IS the let)."""
     dists = (
         f"transform(sequence(1, {k}), j -> round(aggregate("
         f"zip_with(slice(v, (m - 1) * {_SUB} + 1, {_SUB}),"
@@ -100,8 +108,8 @@ def _encode_expr(k: int) -> str:
         " (x, c) -> (x - c) * (x - c)), 0D, (acc, x) -> acc + x), 6))"
     )
     return (
-        f"transform(sequence(1, {_M}), m ->"
-        f" array_position({dists}, array_min({dists})))"
+        f"transform(transform(sequence(1, {_M}), m -> {dists}),"
+        " ds -> array_position(ds, array_min(ds)))"
     )
 
 
@@ -150,7 +158,14 @@ def pq_codebook(
             .agg(F.avg("x").alias("cv"))
             .collect()
         )
-        new = {(r["m"], r["j"], r["d"]): r["cv"] for r in stats}
+        # recomputed codeword means round to MEAN_ROUND_DP on both
+        # engines (semdedup.py owns the constant + rationale): the
+        # 6-dp distance argmin's tie surface becomes identical by
+        # construction instead of ULP-exposed (ADVICE r12)
+        new = {
+            (r["m"], r["j"], r["d"]): round(r["cv"], MEAN_ROUND_DP)
+            for r in stats
+        }
         cb = [
             [
                 [
@@ -264,7 +279,7 @@ a{t} AS MATERIALIZED (
 ),
 m{t} AS MATERIALIZED (
   SELECT m, j, list(cv ORDER BY i) AS cm FROM (
-    SELECT a.m, a.j, r.i, avg(s.vm[r.i]) AS cv
+    SELECT a.m, a.j, r.i, round(avg(s.vm[r.i]), {MEAN_ROUND_DP}) AS cv
     FROM a{t} a
     JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
     range(1, {_SUB} + 1) AS r(i)
