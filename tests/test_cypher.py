@@ -836,6 +836,25 @@ def test_shortest_path_guard_rejections(cctx):
             compile_cypher(cctx, bad)
 
 
+def test_shortest_path_state_guard_trips_deterministically(cctx, monkeypatch):
+    """The O(|sources| x reach) visited state is bounded (r13, the
+    carried VERDICT watch item): past _SHORTEST_STATE_MAX the query
+    raises a GuardError naming the fix — never a silent truncation
+    (results below the bound are untouched: the same query passes the
+    hand-BFS differential above at the production bound)."""
+    import pytest as _pt
+
+    from knowledge_graph_system_spark.plans import cypher as cy
+
+    q = (
+        "MATCH p = shortestPath((c:Customer)-[*1..4]->(x)) "
+        "RETURN c.node_id AS src, x.node_id AS dst, length(p) AS d"
+    )
+    monkeypatch.setattr(cy, "_SHORTEST_STATE_MAX", 10)
+    with _pt.raises(GuardError, match="visited-state exceeded"):
+        compile_cypher(cctx, q).collect()
+
+
 def test_shortest_path_is_minimal_not_all_trails(cctx):
     """One row per reachable (a, b) pair — not one per path — and the
     length is minimal: re-matching at exactly length(p)+coverage via
