@@ -661,5 +661,8 @@ ORDER BY po.n_butterflies DESC, po.node_id LIMIT 20
 """
 
 
-# NOT registered in r12 (prepared r13 candidate, same two-line
-# registration pattern as the three rows above when its slot comes).
+# Registered r13: the prepared-candidate plan in registry.py, executed
+# (probed r12 SCALE_NOTES part 5; both pre-registration conditions
+# closed first — the hub-part salt guard above + the quiet-block
+# decade re-probe, SCALE_NOTES r13).
+query("g_butterflies", oracle=g_butterflies_oracle())(g_butterflies)

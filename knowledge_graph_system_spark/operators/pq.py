@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.scale import fan_out
-from ..registry import Ctx
+from ..registry import Ctx, query
 from .ann import _COS, _QUERY_IDS, _TOPK, _vectors
 from .quant import _ACOS, _DIM
 from .semdedup import MEAN_ROUND_DP
@@ -333,9 +333,10 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
     return "".join(parts)
 
 
-# NOT registered in r12 (prepared r13 candidate — the registry's r13
-# plan comment allocates the slack; registration = a query() line here
-# plus a _RECORD_FIRST slot, the standing two-line pattern).
+# Registered r13: the prepared-candidate plan in registry.py, executed
+# (probed r12 SCALE_NOTES part 4; re-validated at final r13 code after
+# the encode dists-dedupe + 12-dp mean rounding, both-engine MATCH).
+query("ann_pq_topk", oracle=ann_pq_topk_oracle())(ann_pq_topk)
 
 
 def save_codebook(

@@ -720,5 +720,12 @@ FROM sp GROUP BY split
     )
 
 
+# Registered r13: the prepared-candidate plan in registry.py, executed
+# (probed r12 SCALE_NOTES part 8; re-validated at final r13 code).
+_query("smp_leakage_split", oracle=smp_leakage_split_oracle())(
+    smp_leakage_split
+)
+
+
 # NOT registered in r12 (prepared r13 candidate, two-line registration
 # when its slot comes).

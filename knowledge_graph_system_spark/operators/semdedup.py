@@ -480,6 +480,9 @@ FROM g JOIN assign a ON a.vec_id = g.vec_id
     return "".join(parts)
 
 
-# NOT registered in r12 (prepared r13 candidate — same two-line
-# registration pattern as the d_semdedup row above when its slot
-# comes; remember k is the gate-scale literal).
+# Registered r13: the prepared-candidate plan in registry.py, executed
+# (probed r12 SCALE_NOTES part 6; re-validated at final r13 code after
+# the dists-dedupe + 12-dp mean rounding, both-engine MATCH). The
+# oracle's gate k is generated from _GATE_N by the same ceil-div the
+# Spark side derives at runtime.
+query("d_semdedup_kmeans", oracle=d_semdedup_kmeans_oracle())(d_semdedup_kmeans)
