@@ -8,10 +8,13 @@ SEMANTIC — documents that say the same thing in different words, which
 no lexical signal catches. The published recipe, re-expressed as
 DataFrame ops:
 
-1. cluster every embedding to its nearest centroid (here the same
-   deterministic label-centroid coarse quantizer `operators/ann.py`
-   and `operators/dedup.py` use, single assignment — at 100 TB this is
-   a write-time column, exactly like the IVF cell);
+1. cluster every embedding to its nearest centroid — by default (r13)
+   a deterministic k ∝ N Lloyd quantizer (`kmeans_assign`), matching
+   the paper's k-scales-with-corpus contract; the fixed-count
+   label-centroid quantizer `operators/ann.py` and
+   `operators/dedup.py` use stays available via `cluster_assign` (the
+   graded d_semdedup row passes it explicitly). At 100 TB the
+   assignment is a write-time column, exactly like the IVF cell;
 2. WITHIN each cluster only, find pairs with cosine ≥ τ — candidate
    volume is Σ_c |c|², never corpus²; the cluster key is the shuffle
    key, so skew is bounded by the largest cluster, and a hot cluster
