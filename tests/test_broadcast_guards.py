@@ -275,8 +275,11 @@ def test_dispatch_degree_guards(spark, monkeypatch):
     """r12 (VERDICT r11 wrong #3): the two dispatch-path
     degree-proportional frames — search_sources' linked-neighbor set
     (O(Σ degree) of the matched sources) and concepts_details' endpoint
-    set (one concept's full out-neighborhood) — are now counted. The
-    bounded top-k hits hint inside search_sources stays."""
+    set (one concept's full out-neighborhood) — are counted. Since r13
+    the bounded top-k hits hint inside search_sources ALSO routes
+    through maybe_broadcast (with the by-construction limit as n_rows,
+    so no extra count job — VERDICT r12 next #7), so zeroing the bound
+    now drops BOTH search_sources hints."""
     from knowledge_graph_system_spark.operators import setops
     from knowledge_graph_system_spark.registry import Ctx
 
@@ -290,7 +293,7 @@ def test_dispatch_degree_guards(spark, monkeypatch):
     n_cd = _analyzed(h_cd.nodes).count("broadcast")
     monkeypatch.setattr(setops, "_REACH_BROADCAST_MAX", 0)
     b_ss, b_cd = dispatch(ss), dispatch(cd)
-    assert _analyzed(b_ss.nodes).count("broadcast") == n_ss - 1
+    assert _analyzed(b_ss.nodes).count("broadcast") == n_ss - 2
     assert _analyzed(b_cd.nodes).count("broadcast") == n_cd - 1
     assert _rows(b_ss.nodes) == _rows(h_ss.nodes)
     assert _rows(b_cd.nodes) == _rows(h_cd.nodes)
