@@ -57,7 +57,7 @@ from pyspark.sql.window import Window
 
 from ..functions.scale import fan_out
 from ..registry import Ctx, query
-from .ann import _COS, _QUERY_IDS, _TOPK, _vectors
+from .ann import _COS, _NPROBE, _QUERY_IDS, _TOPK, _vectors
 from .quant import _ACOS, _DIM
 from .semdedup import MEAN_ROUND_DP
 
@@ -246,16 +246,14 @@ def _dist_sql(vm: str, cm: str) -> str:
     )
 
 
-def ann_pq_topk_oracle(k: int = _K, iters: int = _ITERS) -> str:
-    """DuckDB twin, training loop INCLUDED: Forgy init from the k
-    smallest vec_ids, one generated CTE block per Lloyd iteration
-    (assign via the same 6-dp argmin with smallest-j ties, per-dim mean
-    recompute, LEFT JOIN carry-forward for empty clusters — the
-    bpe.py exhausted-merge pattern), then encode/reconstruct and the
-    identical approximate/exact rank arithmetic as the SQ8 oracle."""
-    qids = ", ".join(map(str, _QUERY_IDS))
+def _pq_train_ctes(k: int = _K, iters: int = _ITERS) -> str:
+    """The shared WITH-prefix replaying PQ training + encode +
+    reconstruct: e → sub → cb0 → one (a, m, cb) block per Lloyd
+    iteration → codes → vh. BYTE-SHARED between ann_pq_topk_oracle and
+    ann_ivfpq_topk_oracle (the greedy_pack_sql co-consumer discipline:
+    one prefix, two graded consumers — an edit here re-windows both)."""
     parts = [f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 sub AS MATERIALIZED (
   SELECT vec_id, m, list_slice(v, (m - 1) * {_SUB} + 1, m * {_SUB}) AS vm
   FROM e, range(1, {_M} + 1) AS t(m)
@@ -305,7 +303,35 @@ vh AS (
   SELECT c.vec_id, flatten(list(w.cm ORDER BY c.m)) AS vhat
   FROM codes c JOIN cb{iters} w ON w.m = c.m AND w.j = c.j
   GROUP BY c.vec_id
-),
+)""")
+    return "".join(parts)
+
+
+# the exact re-rank + final ranking, shared verbatim by both oracles
+# (cand is whatever candidate CTE the consumer defined)
+_PQ_RERANK_SQL = f""",
+exact AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(qv, v)
+               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)), 0), 6) AS cos
+  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM exact
+) WHERE rank <= {_TOPK}
+"""
+
+
+def ann_pq_topk_oracle(k: int = _K, iters: int = _ITERS) -> str:
+    """DuckDB twin, training loop INCLUDED: Forgy init from the k
+    smallest vec_ids, one generated CTE block per Lloyd iteration
+    (assign via the same 6-dp argmin with smallest-j ties, per-dim mean
+    recompute, LEFT JOIN carry-forward for empty clusters — the
+    bpe.py exhausted-merge pattern), then encode/reconstruct and the
+    identical approximate/exact rank arithmetic as the SQ8 oracle."""
+    qids = ", ".join(map(str, _QUERY_IDS))
+    return _pq_train_ctes(k, iters) + f""",
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})),
 approx AS (
   SELECT q.query_id, vh.vec_id,
@@ -318,25 +344,173 @@ cand AS (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS arn
     FROM approx
   ) WHERE arn <= {_TOPK * _CAND_MULT_PQ}
-),
-exact AS (
-  SELECT c.query_id, c.vec_id,
-         round(list_dot_product(qv, v)
-               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)), 0), 6) AS cos
-  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
-)
-SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-  FROM exact
-) WHERE rank <= {_TOPK}
-""")
-    return "".join(parts)
+)""" + _PQ_RERANK_SQL
 
 
 # Registered r13: the prepared-candidate plan in registry.py, executed
 # (probed r12 SCALE_NOTES part 4; re-validated at final r13 code after
 # the encode dists-dedupe + 12-dp mean rounding, both-engine MATCH).
 query("ann_pq_topk", oracle=ann_pq_topk_oracle())(ann_pq_topk)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ (r14 candidate) — the coarse-cell × code-compression
+# COMPOSITION that is the production 100 TB ANN shape (FAISS's
+# IndexIVFPQ; Jégou et al. 2011 §V): IVF cell pruning cuts the scan to
+# nprobe/nlist of the corpus, and WITHIN the probed cells the
+# approximate pass reads 8-byte PQ codes instead of 512-byte raw
+# vectors — the two reductions multiply, which is what makes an
+# exabyte-class embedding store answer queries from RAM. The exact
+# re-rank over the candidate slice repairs quantization error exactly
+# as in the SQ8/PQ rows; recall against the same-cells exact IVF row
+# is pinned by test (the PQ approximation must not lose what cell
+# pruning kept).
+#
+# Plan shape: centroid build + probe selection are the ann_ivf_topk
+# shapes (≤nlist-row frames, counted broadcasts); the code table is
+# the write-time column contract (pq_encode); the approximate pass is
+# a cell-pruned scan + per-query WindowGroupLimit top-C; the exact
+# pass rescores |queries| × C rows. Everything else (training
+# determinism, 12-dp means, broadcast one-row codebook frame) is
+# inherited from the PQ leg above.
+# ---------------------------------------------------------------------------
+
+_CCOS = (
+    "round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    " / nullif(sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+    " * sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x)), 0D), 6)"
+)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cb: list[list[list[float]]],
+    k: int = _TOPK,
+    nprobe: int = _NPROBE,
+    cand_mult: int = _CAND_MULT_PQ,
+) -> DataFrame:
+    """Approximate-then-exact top-k over probed IVF cells only.
+    `vectors` carries (vec_id, label, v) — label is the IVF cell (the
+    write-time column, exactly like ann_ivf_topk)."""
+    spark = vectors.sparkSession
+    cdim = (
+        vectors.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("cv"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, cv))), s -> s.cv)"
+        ).alias("cv")
+    )
+    probe_scored = cent.join(F.broadcast(queries)).withColumn(
+        "ccos", F.expr(_CCOS)
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("label")
+    )
+    probe = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "label")
+    )
+    codes = pq_encode(vectors.select("vec_id", "v"), cb)
+    decoded = codes.join(F.broadcast(_cb_frame(spark, cb))).select(
+        "vec_id", F.expr(_DECODE_PQ).alias("vhat")
+    )
+    approx = (
+        decoded.join(vectors.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(probe), "label")
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("acos", F.expr(_ACOS))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("vec_id")
+    )
+    cand = (
+        approx.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= k * cand_mult)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        cand.join(vectors.select("vec_id", "v"), "vec_id")
+        .join(
+            F.broadcast(queries.withColumnRenamed("query_id", "__qid")),
+            F.col("query_id") == F.col("__qid"),
+        )
+        .withColumn("cos", F.expr(_COS))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 candidate: the full IVFPQ chain — label-cell IVF probe
+    (nprobe = 2) × PQ-code approximate scoring within the probed cells
+    × exact top-10 re-rank; the fifth ANN leg, same (query_id, vec_id,
+    cos, rank) schema as brute/IVF/SQ8/PQ."""
+    ctx = Ctx.get(spark, sf_dir)
+    vecs = fan_out(_vectors(ctx)).localCheckpoint(eager=True)
+    cb = pq_codebook(vecs.select("vec_id", "v"))
+    queries = vecs.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivfpq_topk(vecs, queries, cb)
+
+
+def ann_ivfpq_topk_oracle(k: int = _K, iters: int = _ITERS) -> str:
+    """DuckDB twin: the byte-shared PQ training prefix (_pq_train_ctes)
+    + the ann_ivf_topk centroid/probe CTEs + cell-restricted
+    approximate scoring + the shared exact re-rank tail."""
+    qids = ", ".join(map(str, _QUERY_IDS))
+    return _pq_train_ctes(k, iters) + f""",
+cdim AS (
+  SELECT label, d, avg(v[d]) AS cv
+  FROM e, generate_series(1, {_DIM}) AS g(d) GROUP BY label, d
+),
+cent AS (SELECT label, list(cv ORDER BY d) AS cv FROM cdim GROUP BY label),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})),
+probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, c.label,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(qv, cv)
+               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0), 6) DESC,
+             c.label) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {_NPROBE}
+),
+approx AS (
+  SELECT q.query_id, vh.vec_id,
+         round(list_dot_product(qv, vhat)
+               / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vhat, vhat)), 0), 6) AS acos
+  FROM vh
+  JOIN e ev ON ev.vec_id = vh.vec_id
+  JOIN probe p ON p.label = ev.label
+  JOIN q ON q.query_id = p.query_id
+  WHERE vh.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS arn
+    FROM approx
+  ) WHERE arn <= {_TOPK * _CAND_MULT_PQ}
+)""" + _PQ_RERANK_SQL
+
+
+# NOT registered in r13 (prepared r14 candidate — the registry's r14
+# plan allocates the slack; registration = a query() line here plus a
+# _RECORD_FIRST slot, the standing two-line pattern. NOTE: its oracle
+# byte-shares _pq_train_ctes with ann_pq_topk — an edit to the prefix
+# re-windows BOTH rows, the greedy_pack_sql discipline).
 
 
 def save_codebook(

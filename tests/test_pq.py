@@ -165,3 +165,57 @@ def test_pq_saved_codebook_identity(spark, tmp_path):
     inline = sorted(map(tuple, ann_pq_topk(spark, SF).collect()))
     saved = sorted(map(tuple, pq_topk_from_saved(spark, SF, path).collect()))
     assert inline == saved and len(inline) == 30
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ (prepared r14 candidate): the coarse-cell x PQ-code composition.
+# ---------------------------------------------------------------------------
+
+
+def test_r14_candidate_ann_ivfpq(spark):
+    """Driver-style compare for the prepared ann_ivfpq_topk row at BOTH
+    gate scale factors: IVF probe x PQ approximate scoring within the
+    probed cells x exact re-rank, hash-exact against the DuckDB twin
+    (which byte-shares the PQ training prefix with ann_pq_topk)."""
+    from knowledge_graph_system_spark.operators.pq import (
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, ann_ivfpq_topk(spark, sf).collect()))
+        want = sorted(map(tuple, _oracle_rows(ann_ivfpq_topk_oracle(), sf)))
+        assert len(got) > 0 and got == want
+
+
+def test_ivfpq_recall_vs_exact_ivf(spark):
+    """The PQ approximation must not lose what cell pruning kept: the
+    IVFPQ top-10 equals the SAME-CELLS exact IVF row's top-10 at both
+    gate scale factors (measured 30/30 pairs; the C = 15k candidate
+    slice inside 2 probed cells covers the coarse reconstruction's
+    rank noise). Recall vs BRUTE is bounded by the IVF row's own cell
+    recall by construction — the composition adds no new loss here."""
+    from knowledge_graph_system_spark.operators.ann import ann_ivf_topk
+    from knowledge_graph_system_spark.operators.pq import ann_ivfpq_topk
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ivf = {
+            (r["query_id"], r["vec_id"]) for r in ann_ivf_topk(spark, sf).collect()
+        }
+        ivfpq = {
+            (r["query_id"], r["vec_id"])
+            for r in ann_ivfpq_topk(spark, sf).collect()
+        }
+        assert ivf == ivfpq
+
+
+def test_ivfpq_plan_is_jvm_side_and_cell_pruned(spark):
+    """No Python eval, no cartesian; the probe restriction is a real
+    equi-join on the cell label (the partition-pruning key at write
+    time), and the probe/query frames ride broadcast hints."""
+    from knowledge_graph_system_spark.operators.pq import ann_ivfpq_topk
+
+    df = ann_ivfpq_topk(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
