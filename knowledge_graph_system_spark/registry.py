@@ -173,12 +173,20 @@ class Ctx:
 # d_minhash_lsh + the 39 r12-listed tail rows g1 displaced — by
 # enumeration order), all carrying r12 evidence that turns two rounds
 # old in r14 — all 47 must record. 50 - 47 = THREE slack slots:
-# changed rows first, then new candidates (probe through
-# tools/probe_candidate.py BEFORE registration — the standing gate),
-# then bench headliners. The candidate queue is EMPTY after r13; if a
-# new family plus maintenance breaks the budget, the prepared
-# an_suite contingency (operators/suites.py) consolidates
-# an_annealing_cycle + an_execute_proposals for net -1.
+# changed rows first, then new candidates, then bench headliners.
+# TWO candidates were prepared and pre-validated in r13 through
+# tools/probe_candidate.py (bare-session oracle MATCH at sf0.01 +
+# HUGEINT lint + decade probes, SCALE_NOTES r13 part 4):
+# ann_ivfpq_topk (operators/pq.py — NOTE its oracle byte-shares
+# _pq_train_ctes with ann_pq_topk: a prefix edit re-windows both) and
+# t_quality_logreg (operators/classifier.py — a NEW module:
+# registration also adds `classifier` to load_all()'s import list).
+# 2 new + 47 tail = 49, leaving ONE slot for a changed row or a bench
+# headliner; t_quality_logreg is the defer-first candidate if
+# maintenance needs the room. Registering both makes the r15 tail 49
+# (one slack); the ANN family is then SEVEN single rows — the
+# an_suite contingency (net -1) and a prepared ann-family
+# consolidation (net -6) are the escape valves if r15 math breaks.
 _RECORD_FIRST = [
     # ---- new (r13): the four prepared candidates, queue drained
     "ann_pq_topk",
