@@ -516,12 +516,16 @@ _SHORTEST_PAT = re.compile(
 
 
 # Multi-source BFS visited-state bound: (source, node) pair rows kept
-# across all levels. 20M pair rows ~ 1-2 GB of checkpointed state in a
-# single JVM — far past any gate/bench scale (the sf1 decade probe's
-# full suite stays well under it) but low enough that a pathological
-# (all-sources x whole-graph) query dies with a message instead of a
-# GC spiral. Tuned per deployment; the hop cap stays mandatory.
-_SHORTEST_STATE_MAX = 20_000_000
+# across all levels. Sized to the machine, not the gate (measured at
+# sf1, SCALE_NOTES r13: 150k customer sources -> 1.5M -> 6.0M ->
+# 102M pairs by depth 3; the r11 probe COMPLETED the full member at
+# 170 s on a quiet block, so ~100-300M pairs is this 128 GiB host's
+# completable zone and the budget sits ABOVE it — the guard must
+# refuse only what would otherwise GC-spiral, never a query the host
+# finishes). Past 500M (~25-50 GB of checkpointed state) the query
+# dies with a message naming the fix. Tuned per deployment — a
+# cluster scales it with executor count; the hop cap stays mandatory.
+_SHORTEST_STATE_MAX = 500_000_000
 
 
 def _shortest_pairs(
