@@ -263,6 +263,39 @@ def _an_captured():
     ]
 
 
+# CONTINGENCY consolidation candidate #2 (prepared r13, for the r14/
+# r15 window math): the ANN family is SIX registered single rows with
+# ONE shared output schema (query_id, vec_id, cos, rank) — the
+# highest-yield fold in the registry (6 -> 1, net -5) if a future
+# window budget breaks (after r14 registers both staged candidates the
+# r15 tail is 49, leaving one slack slot). Lazy-capture like
+# _AN_MEMBERS: the live registry is untouched until a round's plan
+# registers it. ann_ivfpq_topk joins this list when it registers.
+
+_ANN_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    (probe, dict(n1="query_id", n2="vec_id", x1="cos", n3="rank"))
+    for probe in (
+        "ann_brute_topk", "ann_ivf_topk", "ann_ivf_persisted",
+        "ann_ivf_lifecycle", "ann_sq8_topk", "ann_pq_topk",
+    )
+]
+
+
+def _ann_captured():
+    return [
+        (probe, QUERIES[probe].fn, QUERIES[probe].oracle, m)
+        for probe, m in _ANN_MEMBERS
+    ]
+
+
+def ann_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_fn(_ann_captured())(spark, sf_dir)
+
+
+def ann_suite_candidate_oracle() -> str:
+    return _candidate_oracle(_ann_captured())
+
+
 def an_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         fn(spark, sf_dir).selectExpr(*_proj(probe, m))
