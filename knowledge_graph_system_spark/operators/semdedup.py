@@ -317,16 +317,29 @@ def _km_dists(k: int) -> str:
 MEAN_ROUND_DP = 12
 
 
-def kmeans_assign(
+# the O(k·D) distance array is projected ONCE per row (__dists), then
+# argmin'd over the projected attribute — never embedded twice in one
+# expression (ADVICE r12; CollapseProject keeps the boundary because
+# the producing transform is non-cheap and referenced twice;
+# tests/test_semdedup.py pins one transform in the plan)
+_KM_ARGMIN = "array_position(__dists, array_min(__dists))"
+
+
+def _with_dists(df: DataFrame, cb: list[list[float]]) -> DataFrame:
+    return df.join(
+        F.broadcast(_km_frame(df.sparkSession, cb))
+    ).withColumn("__dists", F.expr(_km_dists(len(cb))))
+
+
+def kmeans_codebook(
     vectors: DataFrame, k: int, iters: int = _KM_ITERS, dim: int | None = None
-) -> DataFrame:
-    """(vec_id, clabel, ccos): full-vector deterministic Lloyd
-    assignment — clabel = 1-based nearest-centroid index after `iters`
-    sweeps, ccos = 6-dp cosine to the assigned centroid (what the
-    keeper election orders on). BOUNDED COLLECTS: k seed rows once,
-    then k·D mean rows per sweep. Pass `dim` when the caller knows the
-    vector width (every corpus caller does) — otherwise one first()
-    job probes it."""
+) -> list[list[float]]:
+    """The deterministic Lloyd training: Forgy init from the k smallest
+    vec_ids, `iters` assignment/mean sweeps, 12-dp-rounded recomputed
+    means, empty clusters carrying forward. BOUNDED COLLECTS: k seed
+    rows once, then k·D mean rows per sweep (the FAISS posture — the
+    trained codebook itself must be driver-sized, which is also why
+    production trains on a SAMPLE: operators/kmeans_scale.py)."""
     if dim is None:
         dim = len(vectors.select("v").first()["v"])
     seeds = sorted(
@@ -334,21 +347,9 @@ def kmeans_assign(
         key=lambda r: r["vec_id"],
     )
     cb = [list(r["v"]) for r in seeds]
-    # the O(k·D) distance array is projected ONCE per row (__dists),
-    # then argmin'd over the projected attribute — never embedded twice
-    # in one expression (ADVICE r12; CollapseProject keeps the boundary
-    # because the producing transform is non-cheap and referenced
-    # twice; tests/test_semdedup.py pins one transform in the plan)
-    argmin = "array_position(__dists, array_min(__dists))"
-
-    def _with_dists(df: DataFrame) -> DataFrame:
-        return df.join(
-            F.broadcast(_km_frame(vectors.sparkSession, cb))
-        ).withColumn("__dists", F.expr(_km_dists(k)))
-
     for _ in range(iters):
-        enc = _with_dists(vectors).select(
-            "vec_id", F.expr(argmin).alias("j")
+        enc = _with_dists(vectors, cb).select(
+            "vec_id", F.expr(_KM_ARGMIN).alias("j")
         )
         stats = (
             vectors.join(enc, "vec_id")
@@ -364,9 +365,22 @@ def kmeans_assign(
             [new.get((j + 1, d), cb[j][d]) for d in range(dim)]
             for j in range(k)
         ]
+    return cb
+
+
+def kmeans_assign(
+    vectors: DataFrame, k: int, iters: int = _KM_ITERS, dim: int | None = None
+) -> DataFrame:
+    """(vec_id, clabel, ccos): full-vector deterministic Lloyd
+    assignment — clabel = 1-based nearest-centroid index after `iters`
+    sweeps, ccos = 6-dp cosine to the assigned centroid (what the
+    keeper election orders on). Pass `dim` when the caller knows the
+    vector width (every corpus caller does) — otherwise one first()
+    job probes it."""
+    cb = kmeans_codebook(vectors, k, iters, dim)
     return (
-        _with_dists(vectors)
-        .withColumn("clabel", F.expr(argmin))
+        _with_dists(vectors, cb)
+        .withColumn("clabel", F.expr(_KM_ARGMIN))
         .withColumn("cv", F.expr("element_at(cb, CAST(clabel AS INT))"))
         .select(
             "vec_id",

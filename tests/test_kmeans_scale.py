@@ -1,0 +1,127 @@
+"""Sample-train + IVF-over-centroids assignment
+(operators/kmeans_scale.py): the k ∝ N scale contract the semdedup
+module documents, now executable — agreement floor vs the exact
+assignment, determinism, the end-to-end chain, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs(spark, sf):
+    from knowledge_graph_system_spark.functions.scale import fan_out
+    from knowledge_graph_system_spark.registry import Ctx
+
+    ctx = Ctx.get(spark, sf)
+    return fan_out(
+        ctx.tables["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+
+
+def test_ivf_assignment_agrees_with_exact(spark):
+    """The approximate assignment matches the exact O(N·k·D) argmin on
+    >= 90% of vectors at both gate SFs (measured 0.948 / 0.952 with
+    nprobe = 2 of ~sqrt(2k) coarse cells) and is deterministic across
+    runs; every vector is assigned exactly once."""
+    from knowledge_graph_system_spark.operators.kmeans_scale import (
+        kmeans_assign_ivf,
+    )
+    from knowledge_graph_system_spark.operators.semdedup import (
+        CLUSTER_TARGET,
+        kmeans_assign,
+        kmeans_codebook,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        vecs = _vecs(spark, sf)
+        n = vecs.count()
+        k = max(2, -(-n // CLUSTER_TARGET))
+        cb = kmeans_codebook(vecs, k)
+        exact = {r["vec_id"]: r["clabel"] for r in kmeans_assign(vecs, k).collect()}
+        ivf = {
+            r["vec_id"]: r["clabel"]
+            for r in kmeans_assign_ivf(vecs, cb).collect()
+        }
+        assert set(ivf) == set(exact)
+        agree = sum(1 for v in exact if ivf[v] == exact[v]) / len(exact)
+        assert agree >= 0.9, agree
+        rerun = {
+            r["vec_id"]: r["clabel"]
+            for r in kmeans_assign_ivf(vecs, cb).collect()
+        }
+        assert rerun == ivf
+
+
+def test_semdedup_groups_scale_end_to_end(spark):
+    """The production chain composes: same output schema as
+    semdedup_groups, every duplicate group lives inside ONE cluster
+    (the within-cluster contract survives the approximate assignment),
+    and exactly one keeper per group."""
+    from knowledge_graph_system_spark.operators.kmeans_scale import (
+        semdedup_groups_scale,
+    )
+
+    out = semdedup_groups_scale(_vecs(spark, SF))
+    assert out.columns == ["vec_id", "clabel", "group_id", "keeper"]
+    rows = out.collect()
+    assert rows
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r["group_id"], []).append(r)
+    for members in groups.values():
+        assert len({m["clabel"] for m in members}) == 1
+        assert sum(1 for m in members if m["keeper"]) == 1
+
+
+def test_training_sample_deterministic_and_bounded(spark):
+    """The md5-bucket sample is a pure function of the table: two
+    draws are identical; the size lands near the budget; an
+    under-budget corpus passes through whole."""
+    from knowledge_graph_system_spark.operators.kmeans_scale import (
+        training_sample,
+    )
+
+    vecs = _vecs(spark, "/root/testdata/sf0.01")
+    n = vecs.count()
+    s1 = sorted(r["vec_id"] for r in training_sample(vecs, 200).collect())
+    s2 = sorted(r["vec_id"] for r in training_sample(vecs, 200).collect())
+    assert s1 == s2
+    assert 0 < len(s1) <= 320  # ~200 requested of 500; md5 spread slack
+    assert training_sample(vecs, n + 1).count() == n  # pass-through
+
+
+def test_scale_chain_refuses_degenerate_budget(spark):
+    """k > train_max_rows cannot seed a Forgy init — the chain refuses
+    loudly (the guard posture) instead of training garbage."""
+    from knowledge_graph_system_spark.operators.kmeans_scale import (
+        semdedup_groups_scale,
+    )
+
+    with pytest.raises(ValueError, match="training "):
+        semdedup_groups_scale(_vecs(spark, SF), train_max_rows=3)
+
+
+def test_ivf_assignment_plan_shape(spark):
+    """No Python eval, no cartesian: the coarse scoring is a row-local
+    projection off a broadcast one-row frame, the candidate join is an
+    equi-join on the bounded cell key, the argmin a per-vector
+    window."""
+    from knowledge_graph_system_spark.operators.kmeans_scale import (
+        kmeans_assign_ivf,
+    )
+    from knowledge_graph_system_spark.operators.semdedup import (
+        kmeans_codebook,
+    )
+
+    vecs = _vecs(spark, SF)
+    df = kmeans_assign_ivf(vecs, kmeans_codebook(vecs, 10))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ccell" in plan  # the cell equi-join key survived planning
