@@ -211,3 +211,21 @@ def semdedup_groups_scale(
     sample = training_sample(vectors, train_max_rows, n_rows=n)
     cb = kmeans_codebook(sample, k)
     return semdedup_groups(vectors, assign=kmeans_assign_ivf(vectors, cb, nprobe=nprobe))
+
+
+def d_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe entry (library surface, deliberately unregistered — the
+    IVF assignment is recall < 1 by design, so the graded rows stay
+    the exact twins): the full production chain over the embeddings
+    table, decade-probed in SCALE_NOTES r13."""
+    from ..functions.scale import fan_out
+    from ..registry import Ctx
+
+    ctx = Ctx.get(spark, sf_dir)
+    vecs = fan_out(
+        ctx.tables["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+    return semdedup_groups_scale(vecs)
