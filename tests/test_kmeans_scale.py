@@ -92,7 +92,7 @@ def test_training_sample_deterministic_and_bounded(spark):
     s1 = sorted(r["vec_id"] for r in training_sample(vecs, 200).collect())
     s2 = sorted(r["vec_id"] for r in training_sample(vecs, 200).collect())
     assert s1 == s2
-    assert 0 < len(s1) <= 320  # ~200 requested of 500; md5 spread slack
+    assert 0 < len(s1) <= 320  # ~200 requested of 500; md5 spread tolerance
     assert training_sample(vecs, n + 1).count() == n  # pass-through
 
 
