@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import Ctx
+from ..registry import Ctx, query
 from .semdedup import MEAN_ROUND_DP
 
 _SWEEPS = 12
@@ -203,7 +203,7 @@ FROM scored GROUP BY source
     return "".join(parts)
 
 
-# NOT registered in r13 (prepared r14 candidate — registration = a
-# query() line here + a registry import of this module + a
-# _RECORD_FIRST slot; probe through tools/probe_candidate.py first,
-# the standing gate).
+# Registered r14 (the pre-computed window's second new slot — the
+# registration also added `classifier` to load_all()'s import list;
+# probed at final code through tools/probe_candidate.py).
+query("t_quality_logreg", oracle=t_quality_logreg_oracle())(t_quality_logreg)

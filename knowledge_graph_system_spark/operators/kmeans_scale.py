@@ -81,7 +81,17 @@ def training_sample(
     if n_rows <= max_rows:
         return vectors
     keep = max(1, (max_rows * _BUCKETS) // n_rows)
-    return vectors.filter(hash_bucket(F.col("vec_id"), salt) < keep)
+    out = vectors.filter(hash_bucket(F.col("vec_id"), salt) < keep)
+    if keep == 1 and n_rows > max_rows * _BUCKETS:
+        # ~n_rows/_BUCKETS survivors still exceed the budget (the
+        # n_rows > max_rows·_BUCKETS regime — ADVICE r13): chain an
+        # independent draw on a salted key until the expectation fits.
+        # Each level divides by _BUCKETS, so the chain is
+        # O(log_BUCKETS(n/max_rows)) stacked filters — still one scan.
+        return training_sample(
+            out, max_rows, n_rows=n_rows // _BUCKETS, salt=salt + "+"
+        )
+    return out
 
 
 def coarse_cells(
@@ -143,7 +153,6 @@ def kmeans_assign_ivf(
     if n_coarse is None:
         n_coarse = max(2, int(round((nprobe * k) ** 0.5)))
     cells, coarse = coarse_cells(cb, n_coarse, iters)
-    n_coarse = len(coarse)
 
     # centroid FRAME keyed by coarse cell — at true scale this is the
     # distributed form (k ∝ N means the centroid set itself shards)
@@ -152,23 +161,37 @@ def kmeans_assign_ivf(
         "ccell int, clabel int, cv array<double>",
     )
 
+    # probe candidates = the NON-EMPTY cells only (ADVICE r13 medium):
+    # Lloyd carry-forward can leave a cell memberless with a stale
+    # coarse centroid; probing it yields zero candidates after the
+    # cent join, and a vector whose nprobe probes were ALL such cells
+    # would silently drop — violating the exactly-once assignment
+    # contract. Restricting the probe list to occupied cells makes
+    # every probe productive, so output count == input count by
+    # construction. When no cell is empty (the common case) the list
+    # is identical to before, byte-for-byte.
+    occupied = sorted(set(cells))
+    n_occ = len(occupied)
+
     # per-row coarse scoring off a broadcast one-row frame; the
     # distance array is projected once (__cdists) then argsorted by
     # slice of array_position over array_sort — nprobe smallest cells
     coarse_frame = spark.createDataFrame(
-        [(coarse,)], "cc array<array<double>>"
+        [([coarse[c - 1] for c in occupied], [int(c) for c in occupied])],
+        "cc array<array<double>>, oc array<int>",
     )
     cdists = (
-        f"transform(sequence(1, {n_coarse}), g -> round(aggregate("
+        f"transform(sequence(1, {n_occ}), g -> round(aggregate("
         "zip_with(v, element_at(cc, g), (x, c) -> (x - c) * (x - c)),"
         " 0D, (acc, x) -> acc + x), 6))"
     )
-    # nprobe nearest cells: sort (dist, cell-index) structs so ties
-    # break on the smallest cell index, deterministically
+    # nprobe nearest cells: sort (dist, position) structs so ties
+    # break on the smallest cell id (occupied is sorted ascending),
+    # deterministically; positions map back through oc
     probe_expr = (
         "transform(slice(array_sort(zip_with(__cdists,"
-        f" sequence(1, {n_coarse}), (dd, g) -> struct(dd as dd, g as g))),"
-        f" 1, {min(nprobe, n_coarse)}), s -> s.g)"
+        f" sequence(1, {n_occ}), (dd, g) -> struct(dd as dd, g as g))),"
+        f" 1, {min(nprobe, n_occ)}), s -> element_at(oc, s.g))"
     )
     probed = (
         vectors.join(F.broadcast(coarse_frame))

