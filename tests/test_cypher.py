@@ -1022,3 +1022,100 @@ def test_edge_props_unknown_key_rejected(spark, cctx):
         compile_cypher(
             cctx, "MATCH (a)-[:PLACED {weight: 3}]->(b) RETURN count(*) AS n"
         )
+
+
+# ---- the staged r15 bidirectional shortestPath twin (r14; VERDICT
+# r13 next #7 — the formulation that bounds state by the cheaper
+# direction's reach instead of |sources| x reach(hi))
+
+
+def _bidir_frames(cctx, rel, a_label, b_label):
+    edf = (
+        cctx.edges.filter(F.col("rel_type") == rel)
+        .select(F.col("src").alias("__from"), F.col("dst").alias("__to"))
+        .distinct()
+    )
+    a_ids = (
+        cctx.nodes.filter(F.col("label") == a_label)
+        .select(F.col("node_id").alias("__src"))
+        .distinct()
+    )
+    b = cctx.nodes
+    if b_label is not None:
+        b = b.filter(F.col("label") == b_label)
+    b_ids = b.select(F.col("node_id").alias("__tgt")).distinct()
+    return edf, a_ids, b_ids
+
+
+@pytest.mark.parametrize("b_label,lo,hi", [
+    ("Order", 1, 3),     # selective targets — the band split pays
+    ("Order", 0, 2),     # identity level included
+    (None, 1, 2),        # UNSELECTIVE targets — degrades to forward
+])
+def test_shortest_bidir_matches_forward_formulation(cctx, b_label, lo, hi):
+    """Equivalence on the real fixture: the bidirectional twin must
+    produce exactly the forward formulation's pairs restricted to the
+    target set, with identical minimal lengths."""
+    from knowledge_graph_system_spark.plans.cypher import (
+        _shortest_pairs,
+        _shortest_pairs_bidir,
+    )
+
+    edf, a_ids, b_ids = _bidir_frames(cctx, "PLACED", "Customer", b_label)
+    fwd = _shortest_pairs(cctx, edf, a_ids, lo, hi)
+    want = {
+        (r["__src"], r["__node"]): r["__plen"]
+        for r in fwd.join(
+            b_ids.withColumnRenamed("__tgt", "__node"), "__node"
+        ).collect()
+    }
+    got = {
+        (r["__src"], r["__node"]): r["__plen"]
+        for r in _shortest_pairs_bidir(cctx, edf, a_ids, b_ids, lo, hi).collect()
+    }
+    assert got == want and (len(got) > 0 or b_label == "Part")
+
+
+def test_shortest_bidir_random_graphs(spark, cctx):
+    """Property test over seeded random digraphs: bidir == hand BFS
+    restricted to targets, across density/bound settings (the
+    graphalgo threshold-invariance test model)."""
+    import random
+
+    from knowledge_graph_system_spark.plans.cypher import _shortest_pairs_bidir
+
+    for seed, n, m, hi in ((1, 20, 40, 4), (2, 30, 90, 3), (3, 25, 50, 6)):
+        rng = random.Random(seed)
+        edges = list({
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+            for _ in range(m)
+        })
+        edges = [(s, d) for s, d in edges if s != d]
+        srcs = sorted({s for s, _ in edges})[: n // 3]
+        tgts = sorted({d for _, d in edges})[-(n // 3):]
+        edf = spark.createDataFrame(edges, "__from string, __to string")
+        a_ids = spark.createDataFrame([(s,) for s in srcs], "__src string")
+        b_ids = spark.createDataFrame([(t,) for t in tgts], "__tgt string")
+        want = {
+            (s, t): d
+            for (s, t), d in _hand_bfs(edges, srcs, hi).items()
+            if t in set(tgts)
+        }
+        got = {
+            (r["__src"], r["__node"]): r["__plen"]
+            for r in _shortest_pairs_bidir(
+                Ctx.get(spark, SF_DIR), edf, a_ids, b_ids, 1, hi
+            ).collect()
+        }
+        assert got == want, (seed, len(got), len(want))
+
+
+def test_shortest_bidir_state_guard_trips(cctx, monkeypatch):
+    """The shared state bound meters the SUM of both waves' visited
+    state and refuses deterministically past it."""
+    from knowledge_graph_system_spark.plans import cypher as cy
+
+    edf, a_ids, b_ids = _bidir_frames(cctx, "PLACED", "Customer", "Order")
+    monkeypatch.setattr(cy, "_SHORTEST_STATE_MAX", 10)
+    with pytest.raises(GuardError, match="visited-state exceeded"):
+        cy._shortest_pairs_bidir(cctx, edf, a_ids, b_ids, 1, 4).collect()
