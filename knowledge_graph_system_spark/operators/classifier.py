@@ -51,6 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import Ctx, query
 from .semdedup import MEAN_ROUND_DP
@@ -165,10 +166,14 @@ def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def t_quality_logreg_oracle(sweeps: int = _SWEEPS, lr: float = _LR) -> str:
-    """DuckDB twin, GD training INCLUDED as generated per-sweep CTE
-    blocks: identical features, teacher cut, sigmoid, mean gradient,
-    and 12-dp weight rounding, then the same per-source rollup."""
+def _train_score_ctes(sweeps: int = _SWEEPS, lr: float = _LR) -> str:
+    """The byte-shared oracle prefix `WITH d .. scored` — GD training
+    replayed as generated per-sweep CTE blocks: identical features,
+    teacher cut, sigmoid, mean gradient, and 12-dp weight rounding,
+    ending in the per-doc `scored(doc_id, source, p, pred, y)` CTE.
+    Shared by t_quality_logreg_oracle and cur_budget_filter_oracle
+    (the greedy_pack_sql / _pq_train_ctes co-consumer discipline: one
+    prefix, two consumers — an edit here re-windows both rows)."""
     p = "1.0 / (1.0 + exp(-list_dot_product(x, w)))"
     parts = [f"""
 WITH d AS MATERIALIZED (
@@ -192,18 +197,163 @@ w{t} AS (
 scored AS (
   SELECT doc_id, source, round({p}, 6) AS p, ({p} >= 0.5) AS pred, y
   FROM d CROSS JOIN w{sweeps}
-)
+)""")
+    return "".join(parts)
+
+
+def t_quality_logreg_oracle(sweeps: int = _SWEEPS, lr: float = _LR) -> str:
+    """DuckDB twin: the shared training prefix + the per-source
+    rollup."""
+    return _train_score_ctes(sweeps, lr) + """
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
        CAST(sum(CAST(pred AS BIGINT)) AS BIGINT) AS n_pred_pos,
        CAST(sum(CAST(pred = y AS BIGINT)) AS BIGINT) AS n_correct,
        round(avg(p), 6) AS mean_p
 FROM scored GROUP BY source
-""")
-    return "".join(parts)
+"""
 
 
 # Registered r14 (the pre-computed window's second new slot — the
 # registration also added `classifier` to load_all()'s import list;
 # probed at final code through tools/probe_candidate.py).
 query("t_quality_logreg", oracle=t_quality_logreg_oracle())(t_quality_logreg)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-calibrated selection (prepared r15 registry candidate —
+# VERDICT r13 next #8): the DCLM / FineWeb-Edu selection step. A
+# trained quality classifier scores every document, and the corpus
+# keeps the HIGHEST-scoring documents until a target token budget is
+# filled — "give me the best 40% of my tokens", not "the best 40% of
+# my documents" (long mediocre docs must not crowd out short good
+# ones, so the cut is calibrated on token mass, not row count).
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRAC = 0.4  # target budget: fraction of corpus whitespace tokens
+
+
+def token_budget_filter(
+    scored: DataFrame,
+    bframe: DataFrame,
+    token_col: str = "n_tokens",
+    score_col: str = "p",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Keep the highest-`score_col` rows of `scored` until their
+    cumulative `token_col` fills the budget `b` carried by the one-row
+    frame `bframe(b bigint)` — rows of `scored` back, the kept set a
+    pure function of the data (score desc, tie-break `key` asc inside
+    the boundary score).
+
+    Scale shape — two passes, NO corpus-wide sort or window:
+    1. token mass per DISTINCT score (one hash aggregate). Scores are
+       6-dp-rounded probabilities in [0, 1], so this frame is bounded
+       at 1,000,001 rows BY CONSTRUCTION regardless of corpus size —
+       the single-partition cumulative window over it is a bounded
+       driver-sized step, not a corpus-wide sort (same bounded-frame
+       budget as the kmeans/PQ collects).
+    2. scores whose inclusive cumulative mass fits the budget join
+       back broadcast (full buckets keep every row); the ONE boundary
+       score's bucket is split by a per-bucket running sum ordered by
+       `key` — a window partitioned by that single score value, sized
+       by the boundary bucket's row count. Worst case (every document
+       scoring identically) degrades to one partition; a corpus that
+       degenerate should cut per-stratum with `quantile_filter`
+       instead.
+
+    At 100 TB the mass aggregate is the only corpus-wide exchange; the
+    budget and bucket boundaries ride one-row/bounded broadcast frames
+    (never the expression tree — the r12 codegen lesson)."""
+    s, t = F.col(score_col), F.col(token_col)
+    mass = scored.groupBy(score_col).agg(F.sum(t).cast("bigint").alias("__mass"))
+    wd = Window.orderBy(s.desc())
+    cum = (
+        mass.withColumn("__cum", F.sum("__mass").over(wd))
+        .withColumn("__before", F.col("__cum") - F.col("__mass"))
+        .join(F.broadcast(bframe))
+    )
+    full = cum.filter(F.col("__cum") <= F.col("b")).select(score_col)
+    boundary = cum.filter(
+        (F.col("__before") <= F.col("b")) & (F.col("__cum") > F.col("b"))
+    ).select(score_col, "__before", "b")
+    kept_full = scored.join(F.broadcast(full), score_col)
+    wb = Window.partitionBy(score_col).orderBy(F.col(key).asc())
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), score_col)
+        .withColumn("__dcum", F.sum(t).over(wb))
+        .filter(F.col("__before") + F.col("__dcum") <= F.col("b"))
+    )
+    # equi-joins move the join key first; hand back the caller's order
+    return kept_full.select(*scored.columns).unionByName(
+        kept_boundary.select(*scored.columns)
+    )
+
+
+def cur_budget_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 candidate: classifier scores -> token-budget-calibrated cut
+    keeping the best `_BUDGET_FRAC` of corpus tokens, rolled up per
+    source (source, n_kept, kept_tokens, mean_p, min_p) — min_p is the
+    effective score threshold the budget calibrated to."""
+    ctx = Ctx.get(spark, sf_dir)
+    docs = ctx.tables["documents"]
+    data = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(_X_EXPR).alias("x"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("y", F.expr(_Y_EXPR))
+        .localCheckpoint(eager=True)
+    )
+    w = logreg_train(data)
+    scored = (
+        logreg_score(data, w)
+        .join(data.select("doc_id", "source", "n_tokens"), "doc_id")
+        .select("doc_id", "source", "p", "n_tokens")
+    )
+    bframe = data.agg(
+        F.floor(F.lit(_BUDGET_FRAC) * F.sum("n_tokens")).cast("bigint").alias("b")
+    )
+    kept = token_budget_filter(scored, bframe)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        F.round(F.avg("p"), 6).alias("mean_p"),
+        F.min("p").alias("min_p"),
+    )
+
+
+def cur_budget_filter_oracle(sweeps: int = _SWEEPS, lr: float = _LR) -> str:
+    """DuckDB twin: the byte-shared training prefix + per-doc tokens +
+    the same two-pass budget cut (per-score mass -> cumulative ->
+    full buckets + boundary-bucket running-sum split) + the per-source
+    rollup."""
+    return _train_score_ctes(sweeps, lr) + f""",
+sd AS (
+  SELECT s.doc_id, s.source, s.p,
+         CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tokens
+  FROM scored s JOIN documents doc USING (doc_id)
+),
+tot AS (SELECT CAST(floor({_BUDGET_FRAC} * sum(n_tokens)) AS BIGINT) AS b FROM sd),
+mass AS (SELECT p, CAST(sum(n_tokens) AS BIGINT) AS m FROM sd GROUP BY p),
+cum AS (SELECT p, m, CAST(sum(m) OVER (ORDER BY p DESC) AS BIGINT) AS c FROM mass),
+kept AS (
+  SELECT sd.doc_id, sd.source, sd.p, sd.n_tokens
+  FROM sd JOIN cum USING (p) CROSS JOIN tot WHERE cum.c <= tot.b
+  UNION ALL
+  SELECT doc_id, source, p, n_tokens FROM (
+    SELECT sd.doc_id, sd.source, sd.p, sd.n_tokens,
+           cum.c - cum.m AS bef, tot.b AS b,
+           CAST(sum(sd.n_tokens) OVER (
+             PARTITION BY sd.p ORDER BY sd.doc_id) AS BIGINT) AS dc
+    FROM sd JOIN cum USING (p) CROSS JOIN tot
+    WHERE cum.c - cum.m <= tot.b AND cum.c > tot.b
+  ) WHERE bef + dc <= b
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+       round(avg(p), 6) AS mean_p, min(p) AS min_p
+FROM kept GROUP BY source
+"""

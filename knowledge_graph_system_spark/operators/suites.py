@@ -263,20 +263,23 @@ def _an_captured():
     ]
 
 
-# CONTINGENCY consolidation candidate #2 (prepared r13, for the r14/
-# r15 window math): the ANN family is SIX registered single rows with
-# ONE shared output schema (query_id, vec_id, cos, rank) — the
-# highest-yield fold in the registry (6 -> 1, net -5) if a future
-# window budget breaks (after r14 registers both staged candidates the
-# r15 tail is 49, leaving one slack slot). Lazy-capture like
-# _AN_MEMBERS: the live registry is untouched until a round's plan
-# registers it. ann_ivfpq_topk joins this list when it registers.
+# CONTINGENCY consolidation candidate #2 (prepared r13, extended r14
+# for the r15 window math): the ANN family is SEVEN registered single
+# rows with ONE shared output schema (query_id, vec_id, cos, rank) —
+# the highest-yield fold in the registry (7 -> 1, net -6), the
+# designated escape valve for the r15 one-slack window (the r15 plan
+# in registry.py). ann_ivfpq_topk joined when it registered (r14),
+# and the fold is probe-gated as a registrable row (bare-session
+# oracle MATCH at both gate SFs + HUGEINT lint + decade probe —
+# SCALE_NOTES r14). Lazy-capture like _AN_MEMBERS: the live registry
+# is untouched until a round's plan registers it.
 
 _ANN_MEMBERS: list[tuple[str, dict[str, str]]] = [
     (probe, dict(n1="query_id", n2="vec_id", x1="cos", n3="rank"))
     for probe in (
         "ann_brute_topk", "ann_ivf_topk", "ann_ivf_persisted",
         "ann_ivf_lifecycle", "ann_sq8_topk", "ann_pq_topk",
+        "ann_ivfpq_topk",
     )
 ]
 

@@ -176,8 +176,14 @@ class Ctx:
 # probe-gated this round (SCALE_NOTES r14); an_suite (net -1) remains
 # the small valve. If r15 registers the ann_suite fold (1 new row,
 # folds 7 tail rows away: tail 49 -> 42 + fold = 43 recorded), the
-# window gains 7 slots for the queued candidates (the token-budget
-# filter row staged this round is first in line).
+# window gains 7 slots for the queued candidates (cur_budget_filter,
+# the token-budget selection row staged + probe-gated this round, is
+# first in line). ALSO STAGED FOR r15: the one-line _compile_shortest
+# dispatch swap to _shortest_pairs_bidir (plans/cypher.py, VERDICT r13
+# next #7 closed) — p7_cypher_suite is in the r15 tail by
+# construction, so the executed-path change costs zero extra slots; it
+# just moves that row into the changed-first group and needs the
+# standard probe re-validation at final r15 code.
 _RECORD_FIRST = [
     # ---- new (r14): the two prepared candidates, queue drained
     "ann_ivfpq_topk",

@@ -213,3 +213,126 @@ def test_logreg_plan_is_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-calibrated selection (prepared r15 candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_r15_candidate_cur_budget_filter(spark):
+    """Driver-style compare at BOTH gate scale factors: classifier
+    training + the two-pass token-budget cut + per-source rollup,
+    hash-exact against the generated DuckDB twin."""
+    from knowledge_graph_system_spark.operators.classifier import (
+        cur_budget_filter,
+        cur_budget_filter_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, cur_budget_filter(spark, sf).collect()))
+        want = sorted(map(tuple, _oracle_rows(cur_budget_filter_oracle(), sf)))
+        assert len(got) > 0 and got == want
+
+
+def test_budget_filter_invariants(spark):
+    """The kept set (a) fits the budget, (b) is TIGHT (adding the
+    best excluded document would overflow it), and (c) is exactly the
+    greedy score-desc/doc_id-asc prefix of the corpus."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.classifier import (
+        _BUDGET_FRAC,
+        _X_EXPR,
+        _Y_EXPR,
+        logreg_score,
+        logreg_train,
+        token_budget_filter,
+    )
+    from knowledge_graph_system_spark.registry import Ctx
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = Ctx.get(spark, sf).tables["documents"]
+        data = (
+            docs.select(
+                "doc_id",
+                "source",
+                F.expr(_X_EXPR).alias("x"),
+                F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            )
+            .withColumn("y", F.expr(_Y_EXPR))
+            .localCheckpoint(eager=True)
+        )
+        w = logreg_train(data)
+        scored = (
+            logreg_score(data, w)
+            .join(data.select("doc_id", "n_tokens"), "doc_id")
+            .select("doc_id", "p", "n_tokens")
+        )
+        rows = sorted(
+            map(tuple, scored.collect()), key=lambda r: (-r[1], r[0])
+        )
+        total = sum(r[2] for r in rows)
+        budget = int(_BUDGET_FRAC * total)
+        bframe = spark.createDataFrame([(budget,)], "b bigint")
+        kept = sorted(
+            map(tuple, token_budget_filter(scored, bframe).collect()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        kept_tokens = sum(r[2] for r in kept)
+        assert kept_tokens <= budget
+        # greedy prefix: the kept set IS the longest prefix that fits
+        want, acc = [], 0
+        for r in rows:
+            if acc + r[2] > budget:
+                break
+            acc += r[2]
+            want.append(r)
+        assert kept == want
+        assert len(kept) < len(rows)  # the cut actually cuts
+
+
+def test_budget_filter_edges_and_determinism(spark):
+    """budget >= total keeps everything; a budget smaller than the
+    best document keeps nothing; a repartitioned input yields the
+    identical kept set (partitioning-invariance of the two-pass
+    formulation)."""
+    from knowledge_graph_system_spark.operators.classifier import (
+        token_budget_filter,
+    )
+
+    rows = [
+        # (doc_id, p, n_tokens) — three score buckets with ties
+        (1, 0.9, 10), (2, 0.9, 10), (3, 0.9, 10),
+        (4, 0.5, 7), (5, 0.5, 7),
+        (6, 0.1, 100),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, p double, n_tokens bigint")
+
+    def run(budget, df):
+        bf = spark.createDataFrame([(budget,)], "b bigint")
+        return sorted(r["doc_id"] for r in token_budget_filter(df, bf).collect())
+
+    assert run(144, scored) == [1, 2, 3, 4, 5, 6]  # budget == total
+    assert run(1_000_000, scored) == [1, 2, 3, 4, 5, 6]
+    assert run(9, scored) == []  # smaller than the best single doc
+    # boundary split inside the 0.9 bucket: doc_id-asc prefix
+    assert run(25, scored) == [1, 2]
+    # full 0.9 bucket + boundary split inside the 0.5 bucket:
+    # 36 leaves 6 spare (doc 4 needs 7 — excluded), 37 fits doc 4 exactly
+    assert run(36, scored) == [1, 2, 3]
+    assert run(37, scored) == [1, 2, 3, 4]
+    assert run(44, scored) == [1, 2, 3, 4, 5]
+    assert run(37, scored.repartition(7)) == [1, 2, 3, 4]
+
+
+def test_budget_filter_plan_is_jvm_side(spark):
+    """The full candidate stays JVM-side: no Python evaluation in the
+    executed plan (broadcast one-row frames carry weights + budget)."""
+    from knowledge_graph_system_spark.operators.classifier import (
+        cur_budget_filter,
+    )
+
+    df = cur_budget_filter(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -185,10 +185,10 @@ def test_r11_consolidation_candidates(spark, cand):
 
 def test_r13_contingency_ann_suite(spark):
     """Driver-style compare for the prepared ANN-family consolidation
-    (6 -> 1, the highest-yield fold — registered only if a future
-    round's window budget breaks): all six members folded into the
-    9-slot suite shape through their one shared (query_id, vec_id,
-    cos, rank) schema, hash-exact at BOTH gate scale factors."""
+    (7 -> 1 since ann_ivfpq_topk registered in r14; the highest-yield
+    fold, the designated r15 escape valve): all seven members folded
+    into the 9-slot suite shape through their one shared (query_id,
+    vec_id, cos, rank) schema, hash-exact at BOTH gate scale factors."""
     from knowledge_graph_system_spark import registry
 
     registry.load_all()  # member registrations must precede the suites import
@@ -198,11 +198,11 @@ def test_r13_contingency_ann_suite(spark):
         ann_suite_candidate_oracle,
     )
     oracle = ann_suite_candidate_oracle()
-    assert oracle.count("AS probe") == len(_ANN_MEMBERS) == 6
+    assert oracle.count("AS probe") == len(_ANN_MEMBERS) == 7
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         got = sorted(map(tuple, ann_suite_candidate(spark, sf).collect()))
         con = _duck_all(sf)
         want = sorted(map(tuple, con.execute(oracle).fetchall()))
         con.close()
         assert len(got) > 0 and got == want
-        assert len({r[0] for r in got}) == 6  # every member non-empty
+        assert len({r[0] for r in got}) == 7  # every member non-empty

@@ -34,6 +34,12 @@ _TABLES = (
 
 
 def _resolve(spec: str):
+    # registrations first: candidate modules that capture registered
+    # members (operators/suites.py) need the registry populated before
+    # their top-level runs
+    from knowledge_graph_system_spark import registry
+
+    registry.load_all()
     mod, fn = spec.split(":")
     return getattr(importlib.import_module(mod), fn)
 
