@@ -179,16 +179,18 @@ class Ctx:
 # window gains 7 slots for the queued candidates (cur_budget_filter,
 # the token-budget selection row staged + probe-gated this round, is
 # first in line, cur_dsir_select second). ALSO STAGED FOR r15: the
-# shortestPath ADAPTIVE ESCALATION (plans/cypher.py, VERDICT r13 next
-# #7 closed) — forward wave with a ~20M-pair state_max that escalates
-# to _shortest_pairs_bidir on overflow. NOT the unconditional dispatch
-# swap: that was applied experimentally in r14, graded hash-exact, and
-# REGRESSED p7_cypher_suite 2.06x at sf0.1 (SCALE_NOTES r14 part 7) —
-# the bidir machinery is pure overhead when forward state stays small.
-# p7_cypher_suite is in the r15 tail by construction, so the
-# executed-path change costs zero extra slots; it just moves that row
-# into the changed-first group and needs the standard probe
-# re-validation at final r15 code.
+# shortestPath ADAPTIVE ESCALATION (VERDICT r13 next #7 closed) —
+# forward wave with a 150M-pair state_max escalating to
+# _shortest_pairs_bidir on overflow; built, graded (86/86 cypher
+# tests + sf0.01 hash-exact), and parked as
+# tools/patches/r15_adaptive_shortest.patch (r15 execution = git
+# apply + probe re-validation). NOT the unconditional dispatch swap:
+# that was graded hash-exact but regressed p7_cypher_suite ~1.3x
+# median at sf0.1 (SCALE_NOTES r14 parts 7/7b) — the bidir machinery
+# is pure overhead when forward state stays small. p7_cypher_suite is
+# in the r15 tail by construction, so the executed-path change costs
+# zero extra slots; it just moves that row into the changed-first
+# group.
 _RECORD_FIRST = [
     # ---- new (r14): the two prepared candidates, queue drained
     "ann_ivfpq_topk",
