@@ -231,6 +231,7 @@ query("t_quality_logreg", oracle=t_quality_logreg_oracle())(t_quality_logreg)
 # ---------------------------------------------------------------------------
 
 _BUDGET_FRAC = 0.4  # target budget: fraction of corpus whitespace tokens
+_SCORE_CARDINALITY_MAX = 2_000_000  # pass-1 distinct-score bound
 
 
 def token_budget_filter(
@@ -264,9 +265,33 @@ def token_budget_filter(
 
     At 100 TB the mass aggregate is the only corpus-wide exchange; the
     budget and bucket boundaries ride one-row/bounded broadcast frames
-    (never the expression tree — the r12 codegen lesson)."""
+    (never the expression tree — the r12 codegen lesson).
+
+    CARDINALITY CONTRACT, enforced loudly: the pass-1 frame has one
+    row per DISTINCT score, and both the cumulative window and the
+    full-bucket broadcast assume it is small. 6-dp probabilities bound
+    it at 1,000,001 by construction; an UNBOUNDED score (e.g. a log
+    weight) can make it corpus-sized, which is the r10 unguarded-
+    broadcast defect class — so past `_SCORE_CARDINALITY_MAX` distinct
+    scores the call refuses with the fix named (quantize the score to
+    a fixed grid first; the boundary-split semantics are unchanged by
+    the grid). The count runs on the checkpointed mass frame the
+    window needs anyway."""
     s, t = F.col(score_col), F.col(token_col)
-    mass = scored.groupBy(score_col).agg(F.sum(t).cast("bigint").alias("__mass"))
+    mass = (
+        scored.groupBy(score_col)
+        .agg(F.sum(t).cast("bigint").alias("__mass"))
+        .localCheckpoint(eager=True)
+    )
+    n_scores = mass.count()
+    if n_scores > _SCORE_CARDINALITY_MAX:
+        raise ValueError(
+            f"token_budget_filter: {n_scores:,} distinct {score_col!r} values"
+            f" exceed the {_SCORE_CARDINALITY_MAX:,} pass-1 bound (the"
+            " cumulative window and full-bucket broadcast are sized for a"
+            " low-cardinality score) — quantize the score to a fixed grid"
+            " (e.g. round to 4-6 dp on a bounded range) before the cut"
+        )
     wd = Window.orderBy(s.desc())
     cum = (
         mass.withColumn("__cum", F.sum("__mass").over(wd))

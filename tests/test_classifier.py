@@ -336,3 +336,19 @@ def test_budget_filter_plan_is_jvm_side(spark):
     df = cur_budget_filter(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_budget_filter_refuses_high_cardinality_scores(spark, monkeypatch):
+    """The pass-1 cardinality contract refuses loudly (the r10
+    unguarded-broadcast class): more distinct scores than the bound ->
+    ValueError naming the quantize fix, BEFORE any window/broadcast."""
+    import pytest
+
+    from knowledge_graph_system_spark.operators import classifier as cl
+
+    rows = [(i, i / 1000.0, 1) for i in range(50)]
+    scored = spark.createDataFrame(rows, "doc_id long, p double, n_tokens bigint")
+    bf = spark.createDataFrame([(10,)], "b bigint")
+    monkeypatch.setattr(cl, "_SCORE_CARDINALITY_MAX", 10)
+    with pytest.raises(ValueError, match="quantize the score"):
+        cl.token_budget_filter(scored, bf)
