@@ -174,11 +174,20 @@ class Ctx:
 # the pre-validated ann_suite fold (operators/suites.py — the SEVEN
 # ANN rows share one schema; net -6) is the designated escape valve,
 # probe-gated this round (SCALE_NOTES r14); an_suite (net -1) remains
-# the small valve. If r15 registers the ann_suite fold (1 new row,
-# folds 7 tail rows away: tail 49 -> 42 + fold = 43 recorded), the
-# window gains 7 slots for the queued candidates (cur_budget_filter,
-# the token-budget selection row staged + probe-gated this round, is
-# first in line, cur_dsir_select second). ALSO STAGED FOR r15: the
+# the small valve. EXACT fold arithmetic (only TWO of the seven folded
+# rows sit in the r15 must-record tail — ann_pq_topk and
+# ann_ivf_persisted are r13-window rows; the other five carry fresh
+# r14 evidence and simply leave the registry): tail 49 -> 47, then
+# + ann_suite + cur_budget_filter + cur_dsir_select = EXACTLY 50 with
+# both queued selection rows registered (zero slack; the
+# adaptive-escalation change rides free because p7_cypher_suite is
+# already among the 47) — or 49 with cur_dsir_select deferred, one
+# slack slot. Registry after the full plan: 99 + 3 - 7 = 95; the r16
+# tail is then 45, five slack. cur_budget_filter (probe-gated, part 3)
+# is first in line, cur_dsir_select (probe-gated, part 6) second and
+# deferred-first if maintenance needs the room; registering
+# cur_dsir_select also adds `dsir` to load_all()'s import list (the
+# t_quality_logreg two-change precedent). ALSO STAGED FOR r15: the
 # shortestPath ADAPTIVE ESCALATION (VERDICT r13 next #7 closed) —
 # forward wave with a 150M-pair state_max escalating to
 # _shortest_pairs_bidir on overflow; built, graded (86/86 cypher
