@@ -183,7 +183,9 @@ class Ctx:
 # adaptive-escalation change rides free because p7_cypher_suite is
 # already among the 47) — or 49 with cur_dsir_select deferred, one
 # slack slot. Registry after the full plan: 99 + 3 - 7 = 95; the r16
-# tail is then 45, five slack. cur_budget_filter (probe-gated, part 3)
+# tail is then 45, five slack — first in the r16 queue:
+# cur_bloom_decontaminate (operators/bloom.py, probe-gated r14,
+# SCALE_NOTES part 11). cur_budget_filter (probe-gated, part 3)
 # is first in line, cur_dsir_select (probe-gated, part 6) second and
 # deferred-first if maintenance needs the room; registering
 # cur_dsir_select also adds `dsir` to load_all()'s import list (the
