@@ -62,19 +62,44 @@ def _pos_expr_spark(gram: str, j: int, m: str) -> str:
     return f"CAST(conv(substring(md5(concat('{j}:', {gram})), 1, 8), 16, 10) AS BIGINT) % {m}"
 
 
-def bloom_build(ev_grams: DataFrame, spark: SparkSession) -> DataFrame:
+# Distinct eval grams above this refuse loudly: the bitmap itself is
+# _BITS_PER_GRAM * n bits (1M grams -> 1.25 MB, broadcastable; 100M
+# grams -> 125 MB, not) — the same bound class as the exact path's
+# gram-string broadcast, at ~1/60 the bytes per gram.
+BLOOM_GRAMS_MAX = EVAL_GRAM_BROADCAST_MAX
+
+
+def bloom_build(
+    ev_grams: DataFrame, spark: SparkSession, distinct: bool = True
+) -> DataFrame:
     """One-row broadcastable frame (w array<bigint>, m bigint) — the
-    Bloom bitmap over the distinct grams of `ev_grams(gram)`.
+    Bloom bitmap over the distinct grams of `ev_grams(gram)`. Pass
+    distinct=False when the input is already gram-distinct (skips a
+    redundant exchange).
 
     m = max(64, _BITS_PER_GRAM * n_grams), so the filter self-sizes to
-    a constant ~0.9% FP rate at ANY eval-set size. The position
-    collect is bounded by k * n_grams rows of one bigint each — the
-    same driver budget the exact path's guard count already accepts,
-    at 8 bytes/row instead of a gram string."""
-    ev = ev_grams.select("gram").distinct().localCheckpoint(eager=True)
+    a constant ~0.9% FP rate at ANY eval-set size. The bitmap is
+    OR-reduced SERVER-SIDE (positions -> word index -> bit_or), so the
+    driver collect is bounded by ceil(m/64) word rows BY CONSTRUCTION
+    — never by the gram count; past `BLOOM_GRAMS_MAX` grams the call
+    refuses loudly (the bitmap itself would outgrow the broadcast
+    budget) instead of building it anyway (the r10 unguarded-collect
+    class)."""
+    ev = ev_grams.select("gram")
+    if distinct:
+        # checkpoint only when we computed the distinct here — the
+        # count guard and the position explode then share one pass
+        ev = ev.distinct().localCheckpoint(eager=True)
     n = ev.count()
+    if n > BLOOM_GRAMS_MAX:
+        raise ValueError(
+            f"bloom_build: {n:,} distinct eval grams exceed BLOOM_GRAMS_MAX"
+            f" = {BLOOM_GRAMS_MAX:,} — the {_BITS_PER_GRAM} bits/gram bitmap"
+            " would outgrow the broadcast budget; shard the eval set into"
+            " multiple filters or raise the bound deliberately"
+        )
     m = max(64, _BITS_PER_GRAM * n)
-    pos = (
+    word_rows = (
         ev.select(
             F.explode(
                 F.expr(
@@ -84,15 +109,17 @@ def bloom_build(ev_grams: DataFrame, spark: SparkSession) -> DataFrame:
                 )
             ).alias("p")
         )
-        .distinct()
+        .groupBy((F.col("p") / 64).cast("bigint").alias("i"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+            ).alias("wd")
+        )
         .collect()
     )
     words = [0] * ((m + 63) // 64)
-    for r in pos:
-        p = r["p"]
-        words[p // 64] |= 1 << (p % 64)
-    # Python ints are unbounded; Spark LongType is signed 64-bit
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in word_rows:
+        words[r["i"]] = r["wd"]
     return spark.createDataFrame([(words, m)], "w array<bigint>, m bigint")
 
 
@@ -125,11 +152,16 @@ def bloom_decontaminate(
     from ..functions.scale import fan_out
 
     spark = train.sparkSession
-    ev_grams = fan_out(eval_df).select(
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    # ONE distinct+checkpoint of the eval gram set, shared by the
+    # bitmap build and the exact-path join (review finding: the first
+    # cut paid the exchange twice)
+    ev_set = (
+        fan_out(eval_df)
+        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    bloom = bloom_build(ev_grams, spark)
-    ev_set = ev_grams.distinct().localCheckpoint(eager=True)
+    bloom = bloom_build(ev_set, spark, distinct=False)
     # NO train-side distinct: a (doc_id, gram) distinct is a full
     # corpus-sized exchange before any filtering (the documented
     # contamination_check anti-pattern) — both flags are per-gram pure

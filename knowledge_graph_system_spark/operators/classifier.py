@@ -318,8 +318,13 @@ def token_budget_filter(
 def cur_budget_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15 candidate: classifier scores -> token-budget-calibrated cut
     keeping the best `_BUDGET_FRAC` of corpus tokens, rolled up per
-    source (source, n_kept, kept_tokens, mean_p, min_p) — min_p is the
-    effective score threshold the budget calibrated to."""
+    source (source, n_kept, kept_tokens, sum_p6, min_p) — min_p is the
+    effective score threshold the budget calibrated to (an element
+    select, no arithmetic — tie-safe), and sum_p6 is the EXACT integer
+    sum of the 6-dp probabilities x 10^6 (round(avg(...)) on a graded
+    surface is the decimal-tie class the dsir.py prep hit — sum/count
+    landing exactly on a half flips between Spark's BigDecimal
+    rounding and DuckDB's multiply-then-round; review finding r14)."""
     ctx = Ctx.get(spark, sf_dir)
     docs = ctx.tables["documents"]
     data = (
@@ -345,7 +350,9 @@ def cur_budget_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),
         F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
-        F.round(F.avg("p"), 6).alias("mean_p"),
+        F.sum(F.round(F.col("p") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_p6"),
         F.min("p").alias("min_p"),
     )
 
@@ -379,6 +386,7 @@ kept AS (
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
-       round(avg(p), 6) AS mean_p, min(p) AS min_p
+       CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT) AS sum_p6,
+       min(p) AS min_p
 FROM kept GROUP BY source
 """

@@ -127,3 +127,19 @@ def test_bloom_build_is_deterministic_and_plan_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_build_refuses_oversized_eval_sets(spark, monkeypatch):
+    """The gram-count guard refuses loudly before building a bitmap
+    that would outgrow the broadcast budget (the r10 unguarded-collect
+    class — review finding r14)."""
+    import pytest
+
+    from knowledge_graph_system_spark.operators import bloom as bl
+
+    grams = spark.createDataFrame(
+        [(f"g{i}",) for i in range(50)], "gram string"
+    )
+    monkeypatch.setattr(bl, "BLOOM_GRAMS_MAX", 10)
+    with pytest.raises(ValueError, match="shard the eval set"):
+        bl.bloom_build(grams, spark)

@@ -135,3 +135,31 @@ def test_dsir_plan_is_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_target_matches_graded_teacher(spark):
+    """Drift trip-wire (review finding r14): dsir's _TARGET_EXPR is a
+    re-statement of the graded quality-heuristic teacher
+    (t_quality_score arithmetic == classifier._Y_EXPR). If either copy
+    of the formula changes without the other, this fails — the DSIR
+    weights would otherwise silently fit a stale teacher."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.classifier import (
+        _X_EXPR,
+        _Y_EXPR,
+    )
+    from knowledge_graph_system_spark.operators.dsir import _TARGET_EXPR
+    from knowledge_graph_system_spark.registry import Ctx
+
+    docs = Ctx.get(spark, SF).tables["documents"]
+    both = (
+        docs.withColumn("_ws", F.split("text", " "))
+        .withColumn("x", F.expr(_X_EXPR))
+        .select(
+            F.expr(_TARGET_EXPR).alias("dsir_t"),
+            F.expr(_Y_EXPR).alias("teacher_y"),
+        )
+    )
+    assert both.filter(F.col("dsir_t") != F.col("teacher_y")).count() == 0
+    assert both.filter(F.col("dsir_t")).count() > 0
