@@ -64,12 +64,21 @@ def main() -> None:
     spark = get_spark("kg-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in specs]
+    fns = {n: specs[n].fn for n in HEADLINE if n in specs}
+    if "ann_ivf_topk" not in fns:
+        # r15: the seven ANN rows folded into the registered ann_suite
+        # (operators/suites.py), so the registry no longer carries the
+        # single row — but the headline MEASUREMENT is unchanged: the
+        # same function, called directly (SCALE_NOTES r15 part 1).
+        from knowledge_graph_system_spark.operators.ann import ann_ivf_topk
+
+        fns["ann_ivf_topk"] = ann_ivf_topk
+    names = [n for n in HEADLINE if n in fns]
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
         # noop sink: full distributed computation, no py4j driver transfer
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     def cpu_probe() -> float:

@@ -390,3 +390,8 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        min(p) AS min_p
 FROM kept GROUP BY source
 """
+
+
+# Registered r15 (the pre-computed window's second new slot, behind
+# the ann_suite fold; probe-gated r14 — SCALE_NOTES r14 parts 3/9/13).
+query("cur_budget_filter", oracle=cur_budget_filter_oracle())(cur_budget_filter)

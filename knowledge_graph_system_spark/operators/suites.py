@@ -284,19 +284,17 @@ _ANN_MEMBERS: list[tuple[str, dict[str, str]]] = [
 ]
 
 
-def _ann_captured():
-    return [
-        (probe, QUERIES[probe].fn, QUERIES[probe].oracle, m)
-        for probe, m in _ANN_MEMBERS
-    ]
+# r15: the fold REGISTERED (the escape valve executed — r15 plan in
+# registry.py): one driver row carrying all seven members' exact
+# oracles; the member registrations fold away below, exactly the
+# m_decode_suite/r7 pattern. _make_suite captures fns/oracles BEFORE
+# the pop, and generates the byte-identical oracle string the r14
+# probe gate validated (same projection + UNION ALL generation).
+ann_suite = _make_suite("ann_suite", _ANN_MEMBERS)
 
-
-def ann_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _candidate_fn(_ann_captured())(spark, sf_dir)
-
-
-def ann_suite_candidate_oracle() -> str:
-    return _candidate_oracle(_ann_captured())
+CONSOLIDATED_R15 = [probe for probe, _m in _ANN_MEMBERS]
+for _n in CONSOLIDATED_R15:
+    QUERIES.pop(_n)
 
 
 def an_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:

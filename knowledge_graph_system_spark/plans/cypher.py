@@ -528,8 +528,18 @@ _SHORTEST_PAT = re.compile(
 _SHORTEST_STATE_MAX = 500_000_000
 
 
+class _StateOverflow(Exception):
+    """Internal escalation signal: the forward wave crossed the
+    adaptive threshold (`state_max`), not the hard guard."""
+
+
 def _shortest_pairs(
-    ctx: Ctx, edf: DataFrame, a_ids: DataFrame, lo: int, hi: int
+    ctx: Ctx,
+    edf: DataFrame,
+    a_ids: DataFrame,
+    lo: int,
+    hi: int,
+    state_max: int | None = None,
 ) -> DataFrame:
     """(__src, __node, __plen): minimal hop count from each source to
     every node reachable within `hi` hops — multi-source BFS with
@@ -575,6 +585,8 @@ def _shortest_pairs(
         if n_frontier == 0:
             break
         n_state += n_frontier
+        if state_max is not None and n_state > state_max:
+            raise _StateOverflow(n_state)
         if n_state > _SHORTEST_STATE_MAX:
             raise GuardError(
                 f"shortestPath() visited-state exceeded {_SHORTEST_STATE_MAX:,}"
@@ -587,6 +599,35 @@ def _shortest_pairs(
     if not levels:
         return seen.withColumn("__plen", F.lit(0)).filter(F.lit(False))
     return reduce(DataFrame.unionByName, levels)
+
+
+# Forward state past this many pairs escalates to the bidirectional
+# formulation. Sized to the MACHINE from measured completable zones
+# (the r13 guard lesson): ABOVE the full sf1 member's forward state
+# (108.1M cumulative, completes in 170.3 s on a quiet block — r11/r13
+# records), so every workload forward handles keeps the faster
+# forward plan, and BELOW the GC-death class the 500M hard guard
+# exists for — anything bigger escalates to the state-bounded twin
+# instead of dying. The sunk forward cost at escalation is bounded by
+# this threshold.
+_BIDIR_SWITCH = 150_000_000
+
+
+def _shortest_pairs_adaptive(
+    ctx: Ctx, edf: DataFrame, a_ids: DataFrame, b_ids: DataFrame, lo: int, hi: int
+) -> DataFrame:
+    """Forward wave by default — byte-identical plan and cost for the
+    common selective query (the unconditional bidir dispatch measured
+    a 2.06x sf0.1 regression, SCALE_NOTES r14 part 7) — escalating to
+    `_shortest_pairs_bidir` when the metered forward state crosses
+    `_BIDIR_SWITCH`. The forward result spans ALL reached nodes while
+    the bidir result is restricted to the target set; both are
+    supersets of what `_compile_shortest`'s b-side join keeps, so the
+    dispatch is invisible downstream."""
+    try:
+        return _shortest_pairs(ctx, edf, a_ids, lo, hi, state_max=_BIDIR_SWITCH)
+    except _StateOverflow:
+        return _shortest_pairs_bidir(ctx, edf, a_ids, b_ids, lo, hi)
 
 
 def _shortest_pairs_bidir(
@@ -795,7 +836,12 @@ def _compile_shortest(
     edf = _oriented_edges(ctx, ep).select("__from", "__to").distinct()
     a_frame = _node_frame(ctx, a)
     a_ids = a_frame.select(F.col(f"{a.var}__node_id").alias("__src")).distinct()
-    pairs = _shortest_pairs(ctx, edf, a_ids, ep.lo, ep.hi)
+    b_ids = (
+        _node_frame(ctx, b)
+        .select(F.col(f"{b.var}__node_id").alias("__tgt"))
+        .distinct()
+    )
+    pairs = _shortest_pairs_adaptive(ctx, edf, a_ids, b_ids, ep.lo, ep.hi)
     df = (
         a_frame.join(pairs, a_frame[f"{a.var}__node_id"] == pairs["__src"])
         .drop("__src")

@@ -203,6 +203,72 @@ class Ctx:
 # zero extra slots; it just moves that row into the changed-first
 # group.
 _RECORD_FIRST = [
+    # ---- new (r15): the ann_suite fold (the consolidation executed)
+    # + the two probe-gated selection rows
+    "ann_suite",
+    "cur_budget_filter",
+    "cur_dsir_select",
+    # ---- changed (r15): the shortestPath adaptive escalation landed
+    # on this row's executed path (tools/patches/r15_adaptive_shortest
+    # .patch applied) — already among the 47 must-record tail rows, so
+    # it rides free; listed in the changed-first group per the rule
+    "p7_cypher_suite",
+    # ---- the 47-row r14 tail (the r13-window rows minus
+    # d_semdedup_kmeans, which re-entered r14, and minus the two
+    # folded ANN rows ann_pq_topk / ann_ivf_persisted), enumeration
+    # order — all carry r13 evidence that turns two rounds old in r15
+    "g_butterflies",
+    "smp_leakage_split",
+    "d_semdedup",
+    "so_suite",
+    "g1_bfs_out_depth3",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "a4_grounding",
+    "o1_ontology_edges",
+    "ep_status_measurement",
+    "smp_quantile_global",
+    "smp_epoch_order",
+    "smp_split_mix",
+    "d_exact_dedup",
+    "d_embedding_neardup",
+    "d_dup_groups",
+    "d_dedup_apply",
+    "d_embedding_groups",
+    "d_keeper_election",
+    "x2_skew_naive_join",
+    "x2_skew_salted_join",
+    "g1_bfs_both_depth2_conf",
+    "g2_shortest_path",
+    "g3_k_shortest_paths",
+    "g4_subgraph",
+    "a1_degree_top20",
+    "lc_related",
+    "lc_connect_by_search",
+    "t_ccnet_buckets",
+    "f5_projection",
+    "f7_centroids",
+    "r_bm25_topk",
+    "t_corpus_filter",
+    "md_blocks",
+    "p7_guarded_query",
+    "src_jsonl_quarantine",
+    "st_spandedup_stream",
+    "a_scores_suite",
+    "j_enrich_suite",
+    "v_search_suite",
+    "t_textstats_suite",
+    "p_filter_matrix",
+    "st_windows_suite",
+    "f_catalog_suite",
+    "st_stream_suite",
+    "cur_quality_suite",
+]
+
+# r14 window (history — the immediately-previous list, kept so the
+# "r14 ∪ r15 covers every registered row" union invariant stays
+# checkable in-repo; older lists live in SCALE_NOTES):
+_RECORD_FIRST_R14 = [
     # ---- new (r14): the two prepared candidates, queue drained
     "ann_ivfpq_topk",
     "t_quality_logreg",
@@ -339,6 +405,7 @@ def load_all() -> dict[str, QuerySpec]:
         components,
         curation,
         dedup,
+        dsir,
         filters,
         graphalgo,
         joins,

@@ -1119,3 +1119,29 @@ def test_shortest_bidir_state_guard_trips(cctx, monkeypatch):
     monkeypatch.setattr(cy, "_SHORTEST_STATE_MAX", 10)
     with pytest.raises(GuardError, match="visited-state exceeded"):
         cy._shortest_pairs_bidir(cctx, edf, a_ids, b_ids, 1, 4).collect()
+
+
+def test_shortest_adaptive_escalation_is_invisible(cctx, monkeypatch):
+    """The adaptive dispatcher returns the same (restricted) pair set
+    whether or not escalation fires: forced-low threshold (bidir path)
+    == forced-high threshold (pure forward path), both joined down to
+    the target set."""
+    from knowledge_graph_system_spark.plans import cypher as cy
+
+    edf, a_ids, b_ids = _bidir_frames(cctx, "PLACED", "Customer", "Order")
+    tgt = {r["__tgt"] for r in b_ids.collect()}
+
+    def run():
+        return {
+            (r["__src"], r["__node"]): r["__plen"]
+            for r in cy._shortest_pairs_adaptive(
+                cctx, edf, a_ids, b_ids, 1, 3
+            ).collect()
+            if r["__node"] in tgt
+        }
+
+    monkeypatch.setattr(cy, "_BIDIR_SWITCH", 10)  # always escalates
+    escalated = run()
+    monkeypatch.setattr(cy, "_BIDIR_SWITCH", 10**12)  # never escalates
+    forward = run()
+    assert escalated == forward and len(forward) > 0

@@ -183,26 +183,29 @@ def test_r11_consolidation_candidates(spark, cand):
         assert len({r[0] for r in got}) == n_members  # every probe non-empty
 
 
-def test_r13_contingency_ann_suite(spark):
-    """Driver-style compare for the prepared ANN-family consolidation
-    (7 -> 1 since ann_ivfpq_topk registered in r14; the highest-yield
-    fold, the designated r15 escape valve): all seven members folded
-    into the 9-slot suite shape through their one shared (query_id,
-    vec_id, cos, rank) schema, hash-exact at BOTH gate scale factors."""
+def test_ann_suite_registered(spark):
+    """Driver-style compare for the REGISTERED ann_suite (the r15
+    consolidation, executed — 7 -> 1, the highest-yield fold): all
+    seven ANN members folded into the 9-slot suite shape through
+    their one shared (query_id, vec_id, cos, rank) schema, each
+    member's exact formerly-registered oracle embedded as a subquery,
+    hash-exact at BOTH gate scale factors, every member non-empty,
+    and no member individually registered anymore."""
     from knowledge_graph_system_spark import registry
 
-    registry.load_all()  # member registrations must precede the suites import
+    specs = registry.load_all()
     from knowledge_graph_system_spark.operators.suites import (
         _ANN_MEMBERS,
-        ann_suite_candidate,
-        ann_suite_candidate_oracle,
+        CONSOLIDATED_R15,
     )
-    oracle = ann_suite_candidate_oracle()
-    assert oracle.count("AS probe") == len(_ANN_MEMBERS) == 7
+
+    assert not (set(CONSOLIDATED_R15) & set(specs))
+    spec = specs["ann_suite"]
+    assert spec.oracle.count("AS probe") == len(_ANN_MEMBERS) == 7
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        got = sorted(map(tuple, ann_suite_candidate(spark, sf).collect()))
+        got = sorted(map(tuple, spec.fn(spark, sf).collect()))
         con = _duck_all(sf)
-        want = sorted(map(tuple, con.execute(oracle).fetchall()))
+        want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
         con.close()
         assert len(got) > 0 and got == want
         assert len({r[0] for r in got}) == 7  # every member non-empty
