@@ -144,11 +144,15 @@ def bloom_decontaminate(
     n: int = _N,
     text_col: str = "text",
     id_col: str = "doc_id",
+    source_col: str = "source",
 ) -> DataFrame:
     """(doc_id, source, n_grams, bloom_hits, exact_hits) per training
     doc: distinct n-grams, how many are bloom-flagged, and how many
     are exactly contaminated (bloom_hits >= exact_hits always — a
-    Bloom filter has no false negatives)."""
+    Bloom filter has no false negatives). `source_col` names the
+    train-side grouping column carried through the rollup (ADVICE r14:
+    it was hardcoded, breaking the otherwise-generic helper on frames
+    without a `source` column); the output alias stays `source`."""
     from ..functions.scale import fan_out
 
     spark = train.sparkSession
@@ -169,7 +173,7 @@ def bloom_decontaminate(
     # free and the rollup below is the ONLY train-side exchange
     tr = fan_out(train).select(
         F.col(id_col).alias("doc_id"),
-        "source",
+        F.col(source_col).alias("source"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
     flagged = (

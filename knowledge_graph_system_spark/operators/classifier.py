@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scale import maybe_broadcast
 from ..registry import Ctx, query
 from .semdedup import MEAN_ROUND_DP
 
@@ -231,7 +232,13 @@ query("t_quality_logreg", oracle=t_quality_logreg_oracle())(t_quality_logreg)
 # ---------------------------------------------------------------------------
 
 _BUDGET_FRAC = 0.4  # target budget: fraction of corpus whitespace tokens
-_SCORE_CARDINALITY_MAX = 2_000_000  # pass-1 distinct-score bound
+# Pass-1 distinct-score bound == the documented 6-dp-probability
+# cardinality (1,000,001 values in [0, 1]) — ADVICE r14 aligned this
+# with the docstring's bound; it had drifted to a 2M slack value. The
+# broadcast hint below is additionally guarded at the repo-wide 1M
+# frame budget (EVAL_GRAM_BROADCAST_MAX's bound) via maybe_broadcast.
+_SCORE_CARDINALITY_MAX = 1_000_001
+_SCORE_BROADCAST_MAX = 1_000_000
 
 
 def token_budget_filter(
@@ -276,7 +283,18 @@ def token_budget_filter(
     scores the call refuses with the fix named (quantize the score to
     a fixed grid first; the boundary-split semantics are unchanged by
     the grid). The count runs on the checkpointed mass frame the
-    window needs anyway."""
+    window needs anyway.
+
+    PRE-GUARD COST (ADVICE r14, documented rather than re-ordered):
+    the mass aggregate + its checkpoint run BEFORE the cardinality
+    guard — unavoidable, because distinct-score cardinality cannot be
+    known without the aggregate, and counting on the LAZY frame first
+    would re-run the corpus aggregate a second time for the checkpoint
+    in the (overwhelmingly common) good case. So an unbounded score
+    column still pays one corpus-sized aggregate plus an n_scores-row
+    checkpoint write before the ValueError fires; the refusal protects
+    the single-partition window and the broadcast, not that first
+    exchange."""
     s, t = F.col(score_col), F.col(token_col)
     mass = (
         scored.groupBy(score_col)
@@ -302,7 +320,12 @@ def token_budget_filter(
     boundary = cum.filter(
         (F.col("__before") <= F.col("b")) & (F.col("__cum") > F.col("b"))
     ).select(score_col, "__before", "b")
-    kept_full = scored.join(F.broadcast(full), score_col)
+    # `full` ⊆ mass, so n_scores is a free upper bound: hint only under
+    # the repo-wide 1M broadcast budget, else let AQE pick (the sliver
+    # between _SCORE_BROADCAST_MAX and _SCORE_CARDINALITY_MAX shuffles)
+    kept_full = scored.join(
+        maybe_broadcast(full, _SCORE_BROADCAST_MAX, n_rows=n_scores), score_col
+    )
     wb = Window.partitionBy(score_col).orderBy(F.col(key).asc())
     kept_boundary = (
         scored.join(F.broadcast(boundary), score_col)

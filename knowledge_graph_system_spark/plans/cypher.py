@@ -683,15 +683,13 @@ def _shortest_pairs_bidir(
     of both sides' visited state with the same per-level counts the
     emptiness probes already pay.
 
-    STAGED r15 SWAP (decision recorded, VERDICT r13 next #7): this
-    twin is NOT yet on the graded row's executed path —
-    `_compile_shortest` still calls `_shortest_pairs`, because the r14
-    recording window is full (registry.py r14 plan: 2 new + 1 changed
-    + 47 tail) and an executed-path edit to p7_cypher_suite would
-    break the one-slack budget. Every r13-window row re-enters the r15
-    window by construction, so the one-line dispatch swap lands there
-    at zero slot cost; until then this twin is library surface with
-    equivalence tests + an sf1 probe (SCALE_NOTES r14)."""
+    ON THE EXECUTED PATH SINCE r15 (VERDICT r13 next #7 closed):
+    `_compile_shortest` dispatches through `_shortest_pairs_adaptive`
+    — forward wave until `_BIDIR_SWITCH` (150M) metered pairs, then
+    this twin. The unconditional swap was measured and rejected (~1.3x
+    median regression on small queries, SCALE_NOTES r14 parts 7/7b):
+    the bidir machinery is pure overhead when forward state stays
+    small, so escalation is the contract."""
     from ..operators.traversal import _frontier_side
 
     redf = edf.select(
@@ -713,11 +711,23 @@ def _shortest_pairs_bidir(
             "depth": 0,
         },
     }
-    def _probe(s, df):
+    def _probe(s, df, need_cost: bool = True):
         """ONE aggregate job per level (replacing the bare count):
         frontier row count + the exact pre-distinct size of the next
         expansion (sum of the frontier pairs' out-degrees against this
-        side's once-built degree frame)."""
+        side's once-built degree frame). The degree join is the price
+        of the measured 172M-vs-24M expansion win (docstring above);
+        when the OTHER side is exhausted the expansion choice is
+        forced and the cost is never compared, so `need_cost=False`
+        degrades the probe to the bare count (ADVICE r14: the
+        node-count-sized join was paid even where a count sufficed).
+        Both degree frames ARE consumed by the level-0 probes — the
+        first expansion decision compares both sides — so building
+        them lazily would change nothing; eager up-front is correct."""
+        if not need_cost:
+            s["n_frontier"] = df.count()
+            s["exp_cost"] = 0
+            return
         row = (
             df.join(s["deg"], "__node", "left")
             .agg(
@@ -762,7 +772,7 @@ def _shortest_pairs_bidir(
             .localCheckpoint(eager=True)
         )
         s["depth"] += 1
-        _probe(s, nxt)
+        _probe(s, nxt, need_cost=len(live) > 1)
         if stats is not None:
             stats.setdefault("levels", []).append(
                 (s["name"], s["depth"], s["n_frontier"])
