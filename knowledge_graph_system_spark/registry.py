@@ -202,6 +202,24 @@ class Ctx:
 # in the r15 tail by construction, so the executed-path change costs
 # zero extra slots; it just moves that row into the changed-first
 # group.
+#
+# r15 EXECUTED (this round, the plan above verbatim): both parked
+# patches applied and deleted (ann_suite fold registered, the two
+# selection rows registered with `dsir` in load_all, the adaptive
+# shortestPath on p7_cypher_suite's executed path); registry total
+# 99 + 3 - 7 = 95; window below = exactly the first 50 = 3 new +
+# p7_cypher_suite changed-first + the 47-row r14 tail (zero slack);
+# r14 ∪ r15 covers all 95 (asserted by the window tests). VERDICT r14
+# next #3 (t_quality_logreg mean_p -> sum_p6) RE-CHECKED and deferred:
+# the row carries fresh r14 evidence and is NOT in the tail (the
+# verdict miscounted), so changing its oracle now would orphan it
+# past slot 50 — the conversion is built, graded (oracle MATCH at
+# sf0.01 + 10/10 module tests), and parked as
+# tools/patches/r16_quality_sum.patch for the r16 changed-first group.
+#
+# r16 QUEUE (tail = 45, five slack): 1. r16_quality_sum.patch
+# (changed row), 2. cur_bloom_decontaminate (operators/bloom.py,
+# probe-gated r14, decade 2.7x), 3+. whatever r15 pre-validates.
 _RECORD_FIRST = [
     # ---- new (r15): the ann_suite fold (the consolidation executed)
     # + the two probe-gated selection rows
