@@ -44,6 +44,56 @@ def _resolve(spec: str):
     return getattr(importlib.import_module(mod), fn)
 
 
+# The quality-heuristic teacher exists in three places by adjudicated
+# deferral (textstats.t_quality_score, classifier._Y_EXPR,
+# dsir._TARGET_EXPR — consolidation waits for a window where the
+# graded textstats rows re-validate). Any candidate whose module
+# touches one of these surfaces must prove the copies still agree.
+_TEACHER_SURFACES = ("_Y_EXPR", "_TARGET_EXPR", "t_quality_score", "quality_score")
+
+
+def _touches_teacher(spec: str) -> bool:
+    mod = importlib.import_module(spec.split(":")[0])
+    src_file = getattr(mod, "__file__", None)
+    if not src_file:
+        return False
+    with open(src_file) as f:
+        src = f.read()
+    return any(s in src for s in _TEACHER_SURFACES)
+
+
+def _teacher_drift_check(spark) -> None:
+    """VERDICT r14 next #7: the drift trip-wire (tests/test_dsir.py::
+    test_dsir_target_matches_graded_teacher) asserted IN the probe for
+    any candidate touching the quality formula, so the deferred
+    teacher consolidation can't rot silently between test runs."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.classifier import _X_EXPR, _Y_EXPR
+    from knowledge_graph_system_spark.operators.dsir import _TARGET_EXPR
+    from knowledge_graph_system_spark.registry import Ctx
+
+    docs = Ctx.get(spark, "/root/testdata/sf0.001").tables["documents"]
+    both = (
+        docs.withColumn("_ws", F.split("text", " "))
+        .withColumn("x", F.expr(_X_EXPR))
+        .select(
+            F.expr(_TARGET_EXPR).alias("dsir_t"),
+            F.expr(_Y_EXPR).alias("teacher_y"),
+        )
+    )
+    n_drift = both.filter(F.col("dsir_t") != F.col("teacher_y")).count()
+    n_pos = both.filter(F.col("dsir_t")).count()
+    if n_drift or not n_pos:
+        print(
+            f"  TEACHER DRIFT: dsir target vs classifier teacher disagree on"
+            f" {n_drift} docs ({n_pos} positives) — the triplicated quality"
+            " formula has diverged; fix before registering"
+        )
+        sys.exit(1)
+    print("  teacher-drift trip-wire: OK (dsir target == classifier teacher)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("candidates", nargs="+", help="module:function specs")
@@ -84,6 +134,9 @@ def main() -> None:
         )
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if any(_touches_teacher(spec) for spec in args.candidates):
+        _teacher_drift_check(spark)
 
     for i, spec in enumerate(args.candidates):
         fn = _resolve(spec)
