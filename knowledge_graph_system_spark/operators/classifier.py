@@ -418,3 +418,188 @@ FROM kept GROUP BY source
 # Registered r15 (the pre-computed window's second new slot, behind
 # the ann_suite fold; probe-gated r14 — SCALE_NOTES r14 parts 3/9/13).
 query("cur_budget_filter", oracle=cur_budget_filter_oracle())(cur_budget_filter)
+
+
+# ---------------------------------------------------------------------------
+# Stratified token-budget selection (prepared r16/r17 registry
+# candidate — VERDICT r14 next #5's composition): the CCNet deployment
+# shape. Wenzek et al. (2020) bucket a crawl into perplexity terciles
+# and keep head-heavy slices; composing the graded tercile operator
+# (lm.ccnet_buckets) with a PER-STRATUM form of the graded budget cut
+# gives "keep the best X% of each stratum's tokens, head-weighted" —
+# quota sampling calibrated on token mass instead of row count.
+# ---------------------------------------------------------------------------
+
+# CCNet-ish head-weighted per-tercile token budgets
+_CCNET_FRACS = {"head": 0.6, "middle": 0.3, "tail": 0.1}
+
+
+def stratified_budget_filter(
+    scored: DataFrame,
+    budgets: DataFrame,
+    stratum_col: str,
+    token_col: str = "n_tokens",
+    score_col: str = "p",
+    key: str = "doc_id",
+) -> DataFrame:
+    """`token_budget_filter` generalized to one independent cut per
+    stratum: keep the highest-`score_col` rows of each stratum until
+    its cumulative `token_col` fills that stratum's budget from
+    `budgets(stratum, b)`. Same two-pass shape and cost argument as
+    the global cut (whose docstring carries the full ledger):
+
+    1. token mass per DISTINCT (stratum, score) cell — still ONE hash
+       aggregate, and the cumulative window is now PARTITIONED by
+       stratum (parallel across strata, bounded within each by the
+       same cardinality contract, enforced across all cells by
+       `_SCORE_CARDINALITY_MAX` with the same quantize-the-score fix
+       named in the refusal);
+    2. full buckets join back under the shared 1M broadcast budget
+       (cell count is the free upper bound); each stratum's ONE
+       boundary cell splits by a per-(stratum, score) running sum
+       ordered by `key`.
+
+    `budgets` is by construction a per-stratum aggregate (a handful of
+    rows) and rides a broadcast join on the stratum key. At 100 TB the
+    mass aggregate remains the only corpus-wide exchange."""
+    s, t = F.col(score_col), F.col(token_col)
+    mass = (
+        scored.groupBy(stratum_col, score_col)
+        .agg(F.sum(t).cast("bigint").alias("__mass"))
+        .localCheckpoint(eager=True)
+    )
+    n_cells = mass.count()
+    if n_cells > _SCORE_CARDINALITY_MAX:
+        raise ValueError(
+            f"stratified_budget_filter: {n_cells:,} distinct"
+            f" ({stratum_col!r}, {score_col!r}) cells exceed the"
+            f" {_SCORE_CARDINALITY_MAX:,} pass-1 bound — quantize the score"
+            " to a fixed grid (e.g. round to 4-6 dp on a bounded range)"
+            " before the cut"
+        )
+    wd = Window.partitionBy(stratum_col).orderBy(s.desc())
+    cum = (
+        mass.withColumn("__cum", F.sum("__mass").over(wd))
+        .withColumn("__before", F.col("__cum") - F.col("__mass"))
+        .join(F.broadcast(budgets), stratum_col)
+    )
+    full = cum.filter(F.col("__cum") <= F.col("b")).select(stratum_col, score_col)
+    boundary = cum.filter(
+        (F.col("__before") <= F.col("b")) & (F.col("__cum") > F.col("b"))
+    ).select(stratum_col, score_col, "__before", "b")
+    kept_full = scored.join(
+        maybe_broadcast(full, _SCORE_BROADCAST_MAX, n_rows=n_cells),
+        [stratum_col, score_col],
+    )
+    wb = Window.partitionBy(stratum_col, score_col).orderBy(F.col(key).asc())
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), [stratum_col, score_col])
+        .withColumn("__dcum", F.sum(t).over(wb))
+        .filter(F.col("__before") + F.col("__dcum") <= F.col("b"))
+    )
+    return kept_full.select(*scored.columns).unionByName(
+        kept_boundary.select(*scored.columns)
+    )
+
+
+def cur_ccnet_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16/r17 candidate: CCNet terciles (graded t_ccnet_buckets
+    machinery) -> head-weighted per-tercile token budgets (60/30/10 of
+    each stratum's own token mass) -> stratified cut ranked by the LM
+    score itself, rolled up per bucket (bucket, n_kept, kept_tokens,
+    sum_logp4, min_logp). sum_logp4 is the exact integer sum of the
+    4-dp LM scores x 10^4 (the sum_p6 tie-safe discipline); n_tokens
+    derives as n_bigrams + 1 — exact for this corpus because the
+    fixture pins every document <= 600 words and lm_score drops <2-word
+    docs (the lm_score_sql bound note)."""
+    from .lm import ccnet_buckets, lm_score
+
+    ctx = Ctx.get(spark, sf_dir)
+    docs = ctx.tables["documents"]
+    sd = ccnet_buckets(lm_score(docs)).select(
+        "doc_id",
+        "bucket",
+        "lm_logp",
+        (F.col("n_bigrams") + 1).cast("bigint").alias("n_tokens"),
+    )
+    frac = (
+        F.when(F.col("bucket") == "head", F.lit(_CCNET_FRACS["head"]))
+        .when(F.col("bucket") == "middle", F.lit(_CCNET_FRACS["middle"]))
+        .otherwise(F.lit(_CCNET_FRACS["tail"]))
+    )
+    budgets = sd.groupBy("bucket").agg(
+        F.floor(F.max(frac) * F.sum("n_tokens")).cast("bigint").alias("b")
+    )
+    kept = stratified_budget_filter(
+        sd, budgets, "bucket", score_col="lm_logp", key="doc_id"
+    )
+    return kept.groupBy("bucket").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        F.sum(F.round(F.col("lm_logp") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_logp4"),
+        F.min("lm_logp").alias("min_logp"),
+    )
+
+
+def cur_ccnet_budget_oracle() -> str:
+    """DuckDB twin: the graded lm_score + quantile_disc tercile prefix
+    (t_ccnet_buckets_oracle's shape) + the per-stratum two-pass cut +
+    the per-bucket rollup."""
+    from .lm import lm_score_sql
+
+    fr = (
+        f"CASE bucket WHEN 'head' THEN {_CCNET_FRACS['head']}"
+        f" WHEN 'middle' THEN {_CCNET_FRACS['middle']}"
+        f" ELSE {_CCNET_FRACS['tail']} END"
+    )
+    return f"""
+WITH s AS ({lm_score_sql("documents")}),
+t AS (SELECT quantile_disc(lm_logp, 1.0/3) AS t1,
+             quantile_disc(lm_logp, 2.0/3) AS t2 FROM s),
+sd AS (
+  SELECT s.doc_id,
+         CASE WHEN s.lm_logp <= t.t1 THEN 'tail'
+              WHEN s.lm_logp <= t.t2 THEN 'middle'
+              ELSE 'head' END AS bucket,
+         s.lm_logp,
+         CAST(s.n_bigrams + 1 AS BIGINT) AS n_tokens
+  FROM s, t
+),
+tot AS (
+  SELECT bucket, CAST(floor({fr} * sum(n_tokens)) AS BIGINT) AS b
+  FROM sd GROUP BY bucket
+),
+mass AS (
+  SELECT bucket, lm_logp, CAST(sum(n_tokens) AS BIGINT) AS m
+  FROM sd GROUP BY bucket, lm_logp
+),
+cum AS (
+  SELECT bucket, lm_logp, m,
+         CAST(sum(m) OVER (PARTITION BY bucket ORDER BY lm_logp DESC)
+              AS BIGINT) AS c
+  FROM mass
+),
+kept AS (
+  SELECT sd.doc_id, sd.bucket, sd.lm_logp, sd.n_tokens
+  FROM sd JOIN cum USING (bucket, lm_logp) JOIN tot USING (bucket)
+  WHERE cum.c <= tot.b
+  UNION ALL
+  SELECT doc_id, bucket, lm_logp, n_tokens FROM (
+    SELECT sd.doc_id, sd.bucket, sd.lm_logp, sd.n_tokens,
+           cum.c - cum.m AS bef, tot.b AS b,
+           CAST(sum(sd.n_tokens) OVER (
+             PARTITION BY sd.bucket, sd.lm_logp ORDER BY sd.doc_id)
+             AS BIGINT) AS dc
+    FROM sd JOIN cum USING (bucket, lm_logp) JOIN tot USING (bucket)
+    WHERE cum.c - cum.m <= tot.b AND cum.c > tot.b
+  ) WHERE bef + dc <= b
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(sum(CAST(round(lm_logp * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_logp4,
+       min(lm_logp) AS min_logp
+FROM kept GROUP BY bucket
+"""

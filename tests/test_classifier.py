@@ -352,3 +352,113 @@ def test_budget_filter_refuses_high_cardinality_scores(spark, monkeypatch):
     monkeypatch.setattr(cl, "_SCORE_CARDINALITY_MAX", 10)
     with pytest.raises(ValueError, match="quantize the score"):
         cl.token_budget_filter(scored, bf)
+
+
+# ---------------------------------------------------------------------------
+# Stratified budget selection / CCNet composition (prepared r16/r17
+# candidate)
+# ---------------------------------------------------------------------------
+
+
+def test_r16_candidate_cur_ccnet_budget(spark):
+    """Driver-style compare at BOTH gate scale factors: terciles ->
+    head-weighted per-stratum token budgets -> stratified cut, rolled
+    up per bucket hash-exact against the composed SQL twin."""
+    from knowledge_graph_system_spark.operators.classifier import (
+        cur_ccnet_budget,
+        cur_ccnet_budget_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, cur_ccnet_budget(spark, sf).collect()))
+        want = sorted(map(tuple, _oracle_rows(cur_ccnet_budget_oracle(), sf)))
+        assert len(got) == 3  # head / middle / tail all present
+        assert got == want
+
+
+def test_stratified_budget_semantics(spark):
+    """Hand-checkable contract on a tiny frame: per-stratum budgets
+    are honored tightly (kept mass <= b, and the best excluded row of
+    each stratum would overflow it), selection is score-desc with
+    doc_id tie-break inside the boundary score, and strata are
+    independent."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.classifier import (
+        stratified_budget_filter,
+    )
+
+    rows = [
+        # stratum A: budget 5 -> keeps p=.9 (3 tokens) + first doc of
+        # the .8 boundary pair (2 tokens); doc 3 (p=.8, later key) cut
+        (1, "A", 0.9, 3),
+        (2, "A", 0.8, 2),
+        (3, "A", 0.8, 2),
+        # stratum B: budget 4 -> keeps only the p=.7 doc (4 tokens);
+        # the p=.6 doc would overflow
+        (4, "B", 0.7, 4),
+        (5, "B", 0.6, 1),
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, stratum string, p double, n_tokens bigint"
+    )
+    budgets = spark.createDataFrame([("A", 5), ("B", 4)], "stratum string, b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in stratified_budget_filter(scored, budgets, "stratum").collect()
+    )
+    assert kept == [1, 2, 4]
+
+
+def test_stratified_matches_global_on_one_stratum(spark):
+    """With a single stratum the stratified cut IS token_budget_filter
+    — the generalization degrades exactly to the graded global
+    operator."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.classifier import (
+        stratified_budget_filter,
+        token_budget_filter,
+    )
+
+    rows = [(i, round(0.1 + (i * 37 % 17) / 20.0, 6), 1 + i % 5) for i in range(60)]
+    scored = spark.createDataFrame(rows, "doc_id long, p double, n_tokens bigint")
+    bf = spark.createDataFrame([(40,)], "b bigint")
+    want = sorted(r["doc_id"] for r in token_budget_filter(scored, bf).collect())
+    strat = scored.withColumn("stratum", F.lit("all"))
+    budgets = spark.createDataFrame([("all", 40)], "stratum string, b long")
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_budget_filter(strat, budgets, "stratum").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stratified_refuses_high_cardinality_cells(spark, monkeypatch):
+    """The shared pass-1 cardinality contract, per (stratum, score)
+    cell: refusal names the quantize fix."""
+    import pytest
+
+    from knowledge_graph_system_spark.operators import classifier as cl
+
+    rows = [(i, "s", i / 1000.0, 1) for i in range(50)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, stratum string, p double, n_tokens bigint"
+    )
+    budgets = spark.createDataFrame([("s", 10)], "stratum string, b long")
+    monkeypatch.setattr(cl, "_SCORE_CARDINALITY_MAX", 10)
+    with pytest.raises(ValueError, match="quantize the score"):
+        cl.stratified_budget_filter(scored, budgets, "stratum")
+
+
+def test_ccnet_budget_plan_is_jvm_side(spark):
+    """The composition stays JVM-side end-to-end: no Python
+    evaluation, no cartesian in the executed plan."""
+    from knowledge_graph_system_spark.operators.classifier import (
+        cur_ccnet_budget,
+    )
+
+    df = cur_ccnet_budget(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
