@@ -104,20 +104,25 @@ def logreg_train(
     spark = data.sparkSession
     w = [0.0] * n_feat
     for _ in range(sweeps):
-        grad = (
+        # one global aggregate with n_feat columns — map-side
+        # combinable, no row multiplication (the first cut posexploded
+        # x into 4x rows and shuffled a groupBy(j); same avg values,
+        # and the 12-dp rounding absorbs the summation-order ULPs the
+        # determinism ledger already accounts for — r15 re-probed)
+        err = F.col("p") - F.col("y").cast("double")
+        row = (
             data.join(F.broadcast(_w_frame(spark, w)))
             .withColumn("p", F.expr(_P_EXPR))
-            .select(
-                F.posexplode("x").alias("j", "xj"),
-                (F.col("p") - F.col("y").cast("double")).alias("err"),
+            .agg(
+                *[
+                    F.avg(err * F.element_at("x", j + 1)).alias(f"g{j}")
+                    for j in range(n_feat)
+                ]
             )
-            .groupBy("j")
-            .agg(F.avg(F.col("err") * F.col("xj")).alias("gj"))
-            .collect()
+            .first()
         )
-        g = {r["j"]: r["gj"] for r in grad}
         w = [
-            round(w[j] - lr * g.get(j, 0.0), MEAN_ROUND_DP)
+            round(w[j] - lr * (row[f"g{j}"] or 0.0), MEAN_ROUND_DP)
             for j in range(n_feat)
         ]
     return w
