@@ -54,34 +54,51 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.scale import maybe_broadcast
+from ..functions.teacher import (
+    LEN_SAT_WORDS,
+    QUALITY_CUT,
+    QUALITY_DP,
+    W_DISTINCT,
+    W_LEN,
+)
 from ..registry import Ctx, query
 from .semdedup import MEAN_ROUND_DP
 
 _SWEEPS = 12
 _LR = 8.0
 _NFEAT = 4  # bias, length saturation, distinct ratio, awl/10
-_TEACHER_CUT = 0.65  # ~the corpus median of the quality heuristic
+_TEACHER_CUT = QUALITY_CUT  # ~the corpus median of the quality heuristic
 
 _X_EXPR = (
     "array(1.0D,"
-    " least(size(split(text, ' ')) / 60.0D, 1.0D),"
+    f" least(size(split(text, ' ')) / {LEN_SAT_WORDS}.0D, 1.0D),"
     " size(array_distinct(split(text, ' '))) / cast(size(split(text, ' ')) as double),"
     " (length(regexp_replace(text, ' ', '')) / cast(size(split(text, ' ')) as double)) / 10.0D)"
 )
 
 _X_SQL = (
     "[1.0,"
-    " least(len(string_split(text, ' ')) / 60.0, 1.0),"
+    f" least(len(string_split(text, ' ')) / {LEN_SAT_WORDS}.0, 1.0),"
     " len(list_distinct(string_split(text, ' ')))"
     "   / CAST(len(string_split(text, ' ')) AS DOUBLE),"
     " (length(replace(text, ' ', ''))"
     "   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0]"
 )
 
-# y from x: quality = 0.5*distinct_ratio + 0.5*len_sat (the graded
-# t_quality_score formula), 6-dp rounded before the cut on both engines
-_Y_EXPR = f"round(0.5D * element_at(x, 3) + 0.5D * element_at(x, 2), 6) >= {_TEACHER_CUT}D"
-_Y_SQL = f"round(0.5 * x[3] + 0.5 * x[2], 6) >= {_TEACHER_CUT}"
+# y from x: the consolidated teacher (functions/teacher.py) restated
+# in FEATURE SPACE — x[3] is the distinct ratio, x[2] the length
+# saturation, so this cannot derive from the words-array builders; the
+# drift trip-wire (tests/test_dsir.py + every candidate probe) proves
+# it agrees with the words-space rendering row-for-row. BYTE-STABILITY:
+# these strings feed t_quality_logreg's registered oracle through
+# _train_score_ctes — the constants must render the historical
+# literals exactly (pinned by test_teacher_module_renders_historic_
+# literals), or the row re-windows.
+_Y_EXPR = (
+    f"round({W_DISTINCT}D * element_at(x, 3) + {W_LEN}D * element_at(x, 2),"
+    f" {QUALITY_DP}) >= {QUALITY_CUT}D"
+)
+_Y_SQL = f"round({W_DISTINCT} * x[3] + {W_LEN} * x[2], {QUALITY_DP}) >= {QUALITY_CUT}"
 
 # sigmoid(w . x), row-local off the broadcast one-row weight frame
 _P_EXPR = (

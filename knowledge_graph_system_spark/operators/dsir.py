@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scale import fan_out
+from ..functions.teacher import teacher_expr_spark, teacher_sql_duck
 from ..registry import Ctx
 from .classifier import token_budget_filter
 
@@ -61,16 +62,12 @@ _GRAM_CAP = 600  # per-doc gram cap (the t_fingerprint/oracle bound)
 _GUMBEL_SALT = "dsir:gumbel:1"
 _W_DP = 4  # ln-carrying score rounding (the lm.py discipline)
 
-# the graded quality-heuristic teacher (t_quality_score arithmetic),
-# evaluated on the whitespace word array `_ws`
-_TARGET_EXPR = (
-    "round(0.5D * (size(array_distinct(_ws)) / cast(size(_ws) as double))"
-    " + 0.5D * least(size(_ws) / 60.0D, 1.0D), 6) >= 0.65D"
-)
-_TARGET_SQL = (
-    "round(0.5 * (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE))"
-    " + 0.5 * least(len(ws) / 60.0, 1.0), 6) >= 0.65"
-)
+# the graded quality-heuristic teacher, evaluated on the whitespace
+# word array `_ws` — rendered by the consolidated functions/teacher.py
+# (r15: the formula's single source of truth; byte-identical to the
+# historical literals, pinned by test)
+_TARGET_EXPR = teacher_expr_spark("_ws")
+_TARGET_SQL = teacher_sql_duck("ws")
 
 
 def _bucket(col):

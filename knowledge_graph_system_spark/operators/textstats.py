@@ -17,6 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.teacher import (
+    LEN_SAT_WORDS,
+    QUALITY_DP,
+    W_DISTINCT,
+    W_LEN,
+    quality_expr_spark,
+    quality_sql_duck,
+)
 from ..registry import Ctx, query
 
 # tiny per-language stopword profiles (public common words)
@@ -81,7 +89,11 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_quality_score",
-    oracle="""
+    # the quality column restates the consolidated teacher
+    # (functions/teacher.py) in FEATURE-COLUMN space (n_distinct /
+    # n_words already materialized) — constants shared, structure
+    # local, like classifier._Y_SQL
+    oracle=f"""
 WITH feat AS (
   SELECT doc_id, source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -92,8 +104,8 @@ WITH feat AS (
 SELECT doc_id, source, n_words, n_distinct,
        round(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
        round(n_letters / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
-       round(0.5 * (n_distinct / CAST(n_words AS DOUBLE))
-             + 0.5 * least(n_words / 60.0, 1.0), 6) AS quality
+       round({W_DISTINCT} * (n_distinct / CAST(n_words AS DOUBLE))
+             + {W_LEN} * least(n_words / {LEN_SAT_WORDS}.0, 1.0), {QUALITY_DP}) AS quality
 FROM feat
 """,
 )
@@ -117,9 +129,11 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         F.round(dr, 6).alias("distinct_ratio"),
         F.round(F.col("n_letters") / F.col("n_words").cast("double"), 6).alias("avg_word_len"),
-        F.round(0.5 * dr + 0.5 * F.least(F.col("n_words") / 60.0, F.lit(1.0)), 6).alias(
-            "quality"
-        ),
+        F.round(
+            W_DISTINCT * dr
+            + W_LEN * F.least(F.col("n_words") / float(LEN_SAT_WORDS), F.lit(1.0)),
+            QUALITY_DP,
+        ).alias("quality"),
     )
 
 
@@ -198,7 +212,9 @@ MIN_QUALITY = 0.6
 
 @query(
     "t_corpus_filter",
-    oracle="""
+    # the quality column renders through the consolidated teacher
+    # (functions/teacher.py) — words form over string_split(d.text, ' ')
+    oracle=f"""
 WITH RECURSIVE
 ex AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
@@ -239,8 +255,7 @@ nd AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY node),
 feat AS (
   SELECT d.doc_id, d.lang,
          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
-         round(0.5 * (len(list_distinct(string_split(d.text, ' '))) / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
-               + 0.5 * least(len(string_split(d.text, ' ')) / 60.0, 1.0), 6) AS quality,
+         {quality_sql_duck("string_split(d.text, ' ')")} AS quality,
          len(list_intersect(string_split(d.text, ' '), ['the','and','of','to','in'])) AS s_en,
          len(list_intersect(string_split(d.text, ' '), ['el','la','de','que','y'])) AS s_es,
          len(list_intersect(string_split(d.text, ' '), ['le','la','de','et','les'])) AS s_fr,
@@ -313,11 +328,8 @@ def t_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         exact_keeper.alias("keeper"),
         F.size(arr).cast("long").alias("n_words"),
-        F.round(
-            0.5 * (F.size(F.array_distinct(arr)) / F.size(arr).cast("double"))
-            + 0.5 * F.least(F.size(arr) / 60.0, F.lit(1.0)),
-            6,
-        ).alias("quality"),
+        # the consolidated teacher (functions/teacher.py), words form
+        F.expr(quality_expr_spark("split(text, ' ')")).alias("quality"),
         *[_hits(lang).alias(f"s_{lang}") for lang in langs],
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
