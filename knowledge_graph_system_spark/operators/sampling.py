@@ -729,3 +729,147 @@ _query("smp_leakage_split", oracle=smp_leakage_split_oracle())(
 
 # NOT registered in r12 (prepared r13 candidate, two-line registration
 # when its slot comes).
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantiles (prepared r17 registry candidate):
+# the BOUNDED-STATE scale path smp_quantile_global's docstring
+# promises. Greenwald-Khanna at rel_err=0 is exact but its sketch
+# state grows without a relative-error floor; a fixed value grid
+# bounds state at `bins` counters PER GROUP by construction, the
+# counters are trivially mergeable (plain sums — partial aggregation,
+# stream accumulation, and cross-corpus merges all compose), and the
+# answer is EXACT on the quantized grid: the same quantize-first
+# contract the budget filter's cardinality guard names in its
+# refusal, promoted to a first-class operator.
+# ---------------------------------------------------------------------------
+
+
+def grid_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[tuple[str, float]],
+    lo: int,
+    hi: int,
+    bins: int,
+    group: str | None = None,
+) -> DataFrame:
+    """(group?, q, gq): for each (label, fraction) in `qs`, the
+    grid-quantile of integer column `col` — the LOWER EDGE of the
+    smallest grid bucket whose cumulative count reaches ceil(q * N)
+    (the quantile_disc position, answered at grid resolution).
+
+    ALL-BIGINT bucket arithmetic — bucket = ((x - lo) * bins) DIV
+    (hi - lo) on the clamped value, edge = lo + (b * (hi - lo)) DIV
+    bins — so the Spark plan and the DuckDB twin agree bit-for-bit
+    with no float ledger anywhere (the bloom position-set discipline:
+    same decision procedure, two physical forms). `col` must be
+    integral; quantize floats to a fixed-point BIGINT first.
+
+    Scale shape: ONE hash aggregate (map-side combinable) into a
+    frame bounded by groups x bins; the cumulative window partitions
+    by group over that bounded frame; the q expansion is a broadcast
+    of a len(qs)-row frame. No corpus-wide sort, no GK sketch state,
+    no collect."""
+    from pyspark.sql import Window
+
+    if not (hi > lo and bins > 0):
+        raise ValueError("grid_quantiles: need hi > lo and bins > 0")
+    gcols = [group] if group else []
+    clamped = df.select(
+        *gcols,
+        F.greatest(F.lit(lo), F.least(F.col(col), F.lit(hi - 1)))
+        .cast("bigint")
+        .alias("__x"),
+    )
+    hist = (
+        clamped.selectExpr(*gcols, f"((__x - {lo}) * {bins}) DIV {hi - lo} AS __b")
+        .groupBy(*gcols, "__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    w = Window.partitionBy(*gcols).orderBy("__b")
+    wn = Window.partitionBy(*gcols)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wn)
+    )
+    spark = df.sparkSession
+    qf = spark.createDataFrame(qs, "q string, frac double")
+    hit = cum.join(F.broadcast(qf)).filter(
+        F.col("__cum") >= F.ceil(F.col("frac") * F.col("__n"))
+    )
+    return (
+        hit.groupBy(*gcols, "q")
+        .agg(F.min("__b").alias("__b"))
+        .select(
+            *gcols,
+            "q",
+            (F.lit(lo) + F.expr(f"(__b * {hi - lo}) DIV {bins}")).alias("gq"),
+        )
+    )
+
+
+def grid_quantiles_sql(
+    table: str,
+    col: str,
+    qs: list[tuple[str, float]],
+    lo: int,
+    hi: int,
+    bins: int,
+    group: str | None = None,
+) -> str:
+    """DuckDB twin — identical BIGINT bucket/edge arithmetic (// is
+    floor division; the clamp makes every operand non-negative, so
+    floor == trunc and the dialects agree)."""
+    g = f"{group}, " if group else ""
+    gby = f"GROUP BY {group}" if group else ""
+    part = f"PARTITION BY {group} " if group else ""
+    qrows = ", ".join(f"('{label}', {frac})" for label, frac in qs)
+    return f"""
+WITH hist AS (
+  SELECT {g}((greatest({lo}, least({col}, {hi - 1})) - {lo}) * {bins}) // {hi - lo} AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY {g}b
+),
+cum AS (
+  SELECT {g}b, c,
+         CAST(sum(c) OVER ({part}ORDER BY b) AS BIGINT) AS cm,
+         CAST(sum(c) OVER ({part.strip() or ''}) AS BIGINT) AS n
+  FROM hist
+),
+qs(q, frac) AS (VALUES {qrows})
+SELECT {g}q, CAST({lo} + (min(b) * {hi - lo}) // {bins} AS BIGINT) AS gq
+FROM cum CROSS JOIN qs
+WHERE cm >= ceil(frac * n)
+GROUP BY {g}q
+"""
+
+
+def smp_grid_quantiles(spark, sf_dir: str) -> DataFrame:
+    """r17 candidate: per-source p50/p90/p99 of document length
+    (n_chars) on a 256-bucket grid over [0, 4096) — the corpus length
+    telemetry a curation pipeline watches per domain, in bounded
+    mergeable state."""
+    from ..registry import Ctx
+
+    docs = Ctx.get(spark, sf_dir).tables["documents"]
+    return grid_quantiles(
+        docs,
+        "n_chars",
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)],
+        lo=0,
+        hi=4096,
+        bins=256,
+        group="source",
+    )
+
+
+def smp_grid_quantiles_oracle() -> str:
+    return grid_quantiles_sql(
+        "documents",
+        "n_chars",
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)],
+        lo=0,
+        hi=4096,
+        bins=256,
+        group="source",
+    )

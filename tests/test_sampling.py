@@ -562,3 +562,122 @@ def test_leakage_split_no_group_straddles(spark):
              safe.groupBy("split").agg(F.count("*").alias("n")).collect()}
     for name, w in _LSPLIT_WEIGHTS.items():
         assert abs(rates[name] - w) < 0.05, (name, rates)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantiles (prepared r17 candidate)
+# ---------------------------------------------------------------------------
+
+
+def _oracle(sql: str, sf: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_r17_candidate_smp_grid_quantiles(spark):
+    """Driver-style compare at BOTH gate scale factors: per-source
+    p50/p90/p99 on the 256-bucket grid, hash-exact against the
+    all-BIGINT SQL twin."""
+    from knowledge_graph_system_spark.operators.sampling import (
+        smp_grid_quantiles,
+        smp_grid_quantiles_oracle,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, smp_grid_quantiles(spark, sf).collect()))
+        want = sorted(map(tuple, _oracle(smp_grid_quantiles_oracle(), sf)))
+        assert len(got) > 0 and got == want
+
+
+def test_grid_quantiles_semantics_and_clamp(spark):
+    """Hand-checkable: 10 values 0..90 on a [0, 100) 10-bucket grid —
+    p50 position ceil(.5*10)=5 -> 5th value (40) sits in bucket 4,
+    edge 40; p90 -> 80; out-of-range values clamp into the edge
+    buckets instead of corrupting neighbors."""
+    from knowledge_graph_system_spark.operators.sampling import grid_quantiles
+
+    df = spark.createDataFrame([(i * 10,) for i in range(10)], "v long")
+    got = {
+        r["q"]: r["gq"]
+        for r in grid_quantiles(
+            df, "v", [("p50", 0.5), ("p90", 0.9)], lo=0, hi=100, bins=10
+        ).collect()
+    }
+    assert got == {"p50": 40, "p90": 80}
+
+    wild = spark.createDataFrame([(-50,), (20,), (20,), (999,)], "v long")
+    got = {
+        r["q"]: r["gq"]
+        for r in grid_quantiles(
+            wild, "v", [("p25", 0.25), ("p100", 1.0)], lo=0, hi=100, bins=10
+        ).collect()
+    }
+    # -50 clamps into bucket 0 (edge 0); 999 clamps into bucket 9
+    assert got == {"p25": 0, "p100": 90}
+
+
+def test_grid_quantiles_partition_invariance(spark):
+    """The histogram counters are plain sums, so ANY partitioning of
+    the input yields identical output — the mergeability claim,
+    tested directly."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.operators.sampling import grid_quantiles
+
+    rows = [(i, f"s{i % 3}") for i in range(301)]
+    df = spark.createDataFrame(rows, "v long, src string")
+    qs = [("p50", 0.5), ("p99", 0.99)]
+
+    def run(frame):
+        return sorted(
+            map(
+                tuple,
+                grid_quantiles(
+                    frame, "v", qs, lo=0, hi=400, bins=40, group="src"
+                ).collect(),
+            )
+        )
+
+    assert run(df) == run(df.repartition(13)) and len(run(df)) == 6
+
+
+def test_grid_quantiles_resolution_bound(spark):
+    """Exactness at grid resolution: the answer never exceeds the true
+    quantile_disc value and sits within one bucket width below it."""
+    import duckdb
+
+    from knowledge_graph_system_spark.operators.sampling import grid_quantiles
+
+    rows = [((i * 37) % 997,) for i in range(500)]
+    df = spark.createDataFrame(rows, "v long")
+    width = 1000 // 100
+    got = {
+        r["q"]: r["gq"]
+        for r in grid_quantiles(
+            df, "v", [("p50", 0.5), ("p90", 0.9)], lo=0, hi=1000, bins=100
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for (v,) in rows])
+    for label, frac in (("p50", 0.5), ("p90", 0.9)):
+        (true_q,) = con.execute(
+            f"SELECT quantile_disc(v, {frac}) FROM t"
+        ).fetchone()
+        assert got[label] <= true_q < got[label] + width
+    con.close()
+
+
+def test_grid_quantiles_rejects_bad_grid(spark):
+    import pytest
+
+    from knowledge_graph_system_spark.operators.sampling import grid_quantiles
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="hi > lo"):
+        grid_quantiles(df, "v", [("p50", 0.5)], lo=10, hi=10, bins=4)
