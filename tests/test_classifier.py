@@ -185,7 +185,7 @@ def test_logreg_three_way_parity_small_corpus(spark):
     # roll the per-doc Spark scores up the same way and compare
     from collections import defaultdict
 
-    agg = defaultdict(lambda: [0, 0, 0, 0, 0.0])
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
     src = {d[0]: d[2] for d in docs}
     for doc_id, p, pred, y in got:
         a = agg[src[doc_id]]
@@ -193,10 +193,12 @@ def test_logreg_three_way_parity_small_corpus(spark):
         a[1] += int(y)
         a[2] += int(pred)
         a[3] += int(pred == y)
-        a[4] += p
+        # sum_p6: exact integer sum of the 6-dp probabilities x 1e6
+        # (the r16 tie-safe shape; python round is banker's like Spark
+        # on exact halves of p*1e6, which the 6-dp p makes exact)
+        a[4] += int(round(p * 1000000))
     rolled = sorted(
-        (s, a[0], a[1], a[2], a[3], round(a[4] / a[0], 6))
-        for s, a in agg.items()
+        (s, a[0], a[1], a[2], a[3], a[4]) for s, a in agg.items()
     )
     assert rolled == oracle_rollup
 

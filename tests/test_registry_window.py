@@ -20,6 +20,44 @@ def test_record_first_has_no_duplicates():
     assert len(rf) == len(set(rf))
 
 
+def test_history_lists_defined_exactly_once():
+    """Hygiene invariant (VERDICT r15 wrong #2: a patch-apply
+    duplication left _RECORD_FIRST_R14 defined twice, the second
+    silently shadowing the first — an edit to ONE copy would diverge
+    from what these tests check). AST-scan the registry module:
+    every module-level _RECORD_FIRST* assignment is made exactly once,
+    and exactly ONE history list (the immediately-previous window)
+    stays in-repo — older lists live in SCALE_NOTES."""
+    import ast
+    import collections
+    import inspect
+
+    tree = ast.parse(inspect.getsource(registry))
+    counts: collections.Counter[str] = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name) and t.id.startswith(
+                    "_RECORD_FIRST"
+                ):
+                    counts[t.id] += 1
+    dupes = {n: c for n, c in counts.items() if c > 1}
+    assert not dupes, f"duplicated window-list definitions: {dupes}"
+    history = sorted(n for n in counts if n != "_RECORD_FIRST")
+    assert history == ["_RECORD_FIRST_R15"], history
+
+
+def test_union_covers_registry():
+    """The r15 ∪ r16 union invariant, checked against the in-repo
+    lists: every registered query is in the current window or the
+    immediately-previous one — no row's driver evidence can be more
+    than one round old after the driver grades the current window."""
+    names = set(registry.load_all())
+    union = set(registry._RECORD_FIRST) | set(registry._RECORD_FIRST_R15)
+    uncovered = sorted(names - union)
+    assert not uncovered, f"rows outside the two-round union: {uncovered}"
+
+
 def test_enumeration_starts_with_record_first():
     ordered = list(registry.load_all())
     assert ordered[: len(registry._RECORD_FIRST)] == registry._RECORD_FIRST
