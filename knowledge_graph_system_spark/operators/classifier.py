@@ -531,26 +531,14 @@ def stratified_budget_filter(
     )
 
 
-def cur_ccnet_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r16/r17 candidate: CCNet terciles (graded t_ccnet_buckets
-    machinery) -> head-weighted per-tercile token budgets (60/30/10 of
-    each stratum's own token mass) -> stratified cut ranked by the LM
-    score itself, rolled up per bucket (bucket, n_kept, kept_tokens,
-    sum_logp4, min_logp). sum_logp4 is the exact integer sum of the
-    4-dp LM scores x 10^4 (the sum_p6 tie-safe discipline); n_tokens
-    derives as n_bigrams + 1 — exact for this corpus because the
-    fixture pins every document <= 600 words and lm_score drops <2-word
-    docs (the lm_score_sql bound note)."""
-    from .lm import ccnet_buckets, lm_score
-
-    ctx = Ctx.get(spark, sf_dir)
-    docs = ctx.tables["documents"]
-    sd = ccnet_buckets(lm_score(docs)).select(
-        "doc_id",
-        "bucket",
-        "lm_logp",
-        (F.col("n_bigrams") + 1).cast("bigint").alias("n_tokens"),
-    )
+def ccnet_cut_rollup(sd: DataFrame) -> DataFrame:
+    """The CCNet selection tail shared by the batch row and its
+    streaming twin: head-weighted per-tercile token budgets (60/30/10
+    of each stratum's own token mass) -> stratified cut ranked by the
+    LM score -> per-bucket rollup (bucket, n_kept, kept_tokens,
+    sum_logp4, min_logp). `sd` = (doc_id, bucket, lm_logp, n_tokens).
+    sum_logp4 is the exact integer sum of the 4-dp LM scores x 10^4
+    (the sum_p6 tie-safe discipline)."""
     frac = (
         F.when(F.col("bucket") == "head", F.lit(_CCNET_FRACS["head"]))
         .when(F.col("bucket") == "middle", F.lit(_CCNET_FRACS["middle"]))
@@ -570,6 +558,26 @@ def cur_ccnet_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_logp4"),
         F.min("lm_logp").alias("min_logp"),
     )
+
+
+def cur_ccnet_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 row: CCNet terciles (graded t_ccnet_buckets machinery) ->
+    the shared ccnet_cut_rollup tail (per-tercile budgets, stratified
+    cut, per-bucket rollup). n_tokens derives as n_bigrams + 1 — exact
+    for this corpus because the fixture pins every document <= 600
+    words and lm_score drops <2-word docs (the lm_score_sql bound
+    note)."""
+    from .lm import ccnet_buckets, lm_score
+
+    ctx = Ctx.get(spark, sf_dir)
+    docs = ctx.tables["documents"]
+    sd = ccnet_buckets(lm_score(docs)).select(
+        "doc_id",
+        "bucket",
+        "lm_logp",
+        (F.col("n_bigrams") + 1).cast("bigint").alias("n_tokens"),
+    )
+    return ccnet_cut_rollup(sd)
 
 
 def cur_ccnet_budget_oracle() -> str:

@@ -148,6 +148,53 @@ def lm_score(
     )
 
 
+def lm_score_from_model(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """`lm_score` against a PRE-TRAINED model (the persisted-count-frame
+    deployment the module docstring describes, and the shape the
+    streaming stratified-selection leg needs: the model is trained once
+    on a corpus build, then arriving documents score row-locally
+    against the broadcast frames).
+
+    INTENTIONALLY repeats lm_score's scoring joins rather than having
+    lm_score delegate here: t_ccnet_buckets carries fresh r15 driver
+    evidence and is NOT in the r16 window, so lm_score's executed path
+    must stay byte-identical this round (the r15 sum_p6 deferral
+    precedent — never change an out-of-window row's code). Pinned
+    by tests/test_lm.py::test_lm_score_from_model_matches_self_trained
+    (the teacher-formula trip-wire discipline); fold lm_score onto this
+    function in r17, when both rows sit in the must-record tail."""
+    docs = _fan_out(docs)
+    bg = _doc_bigrams(docs, text_col, id_col)
+    n_bigram_types = bigrams.count()
+    scored = (
+        bg.join(_maybe_broadcast_counts(bigrams, n_bigram_types), ["w1", "w2"], "left")
+        .join(
+            _maybe_broadcast_counts(unigrams.withColumnRenamed("w", "w1"), vocab_size),
+            "w1",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * vocab_size)
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("lm_logp"),
+    )
+
+
 def lm_score_sql(
     table: str, text_col: str = "text", id_col: str = "doc_id", k: float = SMOOTH_K
 ) -> str:

@@ -127,6 +127,140 @@ def bm25_from_postings(
     )
 
 
+def persist_postings(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Build and persist the FULL BM25 index, term-bucketed (VERDICT r15
+    next #6 / SCALE_NOTES r15 part 15 made real): the production shape
+    for a 100 TB corpus, where the one-pass `bm25_search` corpus explode
+    per query is unaffordable and the registered row's query-vocabulary
+    restriction doesn't apply (the index must serve ANY future query).
+
+    Layout under `path`:
+      postings/  (doc_id, term, tf, dl) partitioned by
+                 bucket = pmod(xxhash64(term), n_buckets) — a query
+                 reads only its terms' buckets (partition pruning), and
+                 dl is DENORMALIZED into the posting rows so serving
+                 never joins the corpus-sized lengths frame (the
+                 standard posting-list shape: doc length travels with
+                 the posting).
+      terms/     (term, df) partitioned by the same bucket — the
+                 dictionary; df precomputed at build time so serving
+                 needs no window over hits.
+      stats/     one row (n_docs, avgdl) — corpus globals.
+
+    Scale shape: one corpus explode + one groupBy shuffle + one join
+    against lengths, all at BUILD time; per-query cost afterwards is
+    O(hit postings in the probed buckets), i.e. ~|query terms| / n_buckets
+    of the index, never the corpus."""
+    postings, lengths = build_postings(docs, id_col, text_col)
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket")
+    (
+        postings.join(lengths, "doc_id")
+        .select("doc_id", "term", "tf", "dl", bucket)
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .select("term", "df", bucket)
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{path}/terms")
+    )
+    (
+        lengths.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .write.mode(mode)
+        .parquet(f"{path}/stats")
+    )
+
+
+def bm25_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    top_k: int = 10,
+    n_buckets: int = 64,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Serve a BM25 query from a `persist_postings` index: identical
+    arithmetic (and results — pinned by test) to `bm25_search`, but the
+    scan is pruned to the query terms' buckets instead of exploding the
+    corpus.
+
+    The terms' buckets are computed with the SAME JVM xxhash64 the
+    writer used, on a |terms|-row frame (bounded collect), so the
+    postings read carries `bucket IN (...)` as a partition filter —
+    directory-level pruning, no index-wide scan."""
+    terms = [t for t in query_terms if t]
+    if not terms:
+        raise ValueError("bm25_from_index needs at least one query term")
+    buckets = sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+            .collect()
+        }
+    )
+    hits = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    dictionary = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    scored = (
+        hits.join(F.broadcast(dictionary), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 6).alias("score"),
+            F.count("*").alias("n_hit_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],
