@@ -487,3 +487,36 @@ def so_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def so_suite_candidate_oracle() -> str:
     return _candidate_oracle(_SO_CAPTURED)
+
+
+# ---------------------------------------------------------------------------
+# Prepared r18 consolidation candidate (the r18 CAPACITY plan in
+# registry.py, written r16): after r17 registers the grid pair the
+# registry is 100 and every tail is exactly 50 — zero slack forever —
+# while the r18 queue holds st_ivf_ingest_stream, st_bm25_stream and
+# st_ccnet_stream. The sampling family is SIX always-green registered
+# rows with small, cleanly slot-mappable schemas (6 -> 1, net -5).
+# Lazy-capture like _AN_MEMBERS: testable now, the live registry is
+# untouched until an r18 plan registers it. smp_grid_quantiles
+# (registering r17) can join the fold in r18 with one more member row
+# here once it carries driver evidence, netting -6.
+# ---------------------------------------------------------------------------
+
+_SMP_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    ("smp_quantile_global", dict(n1="doc_id", k1="source", n2="n_chars")),
+    ("smp_epoch_order", dict(n1="doc_id", k1="source", n2="shard", n3="pos")),
+    ("smp_split_mix", dict(k1="split", k2="lang", n1="n_rows", n2="n_docs")),
+    ("smp_leakage_split",
+     dict(k1="split", n1="n_docs", n2="n_grouped_docs", n3="chars")),
+    ("smp_weighted", dict(n1="doc_id", k1="source", n2="n_chars", k2="form")),
+    ("smp_temperature_mix",
+     dict(n1="doc_id", k1="source", n2="n_chars", n3="mix_copy")),
+]
+
+
+def smp_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_fn(_registered_captured(_SMP_MEMBERS))(spark, sf_dir)
+
+
+def smp_suite_candidate_oracle() -> str:
+    return _candidate_oracle(_registered_captured(_SMP_MEMBERS))

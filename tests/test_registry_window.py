@@ -247,3 +247,28 @@ def test_ann_suite_registered(spark):
         con.close()
         assert len(got) > 0 and got == want
         assert len({r[0] for r in got}) == 7  # every member non-empty
+
+
+def test_r18_fold_candidate_smp_suite(spark):
+    """Driver-style compare for the prepared r18 sampling-family fold
+    (the r18 CAPACITY plan in registry.py, written r16): all six
+    always-green sampling rows folded into the 9-slot suite shape,
+    each member's exact registered oracle embedded as a subquery —
+    hash-exact at BOTH gate scale factors, every member's probe arm
+    non-empty. Registration in r18 is then registration-only."""
+    registry.load_all()
+    from knowledge_graph_system_spark.operators.suites import (
+        _SMP_MEMBERS,
+        smp_suite_candidate,
+        smp_suite_candidate_oracle,
+    )
+
+    oracle = smp_suite_candidate_oracle()
+    assert oracle.count("AS probe") == len(_SMP_MEMBERS) == 6
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, smp_suite_candidate(spark, sf).collect()))
+        con = _duck_all(sf)
+        want = sorted(map(tuple, con.execute(oracle).fetchall()))
+        con.close()
+        assert len(got) > 0 and got == want
+        assert len({r[0] for r in got}) == 6
