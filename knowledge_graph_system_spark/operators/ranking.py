@@ -347,3 +347,29 @@ def r_bm25_topk(spark, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bm25_search(docs, _BM25_QUERY, top_k=20)
+
+
+def r_bm25_index_topk(spark, sf_dir: str) -> DataFrame:
+    """r19 candidate (prepared r16): the PERSISTED-INDEX serving path
+    as a driver row — build the term-bucketed full-postings index to a
+    driver-local tempdir (the ann_ivf_persisted precedent: the graded
+    row exercises build + pruned serve in one slot), serve the
+    registered three-term query from it, and grade against the SAME
+    bm25_sql oracle as the fused row (identical arithmetic by
+    construction, so one oracle pins both execution paths)."""
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="kg_bm25_index_")
+    try:
+        persist_postings(docs, tmp, n_buckets=64)
+        return bm25_from_index(
+            spark, tmp, _BM25_QUERY, top_k=20, n_buckets=64
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def r_bm25_index_topk_oracle() -> str:
+    return bm25_sql("documents", _BM25_QUERY, top_k=20)

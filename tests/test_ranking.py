@@ -192,3 +192,22 @@ def test_persisted_index_rejects_empty_query(docs, spark, tmp_path):
 
     with pytest.raises(ValueError):
         bm25_from_index(spark, str(tmp_path / "nonexistent"), [])
+
+
+def test_r19_candidate_bm25_index_topk(docs, spark, duck):
+    """Driver-style compare for the prepared r19 candidate: the
+    persisted-index serving path graded against the SAME bm25_sql
+    oracle as the fused registered row — one oracle pins both
+    execution paths."""
+    from knowledge_graph_system_spark.operators.ranking import (
+        r_bm25_index_topk,
+        r_bm25_index_topk_oracle,
+    )
+    from tests.conftest import SF_DIR
+
+    got = [tuple(r) for r in r_bm25_index_topk(spark, SF_DIR).collect()]
+    want = [tuple(r) for r in duck.sql(r_bm25_index_topk_oracle()).fetchall()]
+    assert len(got) == 20
+    assert [(a, c) for a, _, c in got] == [(a, c) for a, _, c in want]
+    for (_, s1, _), (_, s2, _) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=2e-6)
