@@ -167,10 +167,17 @@ def lm_score_from_model(
     lm_score delegate here: t_ccnet_buckets carries fresh r15 driver
     evidence and is NOT in the r16 window, so lm_score's executed path
     must stay byte-identical this round (the r15 sum_p6 deferral
-    precedent — never change an out-of-window row's code). Pinned
-    by tests/test_lm.py::test_lm_score_from_model_matches_self_trained
-    (the teacher-formula trip-wire discipline); fold lm_score onto this
-    function in r17, when both rows sit in the must-record tail."""
+    precedent — never change an out-of-window row's code). Pinned by
+    tests/test_stratified_stream.py::
+    test_lm_score_from_model_matches_self_trained (the teacher-formula
+    trip-wire discipline). Fold timing (window math, r16): lm_score's
+    three registered consumers alternate in OPPOSITE window phases
+    (t_ccnet_buckets vs t_lm_quality/cur_ccnet_budget), so the fold
+    can only land in a round that spends slack on the out-of-tail
+    pair — earliest r19 (four slack after the r18 patch: register two
+    queue rows, spend two slots re-windowing t_lm_quality +
+    cur_ccnet_budget as changed rows; t_ccnet_buckets is in the r19
+    tail already). Until then this pin is the drift guard."""
     docs = _fan_out(docs)
     bg = _doc_bigrams(docs, text_col, id_col)
     n_bigram_types = bigrams.count()

@@ -27,8 +27,9 @@ def test_lm_score_from_model_matches_self_trained(spark):
     lm_score's fused train-on-self path returns when handed the same
     corpus's model — so the intentionally-repeated join logic cannot
     drift silently (the teacher-formula discipline). Fold lm_score
-    onto lm_score_from_model in r17 and keep this as the regression
-    pin."""
+    onto lm_score_from_model when the window allows (earliest r19 —
+    the fold-timing note in lm_score_from_model's docstring) and keep
+    this as the regression pin."""
     from knowledge_graph_system_spark.operators.lm import (
         bigram_counts,
         lm_score,
