@@ -154,15 +154,31 @@ def persist_postings(
                  needs no window over hits.
       stats/     one row (n_docs, avgdl) — corpus globals.
 
-    Scale shape: one corpus explode + one groupBy shuffle + one join
-    against lengths, all at BUILD time; per-query cost afterwards is
-    O(hit postings in the probed buckets), i.e. ~|query terms| / n_buckets
-    of the index, never the corpus."""
-    postings, lengths = build_postings(docs, id_col, text_col)
+    Scale shape: ONE corpus explode + one (doc_id, term) groupBy
+    shuffle at BUILD time — dl rides the exploded rows and aggregates
+    with first() (constant within the group by construction), so there
+    is NO corpus-sized postings ⋈ lengths join: at 100 TB that join
+    would shuffle the corpus twice to attach a value already known per
+    row. Per-query cost afterwards is O(hit postings in the probed
+    buckets), i.e. ~|query terms| / n_buckets of the index, never the
+    corpus."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__words"),
+    )
+    lengths = base.select("doc_id", F.size("__words").cast("bigint").alias("dl"))
+    postings = (
+        base.select(
+            "doc_id",
+            F.size("__words").cast("bigint").alias("dl"),
+            F.explode("__words").alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
     bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket")
     (
-        postings.join(lengths, "doc_id")
-        .select("doc_id", "term", "tf", "dl", bucket)
+        postings.select("doc_id", "term", "tf", "dl", bucket)
         .write.mode(mode)
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
