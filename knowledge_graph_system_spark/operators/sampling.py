@@ -873,3 +873,12 @@ def smp_grid_quantiles_oracle() -> str:
         bins=256,
         group="source",
     )
+
+
+# Registered r17 (the pre-built window's first new slot; probe-gated
+# r15 — SCALE_NOTES r15 part 12 — and re-probed hash-exact at r16
+# final code: bare-session oracle MATCH at sf0.01, HUGEINT-clean,
+# decade 1.29x).
+_query("smp_grid_quantiles", oracle=smp_grid_quantiles_oracle())(
+    smp_grid_quantiles
+)

@@ -125,7 +125,7 @@ class Ctx:
 # and the superseded r11/r12/r13/r14 window lists) moved to
 # SCALE_NOTES.md appendix 'Registry window history' — VERDICT r12 next
 # #7 / r14 next #6 / r15 next #2: this block keeps only the LIVE plan
-# (the previous window list stays below as _RECORD_FIRST_R15 for the
+# (the previous window list stays below as _RECORD_FIRST_R16 for the
 # union invariant the judge re-checks; exactly ONE in-repo history
 # list at a time — tests/test_registry_window.py asserts uniqueness).
 #
@@ -217,7 +217,114 @@ class Ctx:
 # the r14 plan/executed notes folded into the SCALE_NOTES appendix,
 # and test_registry_window.py now asserts exactly one in-repo history
 # list defined exactly once (AST scan).
+#
+# r17 PLAN (window math, execute next round — THIS patch encodes it):
+# the r16 tail is 48 rows (98 - 50, every registered row not in the
+# r16 window), all carrying r15 evidence that turns two rounds old in
+# r17 — all 48 must record. 50 - 48 = TWO slack slots, filled exactly
+# by the two probe-gated grid rows (smp_grid_quantiles — sampling.py
+# tail registration; st_grid_quantiles_stream — quantile_stream.py
+# registration + the `quantile_stream` import): ZERO slack, so no
+# other row's code or oracle may change in r17 unless it is already in
+# the tail. Registry after: 98 + 2 = 100. EXPECTED RED until the
+# driver grades: test_tail_has_recent_driver_evidence fails on the
+# r16-window rows until CORRECTNESS_r16.json exists — i.e. it heals
+# BEFORE any r17 session can apply this patch (the r14/r15/r16
+# precedent). Re-probe both rows at final r17 code before committing.
+# HYGIENE RIDER (the one-history-list rule): this patch deletes
+# _RECORD_FIRST_R15 — the r17 session must paste its content into the
+# SCALE_NOTES window-history appendix (it is in git history and in the
+# r16 commit either way); test_history_lists_defined_exactly_once
+# enforces the swap at apply time.
+#
+# r18 CAPACITY (plan ahead — the math is tight): after r17 the
+# registry is 100 and every future tail is EXACTLY 50 — zero slack
+# forever without consolidation. The r18 queue (st_ivf_ingest_stream,
+# st_bm25_stream, plus st_ccnet_stream from r16 and the lm_score →
+# lm_score_from_model fold whose consumers never share a tail under
+# strict alternation) therefore REQUIRES folds in r18. EXACT fold
+# arithmetic (NOTE: folding a row reduces the WINDOW count only when
+# that row is in the must-record tail; out-of-tail members just leave
+# the registry): the r18 tail is the r16 window's 50 rows. Fold ONE —
+# the sampling family (smp_quantile_global, smp_epoch_order,
+# smp_split_mix, smp_leakage_split, smp_weighted, smp_temperature_mix
+# — 6 always-green rows, one smp_suite, net -5; candidate
+# pre-validated hash-exact at both gate SFs,
+# tests/test_registry_window.py::test_r18_fold_candidate_smp_suite):
+# only smp_weighted + smp_temperature_mix are in the r18 tail, so
+# tail 50 -> 48. Fold TWO — an_suite (an_annealing_cycle +
+# an_execute_proposals, net -1, prepared since r10 and
+# driver-style tested ever since): BOTH members are r16-window rows,
+# so tail 48 -> 46. Window: 46 tail + an_suite + smp_suite +
+# st_ivf_ingest_stream + st_bm25_stream = EXACTLY 50, zero slack.
+# Registry after: 100 - 6 - 2 + 4 = 96; the r19 tail is 46, FOUR
+# slack — st_ccnet_stream (probe-gated r16: oracle MATCH sf0.01,
+# order-free parity suite, scheduling-bound decade) registers there,
+# leaving three for changed rows / new candidates. Pre-built as
+# tools/patches/r18_registrations.patch (apply ON TOP of the r17
+# patch after the r17 session's own edits land — regenerate from the
+# plan above if it no longer applies cleanly).
 _RECORD_FIRST = [
+    # ---- new (r17): the two probe-gated grid rows (exact fit)
+    "smp_grid_quantiles",
+    "st_grid_quantiles_stream",
+    # ---- the 48-row r16 tail (every registered row not in the r16
+    # window), enumeration order — all carry r15 evidence that turns
+    # two rounds old in r17
+    "q3_shipping_priority",
+    "a4_grounding",
+    "o1_ontology_edges",
+    "ep_status_measurement",
+    "smp_quantile_global",
+    "smp_epoch_order",
+    "d_exact_dedup",
+    "d_embedding_neardup",
+    "d_dup_groups",
+    "d_dedup_apply",
+    "d_embedding_groups",
+    "d_keeper_election",
+    "smp_leakage_split",
+    "smp_split_mix",
+    "d_semdedup",
+    "cur_budget_filter",
+    "t_ccnet_buckets",
+    "cur_dsir_select",
+    "g_butterflies",
+    "x2_skew_naive_join",
+    "x2_skew_salted_join",
+    "g1_bfs_both_depth2_conf",
+    "g2_shortest_path",
+    "g3_k_shortest_paths",
+    "g4_subgraph",
+    "a1_degree_top20",
+    "lc_related",
+    "lc_connect_by_search",
+    "f5_projection",
+    "f7_centroids",
+    "r_bm25_topk",
+    "t_corpus_filter",
+    "md_blocks",
+    "p7_guarded_query",
+    "src_jsonl_quarantine",
+    "st_spandedup_stream",
+    "a_scores_suite",
+    "j_enrich_suite",
+    "v_search_suite",
+    "t_textstats_suite",
+    "p_filter_matrix",
+    "st_windows_suite",
+    "f_catalog_suite",
+    "ann_suite",
+    "st_stream_suite",
+    "p7_cypher_suite",
+    "so_suite",
+    "cur_quality_suite",
+]
+
+# r16 window (history — the immediately-previous list, kept so the
+# "r16 ∪ r17 covers every registered row" union invariant stays
+# checkable in-repo; older lists live in SCALE_NOTES):
+_RECORD_FIRST_R16 = [
     # ---- new (r16): the three probe-gated queue rows
     "cur_bloom_decontaminate",
     "st_budget_stream",
@@ -279,72 +386,6 @@ _RECORD_FIRST = [
     "q1_pricing_summary",
 ]
 
-# r15 window (history — the immediately-previous list, kept so the
-# "r15 ∪ r16 covers every registered row" union invariant stays
-# checkable in-repo; older lists live in SCALE_NOTES):
-_RECORD_FIRST_R15 = [
-    # ---- new (r15): the ann_suite fold (the consolidation executed)
-    # + the two probe-gated selection rows
-    "ann_suite",
-    "cur_budget_filter",
-    "cur_dsir_select",
-    # ---- changed (r15): the shortestPath adaptive escalation landed
-    # on this row's executed path (tools/patches/r15_adaptive_shortest
-    # .patch applied) — already among the 47 must-record tail rows, so
-    # it rides free; listed in the changed-first group per the rule
-    "p7_cypher_suite",
-    # ---- the 47-row r14 tail (the r13-window rows minus
-    # d_semdedup_kmeans, which re-entered r14, and minus the two
-    # folded ANN rows ann_pq_topk / ann_ivf_persisted), enumeration
-    # order — all carry r13 evidence that turns two rounds old in r15
-    "g_butterflies",
-    "smp_leakage_split",
-    "d_semdedup",
-    "so_suite",
-    "g1_bfs_out_depth3",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "a4_grounding",
-    "o1_ontology_edges",
-    "ep_status_measurement",
-    "smp_quantile_global",
-    "smp_epoch_order",
-    "smp_split_mix",
-    "d_exact_dedup",
-    "d_embedding_neardup",
-    "d_dup_groups",
-    "d_dedup_apply",
-    "d_embedding_groups",
-    "d_keeper_election",
-    "x2_skew_naive_join",
-    "x2_skew_salted_join",
-    "g1_bfs_both_depth2_conf",
-    "g2_shortest_path",
-    "g3_k_shortest_paths",
-    "g4_subgraph",
-    "a1_degree_top20",
-    "lc_related",
-    "lc_connect_by_search",
-    "t_ccnet_buckets",
-    "f5_projection",
-    "f7_centroids",
-    "r_bm25_topk",
-    "t_corpus_filter",
-    "md_blocks",
-    "p7_guarded_query",
-    "src_jsonl_quarantine",
-    "st_spandedup_stream",
-    "a_scores_suite",
-    "j_enrich_suite",
-    "v_search_suite",
-    "t_textstats_suite",
-    "p_filter_matrix",
-    "st_windows_suite",
-    "f_catalog_suite",
-    "st_stream_suite",
-    "cur_quality_suite",
-]
-
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its @query registrations run."""
     from .operators import (  # noqa: F401
@@ -391,6 +432,7 @@ def load_all() -> dict[str, QuerySpec]:
         epochs,
         ingest_stream,
         joins as stream_joins,
+        quantile_stream,
         sketch_stream,
         span_stream,
         windows,

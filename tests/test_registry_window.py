@@ -44,16 +44,16 @@ def test_history_lists_defined_exactly_once():
     dupes = {n: c for n, c in counts.items() if c > 1}
     assert not dupes, f"duplicated window-list definitions: {dupes}"
     history = sorted(n for n in counts if n != "_RECORD_FIRST")
-    assert history == ["_RECORD_FIRST_R15"], history
+    assert history == ["_RECORD_FIRST_R16"], history
 
 
 def test_union_covers_registry():
-    """The r15 ∪ r16 union invariant, checked against the in-repo
+    """The two-round union invariant, checked against the in-repo
     lists: every registered query is in the current window or the
     immediately-previous one — no row's driver evidence can be more
     than one round old after the driver grades the current window."""
     names = set(registry.load_all())
-    union = set(registry._RECORD_FIRST) | set(registry._RECORD_FIRST_R15)
+    union = set(registry._RECORD_FIRST) | set(registry._RECORD_FIRST_R16)
     uncovered = sorted(names - union)
     assert not uncovered, f"rows outside the two-round union: {uncovered}"
 
