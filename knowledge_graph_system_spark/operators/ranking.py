@@ -152,7 +152,12 @@ def persist_postings(
       terms/     (term, df) partitioned by the same bucket — the
                  dictionary; df precomputed at build time so serving
                  needs no window over hits.
-      stats/     one row (n_docs, avgdl) — corpus globals.
+      stats/     one row (n_docs, avgdl, n_buckets) — corpus globals
+                 plus the bucketing parameter, persisted so a serve
+                 can never prune with a mismatched bucket count
+                 (ADVICE r16: a silently-wrong n_buckets at serve time
+                 would prune the wrong directories and return
+                 incomplete results; now the index self-describes).
 
     Scale shape: ONE corpus explode + one (doc_id, term) groupBy
     shuffle at BUILD time — dl rides the exploded rows and aggregates
@@ -196,6 +201,7 @@ def persist_postings(
             F.count("*").cast("bigint").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
         )
+        .withColumn("n_buckets", F.lit(n_buckets).cast("bigint"))
         .write.mode(mode)
         .parquet(f"{path}/stats")
     )
@@ -206,7 +212,7 @@ def bm25_from_index(
     path: str,
     query_terms: list[str],
     top_k: int = 10,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
@@ -218,10 +224,24 @@ def bm25_from_index(
     The terms' buckets are computed with the SAME JVM xxhash64 the
     writer used, on a |terms|-row frame (bounded collect), so the
     postings read carries `bucket IN (...)` as a partition filter —
-    directory-level pruning, no index-wide scan."""
+    directory-level pruning, no index-wide scan.
+
+    `n_buckets` is read from the index's own stats frame (persisted at
+    build time — ADVICE r16); passing it explicitly is only an
+    assertion, and a mismatch fails LOUDLY instead of pruning the
+    wrong directories and silently returning incomplete results."""
     terms = [t for t in query_terms if t]
     if not terms:
         raise ValueError("bm25_from_index needs at least one query term")
+    stats = spark.read.parquet(f"{path}/stats")
+    built_with = stats.select("n_buckets").first()["n_buckets"]
+    if n_buckets is not None and n_buckets != built_with:
+        raise ValueError(
+            f"index at {path} was built with n_buckets={built_with}, "
+            f"serve asked for {n_buckets} — pruning would read the "
+            "wrong bucket directories"
+        )
+    n_buckets = int(built_with)
     buckets = sorted(
         {
             r[0]
@@ -243,10 +263,9 @@ def bm25_from_index(
         .filter(F.col("term").isin(terms))
         .select("term", "df")
     )
-    stats = spark.read.parquet(f"{path}/stats")
     scored = (
         hits.join(F.broadcast(dictionary), "term")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
         .withColumn(
             "idf",
             F.log(

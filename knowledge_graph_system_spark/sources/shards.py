@@ -17,10 +17,12 @@ Design, Spark-first:
   reproduces byte-identical shard membership, and the DuckDB oracle
   can restate it exactly (no xxhash64: DuckDB lacks it).
 - The WRITE is ONE shuffle: repartition on (shard, file-slot) then
-  partitionBy(shard) — each task owns whole output files, so a shard
-  holds exactly `files_per_shard` parquet files regardless of input
-  partitioning (no tiny-files explosion at 100 TB, no single giant
-  file either; size file slots so a file is a few hundred MB).
+  partitionBy(shard, slot) — one file per non-empty (shard, slot)
+  directory BY CONSTRUCTION (partitionBy separates combos even when
+  the repartition hashes two of them into one task — ADVICE r16), so
+  a shard holds exactly `files_per_shard` parquet files regardless of
+  input partitioning (no tiny-files explosion at 100 TB, no single
+  giant file either; size file slots so a file is a few hundred MB).
 - The MANIFEST is a tiny groupBy(shard) aggregate written next to the
   data; `cur_shard_manifest`-style consumers grade on it because it
   exactly accounts for every row and token the writer emitted (the
@@ -78,22 +80,31 @@ def write_training_shards(
     salt: str = "shard",
     mode: str = "overwrite",
 ) -> DataFrame:
-    """Write `df` as `path`/data/shard=N/... with exactly
-    `files_per_shard` parquet files per shard, plus `path`/manifest.
-    Returns the manifest frame (read back from disk, so the caller
-    holds what a consumer would see).
+    """Write `df` as `path`/data/shard=N/slot=M/... with exactly one
+    parquet file per non-empty (shard, slot) — i.e. exactly
+    `files_per_shard` files per shard whenever every slot drew at
+    least one row (always, in practice, once rows-per-shard >>
+    files_per_shard; at most `files_per_shard` in general), plus
+    `path`/manifest. Returns the manifest frame (read back from disk,
+    so the caller holds what a consumer would see).
 
     ONE shuffle: repartition on (shard, file slot) — the file slot is
     the md5 bucket of (key, salt#file) folded onto files_per_shard, so
-    file membership is as deterministic as shard membership."""
+    file membership is as deterministic as shard membership. The write
+    partitions by BOTH columns (ADVICE r16): partitionBy splits each
+    task's rows into their own (shard, slot) directory, so the
+    one-file-per-slot contract holds even when the repartition hashes
+    two (shard, slot) combos into one task — file layout is a pure
+    function of the data, never of partitioner collisions."""
     sharded = shard_assign(df, n_shards, key, salt)
     slot = (hash_bucket(F.col(key), salt + "#file") % files_per_shard).cast(
         "bigint"
     )
     (
-        sharded.repartition(n_shards * files_per_shard, F.col("shard"), slot)
+        sharded.withColumn("slot", slot)
+        .repartition(n_shards * files_per_shard, F.col("shard"), F.col("slot"))
         .write.mode(mode)
-        .partitionBy("shard")
+        .partitionBy("shard", "slot")
         .parquet(f"{path}/data")
     )
     manifest_of(sharded, tokens_col).write.mode(mode).parquet(f"{path}/manifest")

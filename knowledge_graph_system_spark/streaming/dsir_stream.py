@@ -36,13 +36,12 @@ The one accepted caveat shared with EVERY graded ln-carrying row: w
 sums floats whose partition order differs run-to-run even in batch;
 the 4-dp round absorbs the ULPs (operators/lm.py:27-31).
 
-The score/select tail INTENTIONALLY restates dsir_scores' Gumbel and
-rollup expressions rather than refactoring dsir.py: cur_dsir_select
-carries fresh r15 driver evidence and is NOT in the r16 window, so its
-executed path must stay byte-identical this round (the
-lm_score_from_model precedent). Pinned by
-tests/test_dsir_stream.py::test_scores_from_state_matches_batch; fold
-in r17, when cur_dsir_select sits in the must-record tail.
+The score/select tail shares its Gumbel and rollup expressions with
+dsir_scores through `dsir.gumbel_perturbed_scores` (folded r17, when
+cur_dsir_select sat in the must-record tail — the schedule the r16
+module docstring carried). Pinned by
+tests/test_dsir_stream.py::test_scores_from_state_matches_batch plus
+the normalized-plan byte-stability pin in tests/test_lm_fold.py.
 
 Reference parity: the reference has no data-selection surface; this
 extends its ingestion dataflow (`api/app/lib/age_client/ingestion.py`
@@ -62,10 +61,10 @@ from ..operators.classifier import token_budget_filter
 from ..operators.dsir import (
     _ALPHA,
     _B,
-    _GUMBEL_SALT,
     _KEEP_FRAC,
     _W_DP,
     doc_gram_buckets,
+    gumbel_perturbed_scores,
 )
 from ..registry import Ctx
 from .landing import dedup_cuts, stamp_landing_mtimes
@@ -118,35 +117,16 @@ def scores_from_state(
     """(doc_id, source, w, score) from the drained logs under the
     final model — dsir_scores' arithmetic on the feature log (w sums
     c * lr per bucket instead of lr per gram occurrence; equal sums,
-    and the 4-dp round is the shared ULP discipline). The Gumbel
-    expressions restate dsir_scores' (see the module docstring for why
-    a refactor is deferred to r17); the parity pin keeps them honest."""
+    and the 4-dp round is the shared ULP discipline). The Gumbel/
+    rollup tail renders once in `dsir.gumbel_perturbed_scores` (the
+    r17 fold the module docstring scheduled); the parity pin keeps the
+    composition honest."""
     w = (
         features.join(F.broadcast(lrs), "b")
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("lr")), _W_DP).alias("w"))
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_GUMBEL_SALT))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10000
-        + F.lit(0.5)
-    ) / 10000.0
-    return (
-        docs_log.select("doc_id", "source")
-        .join(w, "doc_id", "left")
-        .withColumn("w", F.coalesce("w", F.lit(0.0)))
-        .withColumn("g", F.round(-F.log(-F.log(u)), _W_DP))
-        .withColumn("score", F.round(F.col("w") + F.col("g"), _W_DP))
-        .select("doc_id", "source", "w", "score")
-    )
+    return gumbel_perturbed_scores(docs_log, w)
 
 
 def streaming_dsir_select(

@@ -105,6 +105,20 @@ def epoch_strata(cell_log: DataFrame, fracs: dict = _CCNET_FRACS) -> dict:
         .collect()
     )
     n_total = sum(r["n_docs"] for r in cells)
+    if n_total == 0:
+        # ADVICE r16: an epoch whose accumulated log is still empty
+        # (e.g. stats enabled and the first trigger delivered only
+        # sub-2-word docs, which score_batch_lm drops) has no terciles
+        # yet — return the explicit empty contract instead of leaving
+        # t1/t2 None in front of the membership comparisons below
+        return {
+            "t1": None,
+            "t2": None,
+            "strata": {
+                name: {"b": 0, "threshold": None, "mass": 0}
+                for name in ("head", "middle", "tail")
+            },
+        }
     t1 = t2 = None
     cum = 0
     r1, r2 = math.ceil(n_total / 3), math.ceil(2 * n_total / 3)
@@ -114,6 +128,8 @@ def epoch_strata(cell_log: DataFrame, fracs: dict = _CCNET_FRACS) -> dict:
             t1 = r["lm_logp"]
         if t2 is None and cum >= r2:
             t2 = r["lm_logp"]
+    if t2 is None:
+        t2 = t1
     out = {"t1": t1, "t2": t2, "strata": {}}
     for name in ("head", "middle", "tail"):
         if name == "tail":

@@ -23,10 +23,10 @@ def _oracle_rows(sql: str, sf: str):
 def test_scores_from_state_matches_batch(spark):
     """The restated-tail trip-wire (module docstring): weights + Gumbel
     scores materialized from the feature log under the final model
-    equal dsir_scores' fused batch path row-for-row — so the
-    intentionally-restated expressions cannot drift silently. Fold
-    dsir.py onto the shared pieces in r17 and keep this as the
-    regression pin."""
+    equal dsir_scores' fused batch path row-for-row. Since the r17
+    fold both paths share `dsir.gumbel_perturbed_scores`, so this now
+    guards the two weight-frame compositions (the plan-level
+    byte-stability pin lives in tests/test_lm_fold.py)."""
     from pyspark.sql import functions as F
 
     from knowledge_graph_system_spark.operators.dsir import dsir_scores

@@ -194,6 +194,29 @@ def test_persisted_index_rejects_empty_query(docs, spark, tmp_path):
         bm25_from_index(spark, str(tmp_path / "nonexistent"), [])
 
 
+def test_persisted_index_self_describes_n_buckets(docs, spark, tmp_path):
+    """ADVICE r16: the index persists its own n_buckets, so serving
+    without the parameter reads the built value, and serving with a
+    MISMATCHED value refuses loudly (naming both numbers) instead of
+    pruning the wrong bucket directories and returning incomplete
+    results."""
+    from knowledge_graph_system_spark.operators.ranking import (
+        bm25_from_index,
+        bm25_search,
+        persist_postings,
+    )
+
+    idx = str(tmp_path / "bm25_index")
+    persist_postings(docs, idx, n_buckets=16)
+    got = [
+        tuple(r) for r in bm25_from_index(spark, idx, QUERY, top_k=20).collect()
+    ]
+    want = [tuple(r) for r in bm25_search(docs, QUERY, top_k=20).collect()]
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="n_buckets=16.*asked for 64"):
+        bm25_from_index(spark, idx, QUERY, top_k=20, n_buckets=64)
+
+
 def test_r19_candidate_bm25_index_topk(docs, spark, duck):
     """Driver-style compare for the prepared r19 candidate: the
     persisted-index serving path graded against the SAME bm25_sql

@@ -58,7 +58,8 @@ def test_shard_membership_deterministic_and_file_contract(
     spark, packed, tmp_path
 ):
     """Re-running the writer reproduces byte-identical membership, and
-    each shard directory holds exactly files_per_shard parquet files
+    each shard directory holds exactly files_per_shard parquet files —
+    one per slot=M subdirectory, the ADVICE r16 collision-proof layout
     (no tiny-files explosion, no single giant file)."""
     from knowledge_graph_system_spark.sources.shards import (
         shard_assign,
@@ -77,12 +78,17 @@ def test_shard_membership_deterministic_and_file_contract(
     for d in sorted(os.listdir(f"{path}/data")):
         if not d.startswith("shard="):
             continue
-        files = [
-            f
-            for f in os.listdir(f"{path}/data/{d}")
-            if f.endswith(".parquet")
-        ]
-        assert len(files) == 2, (d, files)
+        slots = sorted(
+            s for s in os.listdir(f"{path}/data/{d}") if s.startswith("slot=")
+        )
+        assert slots == ["slot=0", "slot=1"], (d, slots)
+        for s in slots:
+            files = [
+                f
+                for f in os.listdir(f"{path}/data/{d}/{s}")
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, s, files)
 
 
 def test_shards_are_balanced(spark, packed, tmp_path):

@@ -22,14 +22,12 @@ def _oracle_rows(sql: str, sf: str):
 
 
 def test_lm_score_from_model_matches_self_trained(spark):
-    """The duplication trip-wire (lm_score_from_model docstring): the
+    """Value-parity pin (lm_score_from_model docstring): the
     scoring-only path under a pre-trained model returns EXACTLY what
-    lm_score's fused train-on-self path returns when handed the same
-    corpus's model — so the intentionally-repeated join logic cannot
-    drift silently (the teacher-formula discipline). Fold lm_score
-    onto lm_score_from_model when the window allows (earliest r19 —
-    the fold-timing note in lm_score_from_model's docstring) and keep
-    this as the regression pin."""
+    lm_score's train-then-score path returns when handed the same
+    corpus's model. Since the r17 fold lm_score delegates here, so
+    this now guards the delegation composition (the plan-level
+    byte-stability pin lives in tests/test_lm_fold.py)."""
     from knowledge_graph_system_spark.operators.lm import (
         bigram_counts,
         lm_score,
@@ -118,6 +116,23 @@ def test_ccnet_stream_epoch_strata(spark):
     }
     for name, st in by_epoch[-1]["strata"].items():
         assert st["mass"] == batch_mass[name]
+
+
+def test_epoch_strata_empty_log(spark):
+    """ADVICE r16: an epoch whose accumulated cell log is still empty
+    (first trigger delivered only sub-2-word docs) returns the explicit
+    empty contract instead of raising TypeError on a None-threshold
+    comparison inside foreachBatch."""
+    from knowledge_graph_system_spark.streaming.stratified_stream import (
+        epoch_strata,
+    )
+
+    empty = spark.createDataFrame([], "lm_logp double, n_docs bigint, m bigint")
+    out = epoch_strata(empty)
+    assert out["t1"] is None and out["t2"] is None
+    assert set(out["strata"]) == {"head", "middle", "tail"}
+    for st in out["strata"].values():
+        assert st == {"b": 0, "threshold": None, "mass": 0}
 
 
 def test_ccnet_stream_state_is_narrow(spark):
