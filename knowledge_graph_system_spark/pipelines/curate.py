@@ -13,6 +13,8 @@ turn a raw document table into packed, epoch-ordered training data:
       → temperature mix        (flatten group shares ∝ natural^α)
       → greedy pack            (BPE-token-budgeted sequences)
       → epoch order            (deterministic per-epoch shard+pos)
+      → shard sink (optional)  (files + exact manifest, honoring the
+                                epoch order's shard membership)
 
 Determinism: every stage keys off content hashes, so two runs over the
 same input produce byte-identical output (pinned by test). Scale: the
@@ -41,6 +43,7 @@ from pyspark.sql.window import Window
 class CurationResult:
     packed: DataFrame            # doc-level: pack/bin/order columns
     report: list[tuple[str, int, int]]  # (stage, rows_in, rows_out)
+    manifest: DataFrame | None = None  # per-shard accounting (shards_path set)
 
 
 def curate_corpus(
@@ -56,12 +59,21 @@ def curate_corpus(
     n_groups: int = 8,
     epoch: int = 1,
     n_shards: int = 8,
+    shards_path: str | None = None,
+    files_per_shard: int = 1,
 ) -> CurationResult:
     """Run the full curation chain over (doc_id, text, source, n_chars).
 
     `eval_docs` (same shape) drives decontamination; None skips that
     stage. Returns the packed, epoch-ordered corpus plus the per-stage
-    row accounting."""
+    row accounting.
+
+    `shards_path` (r17, VERDICT r16 next #4): when given, the pipeline
+    ends at the training-shard SINK — `write_training_shards` honoring
+    epoch_order's OWN shard column (the trainer-facing membership, not
+    a re-hash), with the read-back manifest in the result. A corpus
+    build then emits shards + manifest out the back, which is what a
+    dataloader actually consumes."""
     from ..operators.bpe import bpe_token_counts, learn_bpe
     from ..operators.components import connected_components, dedup_apply
     from ..operators.curation import (
@@ -166,7 +178,12 @@ def curate_corpus(
         cur,
         cur.join(
             packed.select(
-                "pack_key", "pack_group", "bin_id", "bin_offset", "spans_boundary"
+                "pack_key",
+                "n_tokens",
+                "pack_group",
+                "bin_id",
+                "bin_offset",
+                "spans_boundary",
             ),
             "pack_key",
         ),
@@ -176,7 +193,26 @@ def curate_corpus(
     cur = stage(
         "epoch_order", cur, epoch_order(cur, "pack_key", epoch, n_shards)
     )
-    return CurationResult(packed=cur, report=report)
+
+    # 9 (optional): the shard SINK — materialize epoch_order's shard
+    # membership as files + manifest (write_training_shards honors the
+    # existing column via shard_col, so the written layout IS the
+    # trainer-facing order; n_tokens here is the BPE budget the pack
+    # stage used, so the manifest sizes epochs in real tokens)
+    manifest = None
+    if shards_path is not None:
+        from ..sources.shards import write_training_shards
+
+        manifest = write_training_shards(
+            cur,
+            shards_path,
+            n_shards=n_shards,
+            key="pack_key",
+            tokens_col="n_tokens",
+            files_per_shard=files_per_shard,
+            shard_col="shard",
+        )
+    return CurationResult(packed=cur, report=report, manifest=manifest)
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,7 @@ def write_training_shards(
     files_per_shard: int = 1,
     salt: str = "shard",
     mode: str = "overwrite",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Write `df` as `path`/data/shard=N/slot=M/... with exactly one
     parquet file per non-empty (shard, slot) — i.e. exactly
@@ -95,8 +96,20 @@ def write_training_shards(
     task's rows into their own (shard, slot) directory, so the
     one-file-per-slot contract holds even when the repartition hashes
     two (shard, slot) combos into one task — file layout is a pure
-    function of the data, never of partitioner collisions."""
-    sharded = shard_assign(df, n_shards, key, salt)
+    function of the data, never of partitioner collisions.
+
+    `shard_col` (r17, the curate_corpus chaining): when the caller has
+    ALREADY assigned shard membership — `sampling.epoch_order`'s
+    (shard, pos) is the trainer-facing order — pass its column name
+    and the writer materializes THAT layout instead of re-hashing;
+    membership semantics stay with the assigner, the writer owns only
+    files and the manifest."""
+    if shard_col is None:
+        sharded = shard_assign(df, n_shards, key, salt)
+    else:
+        if not 0 < n_shards <= _BUCKETS:
+            raise ValueError(f"n_shards must be in (0, {_BUCKETS}]: {n_shards}")
+        sharded = df.withColumn("shard", F.col(shard_col).cast("bigint"))
     slot = (hash_bucket(F.col(key), salt + "#file") % files_per_shard).cast(
         "bigint"
     )

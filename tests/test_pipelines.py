@@ -54,6 +54,53 @@ def test_curate_corpus_end_to_end(spark):
     assert all(0 <= r["bin_offset"] < 2048 for r in rows)
 
 
+def test_curate_corpus_shard_sink(spark, tmp_path):
+    """VERDICT r16 next #4: with shards_path set the pipeline ends at
+    the training-shard sink — the written manifest accounts for
+    EXACTLY the rows epoch_order emits, per epoch_order's OWN shard
+    membership (no re-hash), and the shard files carry the same
+    sequences and BPE-token budgets."""
+    from knowledge_graph_system_spark.pipelines.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    tr = docs.filter(F.col("doc_id") % 25 != 0)
+    path = str(tmp_path / "pipe_shards")
+    res = curate_corpus(
+        spark, tr, ev, shards_path=path, files_per_shard=2
+    )
+    assert res.manifest is not None
+    got = sorted(map(tuple, res.manifest.collect()))
+    # re-derive the accounting from the epoch-ordered frame itself
+    want = sorted(
+        map(
+            tuple,
+            res.packed.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # ... and from the files on disk (membership honored, not re-hashed)
+    from_files = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{path}/data")
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+            .collect(),
+        )
+    )
+    assert from_files == want
+    assert sum(r[1] for r in got) == res.report[-1][2]
+
+
 def test_curate_corpus_deterministic(spark):
     """Two runs over the same input produce byte-identical output —
     every stage keys off content hashes, no RNG anywhere."""
