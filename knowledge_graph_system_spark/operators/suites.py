@@ -520,3 +520,41 @@ def smp_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def smp_suite_candidate_oracle() -> str:
     return _candidate_oracle(_registered_captured(_SMP_MEMBERS))
+
+
+# ---------------------------------------------------------------------------
+# Prepared r20 consolidation candidate (the r19 PLAN's capacity note
+# in registry.py, written r17): after r19 registers the four queue
+# rows the registry is 100 with a 50-row r20 tail — zero slack. The
+# LM-quality family is THREE always-green registered rows sharing one
+# scoring pipeline (lm_score, single-sourced since the r17 fold):
+# 3 -> 1, and the r20 fold arithmetic is: t_lm_quality +
+# cur_ccnet_budget sit in the r18 window = the r20 must-record tail
+# (tail 50 -> 48); t_ccnet_buckets is an r19-window row and simply
+# leaves the registry. Window: 48 + lm_suite = 49, ONE slack freed
+# for a new candidate. Lazy-capture like _AN_MEMBERS: testable now,
+# the live registry untouched until an r20 plan registers it.
+# ---------------------------------------------------------------------------
+
+_LM_MEMBERS: list[tuple[str, dict[str, str]]] = [
+    ("t_lm_quality",
+     dict(k1="source", n1="n_docs", x1="mean_logp", x2="min_logp",
+          x3="max_logp")),
+    ("t_ccnet_buckets",
+     dict(n1="doc_id", n2="n_bigrams", x1="lm_logp", k1="bucket")),
+    ("cur_ccnet_budget",
+     dict(k1="bucket", n1="n_kept", n2="kept_tokens", n3="sum_logp4",
+          x1="min_logp")),
+]
+
+
+def _lm_captured():
+    return _registered_captured(_LM_MEMBERS)
+
+
+def lm_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_fn(_lm_captured())(spark, sf_dir)
+
+
+def lm_suite_candidate_oracle() -> str:
+    return _candidate_oracle(_lm_captured())

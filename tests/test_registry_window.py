@@ -272,3 +272,28 @@ def test_r18_fold_candidate_smp_suite(spark):
         con.close()
         assert len(got) > 0 and got == want
         assert len({r[0] for r in got}) == 6
+
+
+def test_r20_fold_candidate_lm_suite(spark):
+    """Driver-style compare for the prepared r20 LM-family fold (the
+    r19 PLAN's capacity note in registry.py, written r17): the three
+    lm_score-consuming rows folded into the 9-slot suite shape, each
+    member's exact registered oracle embedded as a subquery —
+    hash-exact at BOTH gate scale factors, every member's probe arm
+    non-empty. Registration in r20 is then registration-only."""
+    registry.load_all()
+    from knowledge_graph_system_spark.operators.suites import (
+        _LM_MEMBERS,
+        lm_suite_candidate,
+        lm_suite_candidate_oracle,
+    )
+
+    oracle = lm_suite_candidate_oracle()
+    assert oracle.count("AS probe") == len(_LM_MEMBERS) == 3
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(map(tuple, lm_suite_candidate(spark, sf).collect()))
+        con = _duck_all(sf)
+        want = sorted(map(tuple, con.execute(oracle).fetchall()))
+        con.close()
+        assert len(got) > 0 and got == want
+        assert len({r[0] for r in got}) == 3
