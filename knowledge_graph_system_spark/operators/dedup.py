@@ -32,27 +32,64 @@ N_BANDS = 4  # bands of 2 rows each
 JACCARD_THRESHOLD = 0.5
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word-bigram shingles per document."""
-    return (
-        docs.withColumn("_ws", F.split(F.col(text_col), " "))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr("transform(sequence(0, size(_ws) - 2), i -> concat(_ws[i], '_', _ws[i+1]))")
-            ).alias("shingle"),
-        )
-        .distinct()
+def doc_shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shs) with shs = the DISTINCT word-bigram shingle array of one
+    document — a pure per-row projection (r17, guide §2.4): shingle
+    dedup is per-document set semantics, so `array_distinct` inside the
+    row replaces the corpus-wide explode→DISTINCT exchange the r16 shape
+    paid. Bound: the per-doc shingle array must fit a row buffer — the
+    same per-document contract d_simhash documents (F3 chunking owns
+    GB-scale single documents upstream)."""
+    return docs.withColumn("_ws", F.split(F.col(text_col), " ")).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.expr("transform(sequence(0, size(_ws) - 2), i -> concat(_ws[i], '_', _ws[i+1]))")
+        ).alias("shs"),
     )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word-bigram shingles per document (exploded form).
+
+    Same rows as the r16 explode→DISTINCT shape, but the dedup happens
+    row-locally in `doc_shingle_arrays` — NO exchange; every consumer
+    (batch row, dup-groups, corpus filter, curation pipeline, streaming
+    trigger) loses one corpus-wide shuffle."""
+    return doc_shingle_arrays(docs, id_col, text_col).select(
+        F.col(id_col), F.explode("shs").alias("shingle")
+    )
+
+
+def _minhash_agg_exprs() -> list:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """8 md5-minhashes per doc (min over seeded md5 hex strings)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return shingles.groupBy(id_col).agg(*_minhash_agg_exprs())
+
+
+def minhash_signatures_from_arrays(arr: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same signatures computed row-locally from the shingle-array form
+    (r17, guide §2.4): min over a per-row `transform` replaces the
+    groupBy(doc) exchange — the signature is a pure function of one
+    document, so it never needed a shuffle. Bit-identical to
+    `minhash_signatures(explode(arr))` (md5 hex strings compare
+    lexicographically the same way in array_min and the min aggregate).
+    Shingle-less docs are dropped, exactly as the exploded groupBy form
+    drops them (no shingle rows → no signature row)."""
+    return arr.filter(F.size("shs") > 0).select(
+        F.col(id_col),
+        *[
+            F.array_min(F.expr(f"transform(shs, s -> md5(concat('{i}:', s)))")).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
 
 
 MAX_BUCKET = 64  # LSH bucket cap — see lsh_candidates docstring
@@ -119,9 +156,16 @@ def lsh_candidates(
     return pairs.select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")).distinct()
 
 
-def verify_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
-    """Exact bigram-set jaccard for candidate pairs only."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+def verify_jaccard(
+    candidates: DataFrame, shingles: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Exact bigram-set jaccard for candidate pairs only.
+
+    `sizes` (doc_id, n) may be supplied by callers that hold the
+    shingle-array form — size(shs) is a row-local projection there,
+    saving this groupBy's corpus exchange (r17, guide §2.4)."""
+    if sizes is None:
+        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -248,15 +292,25 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact jaccard ≥ 0.5 (threshold calibrated: planted
     near-dups score ≥0.5, background p99.9 ≈ 0.1)."""
     ctx = Ctx.get(spark, sf_dir)
-    # materialize the shingle set once: it feeds the signature build AND
-    # both sides of the verification join — without the checkpoint the
-    # explode+distinct shuffle re-runs 3× in one plan (33 s → 9 s at sf0.1).
-    # candidates are NOT checkpointed: they feed exactly one downstream
-    # join, so the barrier bought nothing and cost a measured ~0.8 s
-    sh = doc_shingles(ctx.tables["documents"]).localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh)
-    cand = lsh_candidates(sigs)
-    return verify_jaccard(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # r17 shape (guide §2.3/§2.4): materialize the shingle-ARRAY form
+    # once — one row per doc, distinct-ed and sized row-locally — and
+    # derive everything from it: signatures via per-row array_min (no
+    # groupBy exchange), the exploded shingles for the verification
+    # joins (a map-side explode of the checkpoint), and sizes as a
+    # projection. The r16 shape checkpointed the EXPLODED shingles and
+    # paid three corpus exchanges this plan no longer has: the
+    # explode→DISTINCT, the signature groupBy(doc), and verify's size
+    # groupBy(doc). candidates stay un-checkpointed: they feed exactly
+    # one downstream join (the r16 measurement stands).
+    arr = doc_shingle_arrays(ctx.tables["documents"]).localCheckpoint(eager=True)
+    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
+    sizes = arr.filter(F.size("shs") > 0).select(
+        "doc_id", F.size("shs").cast("long").alias("n")
+    )
+    cand = lsh_candidates(minhash_signatures_from_arrays(arr))
+    return verify_jaccard(cand, sh, sizes=sizes).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 
 
 @query(

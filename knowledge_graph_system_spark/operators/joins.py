@@ -183,24 +183,49 @@ JOIN totals tb ON tb.seg = s.seg_b
 def j5_cross_ontology_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: concepts shared between ontologies → shared/total affinity
     (`ontology_scoring.py:213-266`), as segment-pairs sharing parts.
-    Self-join on the concept key; at 100 TB the membership set is
-    pre-deduplicated (distinct pushes partial aggregation map-side)."""
+
+    r17 optimization (guide §2.3/§2.4 — aggregate before you shuffle,
+    remove shuffles outright): the r16 shape materialized the DISTINCT
+    (seg, pk) membership and SELF-JOINED it on pk — one distinct
+    exchange plus TWO membership-sized sort-merge exchanges plus the
+    pair groupBy. The ontology set per concept is bounded by the
+    number of ontologies (5 segments here), so the self-join is
+    replaced by ONE groupBy(pk).collect_set(seg) exchange (partial
+    aggregation map-side, set ≤ |ontologies| per key) and the C(n,2)
+    seg pairs are expanded row-locally with an array expression — the
+    lsh_candidates trick. totals/shared then aggregate frames bounded
+    by |concepts| and |ontologies|². At 100 TB this removes two
+    corpus-scale shuffles and the self-join's hot-concept quadratic
+    join rows (a pk in k ontologies emitted k²/2 join rows; now a
+    k-element set expands in place). Same oracle — results identical
+    (proven hash-exact at both gate SFs)."""
     ctx = Ctx.get(spark, sf_dir)
     c, o, l = ctx.tables["customer"], ctx.tables["orders"], ctx.tables["lineitem"]
-    membership = (
+    grouped = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        # reused by totals + both self-join sides: materialize once
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segs"))
+        .select("segs")
+        # reused by totals + pair expansion: materialize once (a frame
+        # bounded by |concepts| rows × ≤|ontologies| entries each)
         .localCheckpoint(eager=True)
     )
-    totals = membership.groupBy("seg").agg(F.count("*").alias("total"))
-    a = membership.alias("a")
-    b = membership.alias("b")
+    totals = (
+        grouped.select(F.explode("segs").alias("seg"))
+        .groupBy("seg")
+        .agg(F.count("*").alias("total"))
+    )
     shared = (
-        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.seg") < F.col("b.seg")))
-        .groupBy(F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(segs, (x, i) -> transform("
+                    "slice(segs, i + 2, size(segs) - i - 1), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("seg_a"), F.col("p.b").alias("seg_b"))
         .agg(F.count("*").alias("shared"))
     )
     ta = totals.alias("ta")

@@ -370,12 +370,16 @@ def enumerate_paths(
     spark = edges.sparkSession
     paths = spark.createDataFrame([(src_id, [src_id], 0)], "head string, path array<string>, hops int")
     done = paths.filter(F.lit(False))
+    n_paths = 1  # each level's count is already paid for the empty check
     for _ in range(max_hops):
-        alive = (
-            paths.filter(F.col("head") != dst_id)
-            .orderBy("path")
-            .limit(per_level_cap)
-        )
+        alive = paths.filter(F.col("head") != dst_id)
+        if n_paths > per_level_cap:
+            # beam truncation only bites past the cap; below it the
+            # sort+limit is the identity — skip the global TakeOrdered
+            # job the r16 shape paid on every level (guide §2.4: an
+            # orderBy used only to make output deterministic, removed
+            # where the result is provably the full set)
+            alive = alive.orderBy("path").limit(per_level_cap)
         step = (
             adj.join(F.broadcast(alive.withColumnRenamed("head", "_s")), "_s")
             .filter(~F.array_contains(F.col("path"), F.col("_d")))
@@ -394,6 +398,7 @@ def enumerate_paths(
             break
         done = done.unionByName(step.filter(F.col("head") == dst_id))
         paths = step
+        n_paths = n_step
     out = done.select(
         F.array_join("path", ">").alias("path"), F.col("hops").cast("int").alias("hops")
     ).distinct()
