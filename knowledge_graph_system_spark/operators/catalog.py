@@ -116,9 +116,12 @@ ORDER BY p_partkey
 def f2_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: case-insensitive regex name match (`=~ '(?i).*x.*'` analog)."""
     ctx = Ctx.get(spark, sf_dir)
+    # no final orderBy (r17, guide §2.4): the driver's hash is
+    # order-insensitive and there is no LIMIT depending on the sort —
+    # the global sort was a rangepartitioning Exchange + Sort over the
+    # full match set (corpus-sized at 100 TB) bought purely for display
     return (
         ctx.tables["part"]
         .filter(F.lower(F.col("p_name")).rlike(".*(gizmo|widget).*"))
         .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
     )

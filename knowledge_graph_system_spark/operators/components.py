@@ -30,10 +30,7 @@ from .dedup import (
     _SHINGLES_SQL,
     _SIGS_SQL,
     JACCARD_THRESHOLD,
-    doc_shingles,
-    lsh_candidates,
-    minhash_signatures,
-    verify_jaccard,
+    minhash_verified_pairs,
 )
 
 
@@ -151,9 +148,11 @@ def d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization is then one anti-join of documents against the
     non-keeper rows."""
     ctx = Ctx.get(spark, sf_dir)
-    sh = doc_shingles(ctx.tables["documents"]).localCheckpoint(eager=True)
-    cand = lsh_candidates(minhash_signatures(sh)).localCheckpoint(eager=True)
-    pairs = verify_jaccard(cand, sh).filter(
+    # r17: array-form pair pipeline (see dedup.minhash_verified_pairs) —
+    # one checkpoint, one corpus exchange; the exploded-shingle
+    # checkpoint and the candidate checkpoint (candidates now feed a
+    # single join chain) are gone
+    pairs = minhash_verified_pairs(ctx.tables["documents"]).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     comp = connected_components(pairs, "doc_a", "doc_b")

@@ -189,6 +189,59 @@ def verify_jaccard(
     )
 
 
+def verify_jaccard_arrays(
+    candidates: DataFrame, arr: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact jaccard for candidate pairs, row-local from the
+    shingle-array form (r17, guide §2.3/§2.4/§3.3).
+
+    The exploded `verify_jaccard` joined candidates against the full
+    shingle table TWICE and counted shared shingles through a
+    pair-keyed exchange — intermediate rows = one per (pair, shared
+    shingle). Here the two joins attach each side's shingle ARRAY (the
+    candidate side is the small one — AQE broadcasts it and the array
+    frame is never shuffled), and the intersection is one codegen
+    `size(array_intersect(...))` per pair. `inter >= 1` preserves the
+    exploded form's inner-join row contract exactly (a pair sharing no
+    shingle emits no row). Same (doc_a, doc_b, jaccard) output."""
+    a = arr.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("_sa"))
+    b = arr.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("_sb"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("inter"),
+            F.size("_sa").alias("na"),
+            F.size("_sb").alias("nb"),
+        )
+        .filter(F.col("inter") >= 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_verified_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full batch near-dup pair pipeline in its r17 one-exchange
+    shape: ONE checkpoint of the per-doc shingle-array frame feeds the
+    row-local signatures, the banded LSH candidates, and the array
+    verification. The only corpus-scale exchange is the LSH band
+    groupBy. Returns (doc_a, doc_b, jaccard), unfiltered — callers
+    apply their threshold."""
+    arr = doc_shingle_arrays(docs, id_col, text_col).localCheckpoint(eager=True)
+    cand = lsh_candidates(minhash_signatures_from_arrays(arr, id_col), id_col)
+    return verify_jaccard_arrays(cand, arr, id_col)
+
+
 # DuckDB twins ---------------------------------------------------------------
 
 _SHINGLES_SQL = """
@@ -292,23 +345,16 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact jaccard ≥ 0.5 (threshold calibrated: planted
     near-dups score ≥0.5, background p99.9 ≈ 0.1)."""
     ctx = Ctx.get(spark, sf_dir)
-    # r17 shape (guide §2.3/§2.4): materialize the shingle-ARRAY form
-    # once — one row per doc, distinct-ed and sized row-locally — and
-    # derive everything from it: signatures via per-row array_min (no
-    # groupBy exchange), the exploded shingles for the verification
-    # joins (a map-side explode of the checkpoint), and sizes as a
-    # projection. The r16 shape checkpointed the EXPLODED shingles and
-    # paid three corpus exchanges this plan no longer has: the
-    # explode→DISTINCT, the signature groupBy(doc), and verify's size
-    # groupBy(doc). candidates stay un-checkpointed: they feed exactly
-    # one downstream join (the r16 measurement stands).
-    arr = doc_shingle_arrays(ctx.tables["documents"]).localCheckpoint(eager=True)
-    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
-    sizes = arr.filter(F.size("shs") > 0).select(
-        "doc_id", F.size("shs").cast("long").alias("n")
-    )
-    cand = lsh_candidates(minhash_signatures_from_arrays(arr))
-    return verify_jaccard(cand, sh, sizes=sizes).filter(
+    # r17 shape (guide §2.3/§2.4): ONE checkpoint of the per-doc
+    # shingle-array frame feeds row-local signatures (array_min — no
+    # groupBy exchange), the banded LSH candidates, and the row-local
+    # array_intersect verification. The r16 shape checkpointed the
+    # EXPLODED shingles and paid five corpus-scale exchanges this plan
+    # no longer has: explode→DISTINCT, the signature groupBy(doc),
+    # verify's size groupBy(doc), and the two exploded verification
+    # joins + pair-count exchange. The only corpus exchange left is
+    # the LSH band groupBy.
+    return minhash_verified_pairs(ctx.tables["documents"]).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 

@@ -625,11 +625,9 @@ def f6_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-component labeling in recursive SQL."""
     ctx = Ctx.get(spark, sf_dir)
     labels = dbscan(ctx.nodes_emb.filter(F.col("label") == "Customer"))
-    return (
-        labels.groupBy("ontology", "cluster")
-        .agg(F.count("*").alias("n"))
-        .orderBy("ontology", "cluster")
-    )
+    # no final orderBy (r17, guide §2.4): order-insensitive hash, no
+    # LIMIT — the sort's Exchange bought nothing
+    return labels.groupBy("ontology", "cluster").agg(F.count("*").alias("n"))
 
 
 @query(

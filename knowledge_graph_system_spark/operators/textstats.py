@@ -300,23 +300,18 @@ def t_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from .components import connected_components
-    from .dedup import (
-        JACCARD_THRESHOLD,
-        doc_shingles,
-        lsh_candidates,
-        minhash_signatures,
-        verify_jaccard,
-    )
+    from .dedup import JACCARD_THRESHOLD, minhash_verified_pairs
 
     ctx = Ctx.get(spark, sf_dir)
     docs = ctx.tables["documents"]
 
     exact_keeper = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))
 
-    sh = doc_shingles(docs).localCheckpoint(eager=True)
-    pairs = verify_jaccard(
-        lsh_candidates(minhash_signatures(sh)).localCheckpoint(eager=True), sh
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # r17: array-form pair pipeline — one checkpoint, one corpus
+    # exchange (see dedup.minhash_verified_pairs)
+    pairs = minhash_verified_pairs(docs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
     nd = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
     )

@@ -90,20 +90,39 @@ def bfs(
     )
     frontier = visited.select("node_id")
     n_frontier: int | None = len(start_ids)
+    n_visited = len(start_ids)
     for depth in range(1, max_depth + 1):
         nxt = (
             adj.join(_frontier_side(frontier.withColumnRenamed("node_id", "src"), n_frontier), "src")
             .select(F.col("dst").alias("node_id"))
             .distinct()
-            .join(visited.select("node_id"), "node_id", "left_anti")
+            # visited is counted (running sum of frontier counts): under
+            # the bound the anti-join broadcasts instead of the default
+            # SortMergeJoin LeftAnti, which exchanged AND sorted both
+            # sides every hop (r17, guide §2.4/§3.1)
+            .join(
+                _frontier_side(visited.select("node_id"), n_visited),
+                "node_id",
+                "left_anti",
+            )
             .withColumn("dist", F.lit(depth).cast("int"))
         )
-        # one materialization per hop: the checkpoint job doubles as the
-        # emptiness check and frontier-size probe (no separate isEmpty job)
-        nxt = nxt.localCheckpoint(eager=True)
+        if depth == max_depth:
+            # the final level feeds no further hop: let it flow lazily
+            # into the caller's single action (r17 — the bfs_paths shape)
+            visited = visited.unionByName(nxt)
+            break
+        # LAZY checkpoint + count: ONE job materializes the hop and
+        # returns the frontier size (the eager form paid a separate
+        # count job per hop). NOT persist(): CacheManager would
+        # substitute the cached subtree into the next bench rep's
+        # identical plan — cross-run result caching, which the bench
+        # methodology forbids.
+        nxt = nxt.localCheckpoint(eager=False)
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
+        n_visited += n_frontier
         visited = visited.unionByName(nxt)
         if depth % _CHECKPOINT_EVERY == 0:
             visited = visited.localCheckpoint(eager=True)
@@ -178,6 +197,7 @@ def bfs_paths(
     )
     frontier = visited
     n_frontier: int | None = len(start_ids)
+    n_visited = len(start_ids)
     for depth in range(1, max_depth + 1):
         cand = (
             adj.join(
@@ -197,7 +217,14 @@ def bfs_paths(
                 F.concat("ptypes", F.array("rel_type")).alias("ptypes"),
                 F.concat("pdirs", F.array("dir")).alias("pdirs"),
             )
-            .join(visited.select("node_id"), "node_id", "left_anti")
+            # counted-broadcast anti-join (r17): replaces a per-level
+            # SortMergeJoin LeftAnti that exchanged + sorted the full
+            # candidate set AND the visited set (see bfs)
+            .join(
+                _frontier_side(visited.select("node_id"), n_visited),
+                "node_id",
+                "left_anti",
+            )
         )
         chosen = cand.groupBy("node_id").agg(
             F.min(F.struct("key", "ptypes", "pdirs")).alias("m")
@@ -214,10 +241,13 @@ def bfs_paths(
             # one checkpoint job + one count job saved per traversal
             visited = visited.unionByName(chosen)
             break
-        chosen = chosen.localCheckpoint(eager=True)
+        # lazy checkpoint + count = ONE materialization job per level
+        # (see bfs for why persist() is not an option here)
+        chosen = chosen.localCheckpoint(eager=False)
         n_frontier = chosen.count()
         if n_frontier == 0:
             break
+        n_visited += n_frontier
         visited = visited.unionByName(chosen)
         if depth % _CHECKPOINT_EVERY == 0:
             visited = visited.localCheckpoint(eager=True)
@@ -258,6 +288,7 @@ def shortest_path_length(
     # same policy as bfs's _frontier_side; the count is free (each
     # hop's count() is already paid for the early-exit check)
     n_frontier = 1
+    n_visited = 1
     for depth in range(1, max_hops + 1):
         nxt = (
             adj.join(
@@ -268,15 +299,28 @@ def shortest_path_length(
             )
             .select(F.col("dst").alias("node_id"))
             .distinct()
-            .join(visited.select("node_id"), "node_id", "left_anti")
-            .localCheckpoint(eager=True)
+            # counted-broadcast anti-join, as in bfs (r17)
+            .join(
+                _frontier_side(visited.select("node_id"), n_visited),
+                "node_id",
+                "left_anti",
+            )
+            .localCheckpoint(eager=False)
         )
-        n_frontier = nxt.count()
+        # ONE job: materializes the lazy checkpoint and returns frontier
+        # size + target-hit flag (was three jobs: eager checkpoint,
+        # count, filter-count — r17, guide §1/§2.4)
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("node_id") == dst_id, 1).otherwise(0)).alias("hit"),
+        ).first()
+        n_frontier = stats["n"]
         if n_frontier == 0:
             break
-        if nxt.filter(F.col("node_id") == dst_id).count() > 0:
+        if stats["hit"] == 1:
             found = depth
             break
+        n_visited += n_frontier
         visited = visited.unionByName(nxt.withColumn("dist", F.lit(depth).cast("int")))
         frontier = nxt
     rows = [(src_id, dst_id, found)] if found is not None else []
@@ -301,6 +345,7 @@ def shortest_path(
     visited = spark.createDataFrame([(src_id,)], "node_id string")
     frontier = visited
     n_frontier = 1  # counted frontier guard, as in shortest_path_length
+    n_visited = 1
     levels: list[DataFrame] = []  # checkpointed (node_id, parent) per depth
     for _ in range(max_hops):
         step = (
@@ -312,15 +357,21 @@ def shortest_path(
             )
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.min("src").alias("parent"))  # deterministic parent choice
-            .join(visited, "node_id", "left_anti")
-            .localCheckpoint(eager=True)
+            # counted-broadcast anti-join, as in bfs (r17)
+            .join(_frontier_side(visited, n_visited), "node_id", "left_anti")
+            .localCheckpoint(eager=False)
         )
-        n_frontier = step.count()
+        # ONE job materializes + counts + probes the target (r17)
+        stats = step.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("node_id") == dst_id, 1).otherwise(0)).alias("hit"),
+        ).first()
+        n_frontier = stats["n"]
         if n_frontier == 0:
             return []
+        n_visited += n_frontier
         levels.append(step)
-        hit = step.filter(F.col("node_id") == dst_id).take(1)
-        if hit:
+        if stats["hit"] == 1:
             # walk back through the per-level parent tables: one 1-row
             # lookup per depth — the tables themselves stay distributed
             path = [dst_id]
@@ -331,7 +382,10 @@ def shortest_path(
                 path.append(row[0]["parent"])
             return list(reversed(path))
         frontier = step.select("node_id")
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        # no per-level eager checkpoint of visited: it is a union of
+        # already-checkpointed level frames (shallow lineage), so the
+        # checkpoint job per level bought nothing (r17)
+        visited = visited.unionByName(frontier)
     return []
 
 
@@ -389,7 +443,9 @@ def enumerate_paths(
                 (F.col("hops") + 1).alias("hops"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the count below materializes it in the
+            # same job (r17 — was eager + count, two jobs per level)
+            .localCheckpoint(eager=False)
         )
         n_step = step.count()
         if level_counts is not None:
@@ -466,7 +522,8 @@ def subgraph(edges: DataFrame, node_set: DataFrame) -> DataFrame:
     sweep: node sets from BFS are O(reach), the frontier defect class),
     edge table untouched by shuffle under the bound. One count serves
     both hints (BFS outputs arrive checkpointed)."""
-    ids = node_set.select("node_id").localCheckpoint(eager=True)
+    # lazy checkpoint + count: one materialization job (r17)
+    ids = node_set.select("node_id").localCheckpoint(eager=False)
     n_ids = ids.count()
     return (
         edges.join(

@@ -81,13 +81,7 @@ def curate_corpus(
         greedy_pack,
         span_dedup_apply,
     )
-    from ..operators.dedup import (
-        JACCARD_THRESHOLD,
-        doc_shingles,
-        lsh_candidates,
-        minhash_signatures,
-        verify_jaccard,
-    )
+    from ..operators.dedup import JACCARD_THRESHOLD, minhash_verified_pairs
     from ..operators.sampling import (
         epoch_order,
         quantile_filter_global,
@@ -117,8 +111,9 @@ def curate_corpus(
     )
 
     # 2. near-dup dedup: LSH pairs → CC groups → anti-join apply
-    sh = doc_shingles(cur).localCheckpoint(eager=True)
-    pairs = verify_jaccard(lsh_candidates(minhash_signatures(sh)), sh).filter(
+    # (r17: array-form pair pipeline — one checkpoint, one corpus
+    # exchange; see dedup.minhash_verified_pairs)
+    pairs = minhash_verified_pairs(cur).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
@@ -264,13 +259,7 @@ def pipe_curation_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
         greedy_pack,
         span_dedup_apply,
     )
-    from ..operators.dedup import (
-        JACCARD_THRESHOLD,
-        doc_shingles,
-        lsh_candidates,
-        minhash_signatures,
-        verify_jaccard,
-    )
+    from ..operators.dedup import JACCARD_THRESHOLD, minhash_verified_pairs
     from ..operators.sampling import epoch_order, quantile_filter_global, temperature_mix
     from ..registry import Ctx
 
@@ -296,8 +285,8 @@ def pipe_curation_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 2. near-dup: LSH candidates -> exact jaccard -> CC -> anti-join
-    sh = doc_shingles(s1).localCheckpoint(eager=True)
-    pairs = verify_jaccard(lsh_candidates(minhash_signatures(sh)), sh).filter(
+    # (r17: array-form pair pipeline, see dedup.minhash_verified_pairs)
+    pairs = minhash_verified_pairs(s1).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
