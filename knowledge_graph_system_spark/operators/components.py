@@ -66,10 +66,14 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # carry the round's starting label through as `old` so the
+        # convergence check is a row-local comparison instead of a
+        # jumped ⋈ labels join per round (r17, guide §2.4)
         stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("old"),
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
         )
@@ -81,16 +85,15 @@ def connected_components(
             stepped.join(lookup, "comp", "left")
             .select(
                 "node",
+                "old",
                 F.least(F.col("comp"), F.coalesce("parent", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count below materializes the round's
+            # checkpoint in the SAME job (was eager + a join-count job)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("comp") != F.col("old")).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

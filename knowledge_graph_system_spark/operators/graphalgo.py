@@ -40,6 +40,12 @@ from ..registry import query
 
 DAMPING = 0.85
 
+# Node-keyed frames (ranks, degrees, labels, per-sweep contributions)
+# above this row count lose their broadcast hint and the sweeps fall
+# back to shuffle joins — the counted-guard class shared with
+# traversal._BROADCAST_FRONTIER_MAX.
+_NODE_BROADCAST_MAX = 2_000_000
+
 
 def pagerank(
     nodes: DataFrame,
@@ -59,12 +65,31 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    base = nodes.select(F.col(node_col).alias("node")).distinct()
+    from ..functions.scale import maybe_broadcast
+
+    # checkpointed once: outdeg/base were recomputed (one exchange each)
+    # EVERY sweep in the r16 shape (r17, guide §2.4). Lazy — the first
+    # sweep's job materializes them.
+    outdeg = (
+        e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
+    )
+    base = (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ranks = base.withColumn("rank", F.lit(round(1.0 / n_nodes, 10)))
     for _ in range(iters):
+        # rank-side frames are node-sized and n_nodes is already
+        # counted: broadcast them into every join (guarded), so the
+        # EDGE frame — the 100 TB side — is never exchanged per sweep;
+        # the only per-sweep exchange left is contrib's partial-agg
+        # groupBy(dst) (r17, guide §2.4/§3.1). Past the bound the
+        # joins fall back to the r16 shuffle shape.
         with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
+            maybe_broadcast(outdeg, _NODE_BROADCAST_MAX, n_rows=n_nodes),
+            ranks["node"] == outdeg["src"],
+            "left",
         ).select("node", "rank", "deg")
         # dangling mass: nodes with no out-edges spread uniformly. A
         # 1-row aggregate frame broadcast into the rank update — not a
@@ -76,15 +101,22 @@ def pagerank(
                 F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n_nodes))
             ).alias("__dm_per_node")
         )
+        spread = with_deg.filter(F.col("deg").isNotNull())
         contrib = (
-            with_deg.filter(F.col("deg").isNotNull())
-            .join(e, with_deg["node"] == e["src"])
+            e.join(
+                maybe_broadcast(spread, _NODE_BROADCAST_MAX, n_rows=n_nodes),
+                spread["node"] == e["src"],
+            )
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            base.join(contrib, "node", "left")
+            base.join(
+                maybe_broadcast(contrib, _NODE_BROADCAST_MAX, n_rows=n_nodes),
+                "node",
+                "left",
+            )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -161,12 +193,23 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
-    ).distinct()
+    from ..functions.scale import maybe_broadcast
+
+    labels = (
+        nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("lbl"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # one count up front sizes EVERY per-sweep broadcast guard (the
+    # label frame stays node-sized by construction) — r17, guide §3.1:
+    # the edge frame is never exchanged per sweep under the bound
+    n_labels = labels.count()
     for _ in range(iters):
         neigh = (
-            und.join(labels, und["b"] == labels["node"])
+            und.join(
+                maybe_broadcast(labels, _NODE_BROADCAST_MAX, n_rows=n_labels),
+                und["b"] == labels["node"],
+            )
             .select(F.col("a").alias("node"), "lbl")
             .groupBy("node", "lbl")
             .agg(F.count("*").alias("n"))
@@ -183,11 +226,17 @@ def label_propagation(
             .select("node", F.col("top.lbl").alias("new_lbl"))
         )
         labels = (
-            labels.join(best, "node", "left")
+            labels.join(
+                maybe_broadcast(best, _NODE_BROADCAST_MAX, n_rows=n_labels),
+                "node",
+                "left",
+            )
             .select(
                 "node", F.coalesce("new_lbl", "lbl").alias("lbl")
             )
-            .localCheckpoint(eager=True)
+            # lazy: the next sweep's broadcast build (or the caller's
+            # action on the last sweep) materializes it (r17)
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         F.col("node").alias(node_col), F.col("lbl").alias("community")
@@ -316,19 +365,28 @@ def weighted_distances(
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"), c.alias("__c")
     ).groupBy("__s", "__d").agg(F.min("__c").alias("__c")).localCheckpoint(eager=True)
+    from ..functions.scale import maybe_broadcast
+
     spark = edges.sparkSession
     dist = spark.createDataFrame([(s, 0.0) for s in sources], "node_id string, dist double")
+    n_dist = len(sources)
     for _ in range(sweeps):
+        # the distance frame is reach-sized and counted (the count
+        # doubles as the lazy checkpoint's materializing job): under
+        # the bound it broadcasts, so the EDGE frame is never exchanged
+        # per sweep (r17, guide §2.4/§3.1 — the pagerank discipline)
         relaxed = (
-            dist.join(e, dist["node_id"] == e["__s"])
+            maybe_broadcast(dist, _NODE_BROADCAST_MAX, n_rows=n_dist)
+            .join(e, dist["node_id"] == e["__s"])
             .select(F.col("__d").alias("node_id"), F.round(F.col("dist") + F.col("__c"), 10).alias("dist"))
         )
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node_id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_dist = dist.count()
     return dist.select("node_id", F.round("dist", 6).alias("dist"))
 
 

@@ -367,12 +367,19 @@ def kmeans_codebook(
         )
     cb = [list(r["v"]) for r in seeds]
     for _ in range(iters):
-        enc = _with_dists(vectors, cb).select(
-            "vec_id", F.expr(_KM_ARGMIN).alias("j")
-        )
+        # ONE scan per sweep (r17, guide §2.4): the assignment is a
+        # row-local projection of the same rows the mean needs, so the
+        # r16 shape's vectors ⋈ enc re-join on vec_id (a corpus-scale
+        # exchange per sweep, only to re-attach the v it started from)
+        # is dropped — argmin and posexplode ride one projection, and
+        # the only shuffle is the (j, d)-keyed partial-agg exchange
+        # bounded by k·D per map task.
         stats = (
-            vectors.join(enc, "vec_id")
-            .select("j", F.posexplode("v").alias("d", "x"))
+            _with_dists(vectors, cb)
+            .select(
+                F.expr(_KM_ARGMIN).alias("j"),
+                F.posexplode("v").alias("d", "x"),
+            )
             .groupBy("j", "d")
             .agg(F.avg("x").alias("cv"))
             .collect()
