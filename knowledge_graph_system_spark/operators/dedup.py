@@ -189,8 +189,14 @@ def verify_jaccard(
     )
 
 
+PAIR_BROADCAST_MAX = 2_000_000  # candidate-derived frames lose hints past this
+
+
 def verify_jaccard_arrays(
-    candidates: DataFrame, arr: DataFrame, id_col: str = "doc_id"
+    candidates: DataFrame,
+    arr: DataFrame,
+    id_col: str = "doc_id",
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Exact jaccard for candidate pairs, row-local from the
     shingle-array form (r17, guide §2.3/§2.4/§3.3).
@@ -198,17 +204,34 @@ def verify_jaccard_arrays(
     The exploded `verify_jaccard` joined candidates against the full
     shingle table TWICE and counted shared shingles through a
     pair-keyed exchange — intermediate rows = one per (pair, shared
-    shingle). Here the two joins attach each side's shingle ARRAY (the
-    candidate side is the small one — AQE broadcasts it and the array
-    frame is never shuffled), and the intersection is one codegen
-    `size(array_intersect(...))` per pair. `inter >= 1` preserves the
+    shingle). Here the candidate-doc ID SET (narrow, ≤ 2·n_pairs rows)
+    semi-filters the array frame down to candidate docs, the two
+    attach joins build on that small subset, and the intersection is
+    one codegen `size(array_intersect(...))` per pair — under the
+    counted guard the corpus array frame is never shuffled NOR
+    broadcast whole (the un-guarded first cut let the planner
+    broadcast the FULL array frame twice: a corpus-sized build, +1.7 s
+    at sf0.1 and a driver hazard at 100 TB). Callers pass `n_pairs`
+    from their checkpointed candidate frame; without it no hints are
+    applied and the planner decides. `inter >= 1` preserves the
     exploded form's inner-join row contract exactly (a pair sharing no
     shingle emits no row). Same (doc_a, doc_b, jaccard) output."""
-    a = arr.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("_sa"))
-    b = arr.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("_sb"))
+    from ..functions.scale import maybe_broadcast
+
+    bound = None if n_pairs is None else 2 * n_pairs
+
+    def hinted(df: DataFrame) -> DataFrame:
+        return df if bound is None else maybe_broadcast(df, PAIR_BROADCAST_MAX, n_rows=bound)
+
+    ids = candidates.select(F.col("doc_a").alias(id_col)).unionByName(
+        candidates.select(F.col("doc_b").alias(id_col))
+    )  # no distinct: left_semi ignores duplicate build rows — one less exchange
+    sub = arr.join(hinted(ids), id_col, "left_semi")
+    a = sub.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("_sa"))
+    b = sub.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("_sb"))
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
+        candidates.join(hinted(a), "doc_a")
+        .join(hinted(b), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -237,9 +260,21 @@ def minhash_verified_pairs(
     verification. The only corpus-scale exchange is the LSH band
     groupBy. Returns (doc_a, doc_b, jaccard), unfiltered — callers
     apply their threshold."""
-    arr = doc_shingle_arrays(docs, id_col, text_col).localCheckpoint(eager=True)
+    from ..functions.scale import fan_out
+
+    # fan_out BEFORE shingling (the d_semdedup precedent): removing the
+    # r16 explode→DISTINCT exchange also removed its incidental 32-way
+    # repartition, so the md5-heavy row-local signature work inherited
+    # the scan's split count (ONE split at the gate SFs — measured
+    # serializing the whole stage). At corpus scale splits ≫ cores and
+    # fan_out adds nothing.
+    arr = doc_shingle_arrays(fan_out(docs.select(id_col, text_col)), id_col, text_col).localCheckpoint(eager=True)
+    # lazy checkpoint + count: one job materializes the candidate set
+    # and sizes every broadcast guard in the verification
     cand = lsh_candidates(minhash_signatures_from_arrays(arr, id_col), id_col)
-    return verify_jaccard_arrays(cand, arr, id_col)
+    cand = cand.localCheckpoint(eager=False)
+    n_pairs = cand.count()
+    return verify_jaccard_arrays(cand, arr, id_col, n_pairs=n_pairs)
 
 
 # DuckDB twins ---------------------------------------------------------------

@@ -4,7 +4,7 @@ One warm pass + best-of-2, printed as a sorted JSON line per query plus a
 total. Used by the r17 optimization round to rank the 100-row registry by
 cost and build the operator checklist (guide §1).
 
-Usage: python tools/sweep_all.py [sf_dir] [out_json]
+Usage: python tools/sweep_all.py [sf_dir] [out_json] [query ...]
 """
 
 from __future__ import annotations
@@ -27,6 +27,9 @@ def main() -> None:
     from knowledge_graph_system_spark.session import get_spark
 
     specs = load_all()
+    only = set(sys.argv[3:])
+    if only:
+        specs = {k: v for k, v in specs.items() if k in only}
     spark = get_spark("kg-spark-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
