@@ -53,3 +53,23 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def local_df(spark, data, schema) -> DataFrame:
+    """`createDataFrame` for SMALL driver-side lists, in ONE partition.
+
+    PySpark's `createDataFrame` parallelizes local data into
+    `defaultParallelism` slices — a 9-row vocabulary or a 1-row stat
+    frame becomes a 32-partition ExistingRDD scan, so every broadcast
+    build over it runs 32 near-empty tasks and a cartesian/BNLJ of two
+    such frames schedules 32x32 = 1024 tasks of pure overhead (measured
+    15.8 s for the 36-row vocab pair join at sf0.1 — r17, guide §2.2
+    "fewer, larger tasks"). NOT `.coalesce(1)`: each parent partition of
+    a parallelized collection is evaluated through its own Python-runner
+    round, and CoalesceExec chains all 32 sequentially into one task
+    (measured 4 s per action, every action). `parallelize(data, 1)`
+    builds the one-slice RDD directly (measured 0.18 s cold). Callers
+    own the smallness contract — this is for seed/stat/codebook/
+    vocabulary frames, not data tables.
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)

@@ -191,8 +191,10 @@ def x2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events matched to value bands via the bucketized range join,
     aggregated per band. Oracle uses the plain inequality join — same
     semantics, independently planned."""
+    from ..functions.scale import local_df
+
     ctx = Ctx.get(spark, sf_dir)
-    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    bands = local_df(spark, _BANDS, "band string, lo double, hi double")
     return (
         range_join(ctx.tables["events"], "value", bands)
         .groupBy("band")

@@ -120,7 +120,9 @@ def bloom_build(
     words = [0] * ((m + 63) // 64)
     for r in word_rows:
         words[r["i"]] = r["wd"]
-    return spark.createDataFrame([(words, m)], "w array<bigint>, m bigint")
+    from ..functions.scale import local_df
+
+    return local_df(spark, [(words, m)], "w array<bigint>, m bigint")
 
 
 def bloom_hit_expr(gram_col: str = "gram") -> str:

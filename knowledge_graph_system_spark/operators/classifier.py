@@ -108,7 +108,9 @@ _P_EXPR = (
 
 
 def _w_frame(spark: SparkSession, w: list[float]) -> DataFrame:
-    return spark.createDataFrame([(w,)], "w array<double>")
+    from ..functions.scale import local_df
+
+    return local_df(spark, [(w,)], "w array<double>")
 
 
 def logreg_train(

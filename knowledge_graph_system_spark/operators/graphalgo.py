@@ -365,10 +365,10 @@ def weighted_distances(
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"), c.alias("__c")
     ).groupBy("__s", "__d").agg(F.min("__c").alias("__c")).localCheckpoint(eager=True)
-    from ..functions.scale import maybe_broadcast
+    from ..functions.scale import local_df, maybe_broadcast
 
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(s, 0.0) for s in sources], "node_id string, dist double")
+    dist = local_df(spark, [(s, 0.0) for s in sources], "node_id string, dist double")
     n_dist = len(sources)
     for _ in range(sweeps):
         # the distance frame is reach-sized and counted (the count

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import dot_expr, with_unit_vec
 from ..functions import oracle_snippets as osql
+from ..functions.scale import local_df
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
 
@@ -154,7 +155,7 @@ LEFT JOIN nodes n ON n.node_id = ids.node_id
 )
 def j4_hydrate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = Ctx.get(spark, sf_dir)
-    ids = spark.createDataFrame([(i,) for i in _HYDRATE_IDS], "node_id string")
+    ids = local_df(spark, [(i,) for i in _HYDRATE_IDS], "node_id string")
     return hydrate_ids(ctx.nodes, ids)
 
 
@@ -331,7 +332,8 @@ def j9_two_tier_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be LSH-blocked (see operators/dedup.py) — same contract."""
     ctx = Ctx.get(spark, sf_dir)
     segs = ["HOUSEHOLD", "BUILDING", "AUTOMOBILE", "FURNITURE", "MACHINERY"]
-    inc = spark.createDataFrame(
+    inc = local_df(
+        spark,
         [(i, f"inc:{i}", segs[i % 5]) for i in range(_INCOMING_N)],
         "incoming_id long, seed string, ontology string",
     )
@@ -419,9 +421,7 @@ def _x2_sides(ctx: Ctx) -> tuple[DataFrame, DataFrame]:
             F.col("p_brand").alias("brand"),
         )
         .unionByName(
-            ctx.spark.createDataFrame(
-                [("HOT", "Brand#HOT")], "skew_key string, brand string"
-            )
+            local_df(ctx.spark, [("HOT", "Brand#HOT")], "skew_key string, brand string")
         )
     )
     return l, d

@@ -156,7 +156,10 @@ def kmeans_assign_ivf(
 
     # centroid FRAME keyed by coarse cell — at true scale this is the
     # distributed form (k ∝ N means the centroid set itself shards)
-    cent = spark.createDataFrame(
+    from ..functions.scale import local_df
+
+    cent = local_df(
+        spark,
         [(cells[j], j + 1, list(cb[j])) for j in range(k)],
         "ccell int, clabel int, cv array<double>",
     )
@@ -176,7 +179,8 @@ def kmeans_assign_ivf(
     # per-row coarse scoring off a broadcast one-row frame; the
     # distance array is projected once (__cdists) then argsorted by
     # slice of array_position over array_sort — nprobe smallest cells
-    coarse_frame = spark.createDataFrame(
+    coarse_frame = local_df(
+        spark,
         [([coarse[c - 1] for c in occupied], [int(c) for c in occupied])],
         "cc array<array<double>>, oc array<int>",
     )

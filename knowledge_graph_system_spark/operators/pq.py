@@ -86,7 +86,9 @@ def _cb_frame(spark: SparkSession, cb: list[list[list[float]]]) -> DataFrame:
     the frame form cut the warm training pass 10.3 s → 3.1 s). The
     1-row no-key join plans as a BroadcastNestedLoopJoin — a constant
     gather, never a shuffle."""
-    return spark.createDataFrame([(cb,)], "cb array<array<array<double>>>")
+    from ..functions.scale import local_df
+
+    return local_df(spark, [(cb,)], "cb array<array<array<double>>>")
 
 
 def _encode_expr(k: int) -> str:

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scale import local_df
+
 K1 = 1.2
 B = 0.75
 
@@ -245,9 +247,7 @@ def bm25_from_index(
     buckets = sorted(
         {
             r[0]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
+            for r in local_df(spark, [(t,) for t in terms], "term string")
             .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
             .collect()
         }

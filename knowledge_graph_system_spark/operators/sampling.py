@@ -792,8 +792,10 @@ def grid_quantiles(
     cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
         "__n", F.sum("__c").over(wn)
     )
+    from ..functions.scale import local_df
+
     spark = df.sparkSession
-    qf = spark.createDataFrame(qs, "q string, frac double")
+    qf = local_df(spark, qs, "q string, frac double")
     hit = cum.join(F.broadcast(qf)).filter(
         F.col("__cum") >= F.ceil(F.col("frac") * F.col("__n"))
     )

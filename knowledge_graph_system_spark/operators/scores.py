@@ -79,10 +79,10 @@ def grounding(edges: DataFrame) -> DataFrame:
     """Per-node grounding over incoming semantic edges: confidence-weighted
     mean of the rel-type's axis projection. NULL confidence weighs 0.5
     (the reference treats unknown confidence as neutral)."""
+    from ..functions.scale import local_df
+
     spark = edges.sparkSession
-    proj = spark.createDataFrame(
-        list(rel_projections().items()), "rel_type string, proj double"
-    )
+    proj = local_df(spark, list(rel_projections().items()), "rel_type string, proj double")
     w = F.coalesce(F.col("confidence"), F.lit(0.5))
     return (
         edges.filter(F.col("rel_type").startswith(SEMANTIC_PREFIX))
@@ -557,10 +557,10 @@ def epistemic_status_measurement(spark: SparkSession, sf_dir: str) -> DataFrame:
       CONTRADICTED (< −0.5).
     A measurement, not a truth: results are per-run temporal, exactly
     the service's satisficing philosophy."""
+    from ..functions.scale import local_df
+
     ctx = Ctx.get(spark, sf_dir)
-    proj = spark.createDataFrame(
-        list(rel_projections().items()), "rel_type string, proj double"
-    )
+    proj = local_df(spark, list(rel_projections().items()), "rel_type string, proj double")
     g = F.round(F.col("proj") * F.coalesce(F.col("confidence"), F.lit(0.5)), 6)
     stats = (
         ctx.edges.join(F.broadcast(proj), "rel_type")

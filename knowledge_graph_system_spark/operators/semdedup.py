@@ -297,7 +297,9 @@ _KM_ITERS = 3
 
 
 def _km_frame(spark: SparkSession, cb: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame([(cb,)], "cb array<array<double>>")
+    from ..functions.scale import local_df
+
+    return local_df(spark, [(cb,)], "cb array<array<double>>")
 
 
 def _km_dists(k: int) -> str:

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scale import local_df
 from ..registry import Ctx, query
 from ..sources.graph_view import graph_ctes
 
@@ -85,9 +86,7 @@ def bfs(
     """
     spark = edges.sparkSession
     adj = directed_edges(edges, direction, min_confidence, rel_types)
-    visited = spark.createDataFrame(
-        [(s, 0) for s in start_ids], "node_id string, dist int"
-    )
+    visited = local_df(spark, [(s, 0) for s in start_ids], "node_id string, dist int")
     frontier = visited.select("node_id")
     n_frontier: int | None = len(start_ids)
     n_visited = len(start_ids)
@@ -188,7 +187,7 @@ def bfs_paths(
     spark = edges.sparkSession
     adj = directed_edges_tagged(edges, direction, min_confidence, rel_types)
     empty_arr = F.array().cast("array<string>")
-    visited = spark.createDataFrame([(s,) for s in start_ids], "node_id string").select(
+    visited = local_df(spark, [(s,) for s in start_ids], "node_id string").select(
         "node_id",
         F.lit(0).cast("int").alias("dist"),
         F.array("node_id").alias("key"),
@@ -277,12 +276,10 @@ def shortest_path_length(
     spark = edges.sparkSession
     if src_id == dst_id:
         # the start node is reachable at distance 0 (reference BFS rule)
-        return spark.createDataFrame(
-            [(src_id, dst_id, 0)], "src string, dst string, dist int"
-        )
+        return local_df(spark, [(src_id, dst_id, 0)], "src string, dst string, dist int")
     found = None
     adj = directed_edges(edges, direction)
-    visited = spark.createDataFrame([(src_id, 0)], "node_id string, dist int")
+    visited = local_df(spark, [(src_id, 0)], "node_id string, dist int")
     frontier = visited.select("node_id")
     # per-hop frontier is O(V) worst case (hub graphs) — counted guard,
     # same policy as bfs's _frontier_side; the count is free (each
@@ -324,7 +321,7 @@ def shortest_path_length(
         visited = visited.unionByName(nxt.withColumn("dist", F.lit(depth).cast("int")))
         frontier = nxt
     rows = [(src_id, dst_id, found)] if found is not None else []
-    return spark.createDataFrame(rows, "src string, dst string, dist int")
+    return local_df(spark, rows, "src string, dst string, dist int")
 
 
 def shortest_path(
@@ -342,7 +339,7 @@ def shortest_path(
         return [src_id]
     spark = edges.sparkSession
     adj = directed_edges(edges, direction)
-    visited = spark.createDataFrame([(src_id,)], "node_id string")
+    visited = local_df(spark, [(src_id,)], "node_id string")
     frontier = visited
     n_frontier = 1  # counted frontier guard, as in shortest_path_length
     n_visited = 1
@@ -422,7 +419,7 @@ def enumerate_paths(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
     )
     spark = edges.sparkSession
-    paths = spark.createDataFrame([(src_id, [src_id], 0)], "head string, path array<string>, hops int")
+    paths = local_df(spark, [(src_id, [src_id], 0)], "head string, path array<string>, hops int")
     done = paths.filter(F.lit(False))
     n_paths = 1  # each level's count is already paid for the empty check
     for _ in range(max_hops):

@@ -343,9 +343,9 @@ def v6b_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ra != rb:
             parent[rb] = ra
     comp = {t: min(u for u in types if find(u) == find(t)) for t in types}
-    comp_df = spark.createDataFrame(
-        [(t, c) for t, c in comp.items()], "rel_type string, comp string"
-    )
+    from ..functions.scale import local_df
+
+    comp_df = local_df(spark, [(t, c) for t, c in comp.items()], "rel_type string, comp string")
 
     cnt = ctx.edges.groupBy("rel_type").agg(F.count("*").alias("edge_count"))
     fullv = (
@@ -395,9 +395,11 @@ def v3_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join pass — the matrix-product shape, as columns."""
     from ..functions.vectors import with_unit_vec
 
+    from ..functions.scale import local_df
+
     ctx = Ctx.get(spark, sf_dir)
     q = with_unit_vec(
-        spark.createDataFrame([(s,) for s in _V3_SEEDS], "seed string"), "seed", out_col="qemb"
+        local_df(spark, [(s,) for s in _V3_SEEDS], "seed string"), "seed", out_col="qemb"
     ).withColumnRenamed("seed", "query_seed")
     t = ctx.nodes_emb.filter(F.col("label") == "Supplier").select("node_id", "embedding")
     return (

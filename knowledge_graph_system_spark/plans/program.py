@@ -60,11 +60,19 @@ class WorkingGraph:
         """Dangling-link invariant: every link endpoint must exist in the
         node set (`program_operators.py:42-53`). The node-id frame is a
         program RESULT — O(V) for a match-all — so the semi-join hints
-        are counted, not forced (r11 sweep; one count serves both)."""
+        are counted, not forced (r11 sweep; one count serves both).
+
+        The FULL node frame is checkpointed here and returned — the
+        executor reuses it as the statement's per-step materialization
+        instead of checkpointing the same plan a second time (r17,
+        guide §1/§2.4: was two full evaluations of every statement's
+        node set — the ids projection here plus the executor's own
+        nodes checkpoint)."""
         from ..operators.traversal import _frontier_side
 
-        ids = self.nodes.select("node_id").localCheckpoint(eager=True)
-        n_ids = ids.count()
+        nodes = self.nodes.localCheckpoint(eager=True)
+        ids = nodes.select("node_id")
+        n_ids = nodes.count()  # cheap: counts the materialized checkpoint
         links = self.links.join(
             _frontier_side(ids.withColumnRenamed("node_id", "src"), n_ids),
             "src",
@@ -74,7 +82,7 @@ class WorkingGraph:
             "dst",
             "left_semi",
         )
-        return WorkingGraph(self.nodes, links)
+        return WorkingGraph(nodes, links)
 
 
 @dataclass
@@ -255,9 +263,10 @@ def _run_block(
             res.working = _APPLY[st["op"]](res.working, r)
             # localCheckpoint: cut lineage so long programs don't build
             # mile-deep plans (the engine analog of the reference's
-            # per-statement materialized WorkingGraph). Nodes eager (the
-            # next statement's set op reads them immediately); links lazy —
-            # they materialize fused into whichever later action first
+            # per-statement materialized WorkingGraph). Nodes were
+            # checkpointed eagerly inside `_prune_dangling` (one
+            # materialization per statement, r17); links lazy — they
+            # materialize fused into whichever later action first
             # touches them instead of paying a dedicated job per statement.
             # Lazy checkpoints chain unmaterialized, so every K statements
             # the link checkpoint is forced eager to bound the accumulated
@@ -266,7 +275,7 @@ def _run_block(
                 _LINK_MATERIALIZE_EVERY - 1
             )
             res.working = WorkingGraph(
-                res.working.nodes.localCheckpoint(eager=True),
+                res.working.nodes,
                 res.working.links.localCheckpoint(eager=links_eager),
             )
             rn = r.nodes.count() if collect_counts else -1

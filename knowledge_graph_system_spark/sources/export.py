@@ -190,8 +190,10 @@ def s4s5_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (name, manifest["counts"][name], *_roundtrip_stats(orig, re_df, cols))
         for name, orig, re_df, cols in entities
     ]
-    return spark.createDataFrame(
-        rows, "entity string, exported bigint, reimported bigint, mismatched bigint"
+    from ..functions.scale import local_df
+
+    return local_df(
+        spark, rows, "entity string, exported bigint, reimported bigint, mismatched bigint"
     )
 
 

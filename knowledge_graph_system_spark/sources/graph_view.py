@@ -114,8 +114,10 @@ def vocabulary_df(spark: SparkSession) -> DataFrame:
     Mirrors kg_api.relationship_vocabulary (`/root/reference/schema/
     00_baseline.sql:2800`): rel_type, category, epistemic_status, embedding.
     """
-    df = spark.createDataFrame(
-        VOCABULARY, "rel_type string, category string, epistemic_status string"
+    from ..functions.scale import local_df
+
+    df = local_df(
+        spark, VOCABULARY, "rel_type string, category string, epistemic_status string"
     )
     return with_unit_vec(df, "concat('vocab:', rel_type)", out_col="embedding")
 

@@ -88,7 +88,10 @@ def ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
     spark = good.sparkSession
     n_good, n_bad = good.count(), bad.count()
     total = n_good + n_bad
-    return spark.createDataFrame(
+    from ..functions.scale import local_df
+
+    return local_df(
+        spark,
         [(n_good, n_bad, round(n_bad / total, 6) if total else 0.0)],
         "n_good long, n_bad long, bad_frac double",
     )
@@ -175,7 +178,10 @@ def src_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         good_agg = feed.good.groupBy("lang").agg(
             F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
         )
-        quarantined = spark.createDataFrame(
+        from ..functions.scale import local_df
+
+        quarantined = local_df(
+            spark,
             [("__quarantined__", n_bad, None)],
             "lang string, n_docs long, total_chars long",
         )

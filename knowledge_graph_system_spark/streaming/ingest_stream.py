@@ -75,7 +75,9 @@ def streaming_ingest(spark: SparkSession, sf_dir: str, doc_limit: int = _DOC_LIM
                 "embedding", "resolved_id", "action", "epoch"]
 
     def log_epoch(epoch: int, status: str) -> None:
-        spark.createDataFrame([(epoch, status)], "epoch int, status string") \
+        from ..functions.scale import local_df
+
+        local_df(spark, [(epoch, status)], "epoch int, status string") \
             .write.mode("append").parquet(epoch_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

@@ -77,7 +77,9 @@ def quantiles_from_hist(hist_log: DataFrame, group: str = "source") -> DataFrame
     cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
         "__n", F.sum("__c").over(wn)
     )
-    qf = spark.createDataFrame(_QS, "q string, frac double")
+    from ..functions.scale import local_df
+
+    qf = local_df(spark, _QS, "q string, frac double")
     return (
         cum.join(F.broadcast(qf))
         .filter(F.col("__cum") >= F.ceil(F.col("frac") * F.col("__n")))
