@@ -147,13 +147,18 @@ def logreg_train(
     return w
 
 
-def logreg_score(data: DataFrame, w: list[float]) -> DataFrame:
-    """(doc_id, p, pred, y): row-local scoring off trained weights."""
+def logreg_score(data: DataFrame, w: list[float], carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, p, pred, y): row-local scoring off trained
+    weights. `carry` projects extra input columns straight through so
+    callers do not join the scored frame back to its own input on
+    doc_id — that self-join was a corpus exchange in both graded
+    consumers (r17, guide §2.4)."""
     return (
         data.join(F.broadcast(_w_frame(data.sparkSession, w)))
         .withColumn("__p", F.expr(_P_EXPR))
         .select(
             "doc_id",
+            *carry,
             F.round("__p", 6).alias("p"),
             (F.col("__p") >= 0.5).alias("pred"),
             "y",
@@ -179,11 +184,12 @@ def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     w = logreg_train(data)
-    scored = logreg_score(data, w)
+    # carry=source: the rollup reads the scored rows directly instead of
+    # re-joining them to `data` on doc_id (one corpus exchange removed;
+    # doc_id is unique so the join was 1:1 — identical rows)
+    scored = logreg_score(data, w, carry=("source",))
     return (
-        data.select("doc_id", "source")
-        .join(scored, "doc_id")
-        .groupBy("source")
+        scored.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("y").cast("bigint")).alias("n_pos"),
@@ -392,10 +398,9 @@ def cur_budget_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     w = logreg_train(data)
-    scored = (
-        logreg_score(data, w)
-        .join(data.select("doc_id", "source", "n_tokens"), "doc_id")
-        .select("doc_id", "source", "p", "n_tokens")
+    # carry instead of the doc_id self-join back to `data` (r17 §2.4)
+    scored = logreg_score(data, w, carry=("source", "n_tokens")).select(
+        "doc_id", "source", "p", "n_tokens"
     )
     bframe = data.agg(
         F.floor(F.lit(_BUDGET_FRAC) * F.sum("n_tokens")).cast("bigint").alias("b")
