@@ -81,10 +81,18 @@ def make_dispatch(ctx: Ctx):
             from .traversal import bfs
 
             hops = source.get("max_hops", 6)
+            # eager checkpoints: each reach frame's final BFS level is
+            # lazy, and it feeds the dd probe, the corridor, the links
+            # joins AND two counts — materialize once, read five times
+            # (r17, guide §1/§2.4)
             fw = bfs(ctx.edges, [source["from_id"]], hops, direction="out")
             bw = bfs(ctx.edges, [source["to_id"]], hops, direction="in")
-            fwd = fw.select("node_id", F.col("dist").alias("_dfw"))
-            bwd = bw.select("node_id", F.col("dist").alias("_dbw"))
+            fwd = fw.select(
+                "node_id", F.col("dist").alias("_dfw")
+            ).localCheckpoint(eager=True)
+            bwd = bw.select(
+                "node_id", F.col("dist").alias("_dbw")
+            ).localCheckpoint(eager=True)
             dd = (
                 fwd.join(bwd, "node_id")
                 .filter(F.col("node_id") == source["to_id"])
@@ -133,14 +141,19 @@ def make_dispatch(ctx: Ctx):
         if kind == "neighborhood":
             from .traversal import bfs, subgraph
 
+            # eager checkpoint: the final BFS level is lazy and feeds the
+            # broadcast-guard count, the nodes join AND the induced
+            # subgraph — materialize once (r17, guide §1/§2.4)
             nset = bfs(
                 ctx.edges,
                 [source["start"]],
                 source.get("depth", 1),
                 direction=source.get("direction", "out"),
-            )
+            ).localCheckpoint(eager=True)
             nodes = ctx.nodes.join(
-                maybe_broadcast(nset.select("node_id"), _REACH_BROADCAST_MAX),
+                maybe_broadcast(
+                    nset.select("node_id"), _REACH_BROADCAST_MAX, nset.count()
+                ),
                 "node_id",
             )
             return Result(nodes=nodes, links=subgraph(ctx.edges, nset))
@@ -211,6 +224,10 @@ def make_dispatch(ctx: Ctx):
                 )
                 .select(F.col("dst").alias("node_id"))
                 .dropDuplicates(["node_id"])
+                # eager checkpoint: the edge scan + dedup exchange fed
+                # both the broadcast-guard count and the nodes join —
+                # two corpus-plan evaluations; now one (r17, guide §2.4)
+                .localCheckpoint(eager=True)
             )
             # linked is O(Σ degree) of the matched sources — a 100 TB
             # hub makes a forced hint the driver-OOM class the r11
@@ -228,26 +245,34 @@ def make_dispatch(ctx: Ctx):
             # one concept's full out-neighbor set is O(degree) — same
             # hub-node bound as search_sources above (VERDICT r11
             # wrong #3)
+            # eager checkpoint: the dedup exchange fed both the guard
+            # count and the endpoint join — one materialization now
+            dsts = (
+                out_edges.select(F.col("dst").alias("node_id"))
+                .dropDuplicates()
+                .localCheckpoint(eager=True)
+            )
             endpoints = ctx.nodes.join(
-                maybe_broadcast(
-                    out_edges.select(F.col("dst").alias("node_id")).dropDuplicates(),
-                    _REACH_BROADCAST_MAX,
-                ),
+                maybe_broadcast(dsts, _REACH_BROADCAST_MAX, dsts.count()),
                 "node_id",
             )
             return Result(nodes=own.unionByName(endpoints), links=out_edges)
         if kind == "concepts_related":
             from .traversal import bfs, subgraph
 
+            # eager checkpoint, same shape as the `neighborhood` kind:
+            # one materialization feeds guard count + nodes + subgraph
             nset = bfs(
                 ctx.edges,
                 [source["concept_id"]],
                 source.get("max_depth", 2),
                 direction=source.get("direction", "out"),
                 rel_types=source.get("relationship_types"),
-            )
+            ).localCheckpoint(eager=True)
             nodes = ctx.nodes.join(
-                maybe_broadcast(nset.select("node_id"), _REACH_BROADCAST_MAX),
+                maybe_broadcast(
+                    nset.select("node_id"), _REACH_BROADCAST_MAX, nset.count()
+                ),
                 "node_id",
             )
             return Result(nodes=nodes, links=subgraph(ctx.edges, nset))

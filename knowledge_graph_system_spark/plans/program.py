@@ -245,6 +245,16 @@ def _run_block(
             raise ProgramAborted("program timeout exceeded")
         t0 = time.perf_counter()
         r = dispatch(st["source"])
+        # ONE evaluation of the statement's result set (r17, guide §1/
+        # §2.4): R.nodes was evaluated up to three times per statement —
+        # the `?`/`!` isEmpty probe, the conditional/log count, and the
+        # fold into W's checkpoint each re-ran the dispatch plan (for a
+        # BFS or corpus-scan source, each evaluation is the expensive
+        # part). The eager checkpoint materializes R.nodes once; every
+        # later probe/count/fold reads the materialized partitions.
+        # R.links stays lazy — programs that never materialize links
+        # (nodes-only results) never pay for them.
+        r = Result(nodes=r.nodes.localCheckpoint(eager=True), links=r.links)
         if "if" in st:
             cond = st["if"]
             n = r.nodes.count()
