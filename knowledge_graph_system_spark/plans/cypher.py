@@ -563,7 +563,7 @@ def _shortest_pairs(
     the r11 repeated-sf1 probe produced). The per-level counts the
     loop already pays for the emptiness probe are the meter — the
     guard adds no job."""
-    from ..operators.traversal import _frontier_side
+    from ..operators.traversal import _BROADCAST_FRONTIER_MAX, _frontier_side
 
     seen = a_ids.select(
         F.col("__src"), F.col("__src").alias("__node")
@@ -572,8 +572,40 @@ def _shortest_pairs(
     n_frontier = seen.count()
     n_state = n_frontier
     levels = [seen.withColumn("__plen", F.lit(0))] if lo == 0 else []
+    # Dead-end prune (r17, guide §2.3 — shuffle fewer bytes): once a
+    # frontier outgrows the broadcast bound, its expansion join shuffles
+    # EVERY (source, node) pair — including pairs whose node has no
+    # outgoing edge and can expand to nothing. The distinct edge-source
+    # set (built lazily, only when a frontier first crosses the bound,
+    # counted under the same broadcast guard) semi-filters those rows
+    # map-side, and an empty expandable frontier ends the wave outright:
+    # on layered graphs the deepest level otherwise pays a full
+    # frontier-sized shuffle to discover zero rows (measured sf0.1,
+    # C→S within 4 hops: the 10.2M-pair depth-3 frontier has no
+    # expandable row). Build cost is one edges-pass distinct — strictly
+    # less than the expansion shuffle it replaces; past the guard bound
+    # the frame is dropped and behavior is exactly the r16 shape.
+    exp_nodes: DataFrame | None | bool = False  # False = not yet built
     for d in range(1, hi + 1):
-        side = _frontier_side(frontier, n_frontier)
+        if d > 1:
+            # all levels < d: deferred from the previous iteration so a
+            # terminating wave never pays the union checkpoint
+            seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        f_exp = frontier
+        n_exp = n_frontier
+        if n_frontier > _BROADCAST_FRONTIER_MAX:
+            if exp_nodes is False:
+                srcs = edf.select(F.col("__from").alias("__node")).distinct()
+                srcs = srcs.localCheckpoint(eager=False)
+                exp_nodes = srcs if srcs.count() <= _BROADCAST_FRONTIER_MAX else None
+            if exp_nodes is not None:
+                f_exp = frontier.join(
+                    F.broadcast(exp_nodes), "__node", "left_semi"
+                )
+                n_exp = f_exp.count()
+                if n_exp == 0:
+                    break
+        side = _frontier_side(f_exp, n_exp)
         nxt = (
             edf.join(side, side["__node"] == edf["__from"])
             .select("__src", F.col("__to").alias("__node"))
@@ -594,7 +626,6 @@ def _shortest_pairs(
                 " pattern (label/property filters) or lower the hop bound"
             )
         levels.append(nxt.withColumn("__plen", F.lit(d)))
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     if not levels:
         return seen.withColumn("__plen", F.lit(0)).filter(F.lit(False))
