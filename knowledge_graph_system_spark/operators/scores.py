@@ -192,16 +192,29 @@ def ontology_coherence(nodes_emb: DataFrame, label: str = "Customer") -> DataFra
         "ontology", "node_id", "embedding"
     )
     w = Window.partitionBy("ontology").orderBy("node_id")
-    sampled = members.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _SAMPLE_CAP
+    # ≤ _SAMPLE_CAP rows per ontology BY CONSTRUCTION: checkpoint once
+    # (the r16 shape re-ran the corpus window sort for each self-join
+    # side) and broadcast the build side under a counted guard — total
+    # sample size is cap × |ontologies|, unbounded in |ontologies|, so
+    # the hint must stay counted (r17, guide §2.4/§3.1; the shared
+    # r8/r9/r10 forced-hint defect class)
+    from ..functions.scale import maybe_broadcast
+
+    sampled = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_CAP)
+        .localCheckpoint(eager=True)
     )
+    n_sampled = sampled.count()
     a = sampled.select(
         "ontology", F.col("node_id").alias("id_a"), F.col("embedding").alias("emb_a")
     )
     b = sampled.select(
         "ontology", F.col("node_id").alias("id_b"), F.col("embedding").alias("emb_b")
     )
-    pairs = a.join(b, ["ontology"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(
+        maybe_broadcast(b, 2_000_000, n_sampled), ["ontology"]
+    ).filter(F.col("id_a") < F.col("id_b"))
     return pairs.groupBy("ontology").agg(
         F.round(F.avg(dot_expr("emb_a", "emb_b")), 6).alias("coherence"),
         F.countDistinct("id_a").alias("n_sampled_minus1"),
@@ -287,21 +300,40 @@ def protection_with_affinity(
     mass = ontology_mass(ctx.tables).localCheckpoint(eager=True)  # used 3×
     coher = ontology_coherence(ctx.nodes_emb)
     c, o, l = ctx.tables["customer"], ctx.tables["orders"], ctx.tables["lineitem"]
-    membership = (
+    # r17 (guide §2.3/§2.4 — the j5_cross_ontology_affinity shape): the
+    # r16 form materialized the DISTINCT (seg, pk) membership and
+    # SELF-JOINED it on pk — a distinct exchange plus two
+    # membership-sized join exchanges. The ontology set per concept is
+    # bounded by |ontologies|, so ONE groupBy(pk).collect_set(seg)
+    # exchange (map-side partial agg) replaces all three; the ordered
+    # seg pairs expand row-locally from the set (i≠j, both directions —
+    # matching the self-join's seg<>seg emission exactly, since
+    # membership rows were distinct per (seg, pk)).
+    grouped = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .localCheckpoint(eager=True)  # both self-join sides
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segs"))
+        .select("segs")
+        .localCheckpoint(eager=True)  # reused by totals + pair expansion
     )
-    totals = membership.groupBy("seg").agg(F.count("*").alias("total"))
-    a = membership.alias("a")
-    b = membership.alias("b")
+    totals = (
+        grouped.select(F.explode("segs").alias("seg"))
+        .groupBy("seg")
+        .agg(F.count("*").alias("total"))
+    )
     ta = totals.alias("ta")
     tb = totals.alias("tb")
     aff = (
-        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.seg") != F.col("b.seg")))
-        .groupBy(F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(segs, x -> transform("
+                    "filter(segs, y -> y != x), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("seg_a"), F.col("p.b").alias("seg_b"))
         .agg(F.count("*").alias("shared"))
         .join(F.broadcast(ta), F.col("seg_a") == F.col("ta.seg"))
         .join(F.broadcast(tb), F.col("seg_b") == F.col("tb.seg"))
