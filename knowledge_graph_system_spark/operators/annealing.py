@@ -86,10 +86,16 @@ def annealing_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ctx = Ctx.get(spark, sf_dir)
 
-    # node + degree frame, shared by the RENAME dominance signal and the
-    # promotion scan (one degree aggregation per cycle)
+    # node + degree frame, shared by the RENAME dominance signal, the
+    # per-ontology mass totals and the promotion scan — checkpoint once
+    # (the r16 plan re-ran the degree aggregation + join for each of
+    # the three consumers; r17, guide §1/§2.4)
     deg = degrees(ctx.edges)
-    named = ctx.nodes.select("node_id", "name", "ontology").join(deg, "node_id")
+    named = (
+        ctx.nodes.select("node_id", "name", "ontology")
+        .join(deg, "node_id")
+        .localCheckpoint(eager=True)
+    )
 
     # hub dominance: each ontology's top-degree concept and its share of
     # the ontology's total degree mass (the RENAME signal — reference
@@ -393,7 +399,11 @@ def execute_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     after diff would need the whole node table; the distribution is the
     deterministic summary the catalog rebuild (S8) would re-index."""
     ctx = Ctx.get(spark, sf_dir)
-    props = annealing_proposals(spark, sf_dir)
+    # proposal rows are |ontologies| + 10·|ontologies| + 1 — tiny; the
+    # r16 plan re-ran the whole scoring pipeline for each of the two
+    # filters below (demos in the final action, cleave inside moved's
+    # checkpoint). Materialize once (r17, guide §1/§2.4).
+    props = annealing_proposals(spark, sf_dir).localCheckpoint(eager=True)
     demos = (
         props.filter(F.col("kind") == "demotion")
         .select(F.col("subject").alias("ontology"), "verb", "target")
