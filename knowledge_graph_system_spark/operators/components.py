@@ -50,9 +50,15 @@ def connected_components(
     changed-row count per round; `max_iter` is a safety rail ~2·log₂ of
     any practical component, not a truncation in practice — hitting it
     raises rather than returning a wrong answer)."""
+    # checkpoint the pair plan ONCE before mirroring: the union's two
+    # branches are separate evaluations of the same subtree, so an
+    # expensive pair pipeline (LSH / IVF verify joins) ran twice inside
+    # the und materialization (r17, guide §1/§2.4)
+    base = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint(eager=True)
     und = (
-        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .unionByName(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        base.unionByName(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)  # reused every round
     )
