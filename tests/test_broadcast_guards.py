@@ -291,10 +291,26 @@ def test_dispatch_degree_guards(spark, monkeypatch):
     h_ss, h_cd = dispatch(ss), dispatch(cd)
     n_ss = _analyzed(h_ss.nodes).count("broadcast")
     n_cd = _analyzed(h_cd.nodes).count("broadcast")
+    # r17: dispatch eagerly checkpoints the linked/endpoint frames (one
+    # corpus-plan evaluation instead of two), which truncates the inner
+    # hits hint out of the RETURNED lineage — so the returned plan
+    # carries exactly one guard hint, and the r13 hits-hint guard is
+    # pinned on the pre-checkpoint builder below.
+    ctx = Ctx.get(spark, SF_DIR)
+    dummy_hits = ctx.nodes.limit(1)
+    assert _analyzed(
+        setops._search_sources_linked(ctx, dummy_hits, 5)
+    ).count("broadcast") == 1
     monkeypatch.setattr(setops, "_REACH_BROADCAST_MAX", 0)
     b_ss, b_cd = dispatch(ss), dispatch(cd)
-    assert _analyzed(b_ss.nodes).count("broadcast") == n_ss - 2
+    assert _analyzed(b_ss.nodes).count("broadcast") == n_ss - 1
     assert _analyzed(b_cd.nodes).count("broadcast") == n_cd - 1
+    assert (
+        _analyzed(
+            setops._search_sources_linked(ctx, dummy_hits, 5)
+        ).count("broadcast")
+        == 0
+    )
     assert _rows(b_ss.nodes) == _rows(h_ss.nodes)
     assert _rows(b_cd.nodes) == _rows(h_cd.nodes)
     assert _rows(h_cd.nodes)  # C1 has out-edges; the set is non-empty
