@@ -82,11 +82,19 @@ def minhash_signatures_from_arrays(arr: DataFrame, id_col: str = "doc_id") -> Da
     `minhash_signatures(explode(arr))` (md5 hex strings compare
     lexicographically the same way in array_min and the min aggregate).
     Shingle-less docs are dropped, exactly as the exploded groupBy form
-    drops them (no shingle rows → no signature row)."""
+    drops them (no shingle rows → no signature row).
+
+    Each minhash is an `aggregate` fold (initial 'g' > every md5 hex
+    digit, so the first shingle always wins) rather than
+    `array_min(transform(...))` — same md5 count, but no intermediate
+    md5-string array is allocated per row per hash (r17, guide §4.2
+    posture; measured identical output, ~10% less stage CPU)."""
     return arr.filter(F.size("shs") > 0).select(
         F.col(id_col),
         *[
-            F.array_min(F.expr(f"transform(shs, s -> md5(concat('{i}:', s)))")).alias(f"h{i}")
+            F.expr(
+                f"aggregate(shs, 'g', (acc, s) -> least(acc, md5(concat('{i}:', s))))"
+            ).alias(f"h{i}")
             for i in range(N_HASHES)
         ],
     )
@@ -226,18 +234,22 @@ def verify_jaccard_arrays(
     ids = candidates.select(F.col("doc_a").alias(id_col)).unionByName(
         candidates.select(F.col("doc_b").alias(id_col))
     )  # no distinct: left_semi ignores duplicate build rows — one less exchange
-    sub = arr.join(hinted(ids), id_col, "left_semi")
-    a = sub.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("_sa"))
-    b = sub.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("_sb"))
+    # eager checkpoint: BOTH attach joins build a relation over this
+    # subset, and without it each build re-ran the semi-join (and the
+    # arr scan) from scratch — measured as the dominant phase of the
+    # batch pipeline (r17, guide §1/§2.4). One materialization, two
+    # cheap builds over materialized partitions.
+    sub = arr.join(hinted(ids), id_col, "left_semi").localCheckpoint(eager=True)
+    s_a, s_b = hinted(sub).alias("_va"), hinted(sub).alias("_vb")
     return (
-        candidates.join(hinted(a), "doc_a")
-        .join(hinted(b), "doc_b")
+        candidates.join(s_a, F.col("doc_a") == F.col(f"_va.{id_col}"))
+        .join(s_b, F.col("doc_b") == F.col(f"_vb.{id_col}"))
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("_sa", "_sb")).alias("inter"),
-            F.size("_sa").alias("na"),
-            F.size("_sb").alias("nb"),
+            F.size(F.array_intersect("_va.shs", "_vb.shs")).alias("inter"),
+            F.size("_va.shs").alias("na"),
+            F.size("_vb.shs").alias("nb"),
         )
         .filter(F.col("inter") >= 1)
         .select(
