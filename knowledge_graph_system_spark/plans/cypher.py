@@ -587,10 +587,6 @@ def _shortest_pairs(
     # the frame is dropped and behavior is exactly the r16 shape.
     exp_nodes: DataFrame | None | bool = False  # False = not yet built
     for d in range(1, hi + 1):
-        if d > 1:
-            # all levels < d: deferred from the previous iteration so a
-            # terminating wave never pays the union checkpoint
-            seen = seen.unionByName(frontier).localCheckpoint(eager=True)
         f_exp = frontier
         n_exp = n_frontier
         if n_frontier > _BROADCAST_FRONTIER_MAX:
@@ -605,12 +601,24 @@ def _shortest_pairs(
                 n_exp = f_exp.count()
                 if n_exp == 0:
                     break
+        if d > 1:
+            # all levels < d, deferred from the previous iteration AND
+            # ordered after the dead-end prune (r17): a wave that
+            # terminates here never materializes the final seen-union
+            # (measured: the C→S depth-4 break otherwise checkpointed
+            # the full 10.9M-row union only to discard it)
+            seen = seen.unionByName(frontier).localCheckpoint(eager=True)
         side = _frontier_side(f_exp, n_exp)
         nxt = (
             edf.join(side, side["__node"] == edf["__from"])
             .select("__src", F.col("__to").alias("__node"))
             .distinct()
-            .join(seen, ["__src", "__node"], "left_anti")
+            # seen is counted (n_state): under the bound the anti-join
+            # broadcasts instead of SortMergeJoin LeftAnti, which
+            # exchanged AND sorted the multi-million-row distinct
+            # output every level (r17, guide §3.1 — the traversal.py
+            # batch-2 shape); past the bound the planner shuffles.
+            .join(_frontier_side(seen, n_state), ["__src", "__node"], "left_anti")
             .localCheckpoint(eager=True)
         )
         n_frontier = nxt.count()
