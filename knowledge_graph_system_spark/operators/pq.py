@@ -122,14 +122,37 @@ _DECODE_PQ = (
 )
 
 
-def pq_encode(vectors: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
-    """(vec_id, codes array<bigint>) — the write-time code table (M
-    small ints per vector; in a real deployment this column persists
-    next to the vector parquet and the raw vectors never rescan)."""
+def pq_encode(
+    vectors: DataFrame, cb: list[list[list[float]]], carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, *carry, codes array<bigint>) — the write-time code table
+    (M small ints per vector; in a real deployment this column persists
+    next to the vector parquet and the raw vectors never rescan).
+
+    `carry` projects extra input columns through the row-local encode —
+    consumers that need them (the Lloyd mean pass needs `v`, IVFPQ needs
+    `label`) previously re-joined the corpus to its own encode on
+    vec_id, a pure-overhead 1:1 self-join exchange per pass (r17, guide
+    §2.4 — the logreg-carry shape)."""
     k = len(cb[0])
     return vectors.join(
         F.broadcast(_cb_frame(vectors.sparkSession, cb))
-    ).select("vec_id", F.expr(_encode_expr(k)).alias("codes"))
+    ).select("vec_id", *carry, F.expr(_encode_expr(k)).alias("codes"))
+
+
+def pq_decoded(
+    vectors: DataFrame, cb: list[list[list[float]]], carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, *carry, vhat) — encode immediately re-expanded to the
+    reconstruction, in ONE broadcast of the codebook frame: the encode
+    and decode projections chain over the same 1-row join instead of
+    paying the BroadcastNestedLoopJoin gather twice (r17, guide §2.4)."""
+    k = len(cb[0])
+    return (
+        vectors.join(F.broadcast(_cb_frame(vectors.sparkSession, cb)))
+        .select("vec_id", *carry, F.expr(_encode_expr(k)).alias("codes"), "cb")
+        .select("vec_id", *carry, F.expr(_DECODE_PQ).alias("vhat"))
+    )
 
 
 def pq_codebook(
@@ -150,10 +173,12 @@ def pq_codebook(
     )
     cb = [[_sub_slices(r["v"])[m] for r in seeds] for m in range(_M)]
     for _ in range(iters):
-        enc = pq_encode(vectors, cb)
+        # carry=("v",): the mean pass reads codes AND v from the same
+        # row — the r16 shape re-joined the corpus to its own encode on
+        # vec_id every iteration (r17, guide §2.4)
+        enc = pq_encode(vectors, cb, carry=("v",))
         stats = (
-            vectors.join(enc, "vec_id")
-            .select("codes", F.posexplode("v").alias("d", "x"))
+            enc.select("codes", F.posexplode("v").alias("d", "x"))
             .withColumn("m", (F.col("d") / _SUB).cast("int"))
             .withColumn("j", F.element_at("codes", F.col("m") + 1))
             .groupBy("m", "j", "d")
@@ -192,12 +217,9 @@ def pq_topk(
     reconstruction in the vhat slot: rank ALL vectors by cosine(query,
     reconstruction), keep the top C = cand_mult·k per query, exact
     cosine + final top-k inside the slice only."""
-    codes = pq_encode(vectors, cb)
-    decoded = codes.join(
-        F.broadcast(_cb_frame(vectors.sparkSession, cb))
-    ).select("vec_id", F.expr(_DECODE_PQ).alias("vhat"))
     approx = (
-        decoded.join(F.broadcast(queries))
+        pq_decoded(vectors, cb)
+        .join(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("acos", F.expr(_ACOS))
     )
@@ -207,8 +229,11 @@ def pq_topk(
         .filter(F.col("arn") <= k * cand_mult)
         .select("query_id", "vec_id", "acos")
     )
+    # broadcast the candidate slice (|q|·C rows by construction): the
+    # raw-vector lookup then never exchanges the corpus (r17, §3.1)
     exact = (
-        cand.join(vectors.select("vec_id", "v"), "vec_id")
+        vectors.select("vec_id", "v")
+        .join(F.broadcast(cand), "vec_id")
         .join(
             F.broadcast(queries.withColumnRenamed("query_id", "__qid")),
             F.col("query_id") == F.col("__qid"),
@@ -395,7 +420,6 @@ def ivfpq_topk(
     """Approximate-then-exact top-k over probed IVF cells only.
     `vectors` carries (vec_id, label, v) — label is the IVF cell (the
     write-time column, exactly like ann_ivf_topk)."""
-    spark = vectors.sparkSession
     cdim = (
         vectors.select("label", F.posexplode("v").alias("d", "x"))
         .groupBy("label", "d")
@@ -417,12 +441,11 @@ def ivfpq_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "label")
     )
-    codes = pq_encode(vectors.select("vec_id", "v"), cb)
-    decoded = codes.join(F.broadcast(_cb_frame(spark, cb))).select(
-        "vec_id", F.expr(_DECODE_PQ).alias("vhat")
-    )
+    # carry=("label",): the probed-cell filter reads the cell from the
+    # same row as the reconstruction — the r16 shape re-joined the
+    # corpus to its own decode on vec_id (r17, guide §2.4)
     approx = (
-        decoded.join(vectors.select("vec_id", "label"), "vec_id")
+        pq_decoded(vectors.select("vec_id", "label", "v"), cb, carry=("label",))
         .join(F.broadcast(probe), "label")
         .join(F.broadcast(queries), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -436,8 +459,10 @@ def ivfpq_topk(
         .filter(F.col("arn") <= k * cand_mult)
         .select("query_id", "vec_id")
     )
+    # broadcast the candidate slice (|q|·C rows by construction — r17 §3.1)
     exact = (
-        cand.join(vectors.select("vec_id", "v"), "vec_id")
+        vectors.select("vec_id", "v")
+        .join(F.broadcast(cand), "vec_id")
         .join(
             F.broadcast(queries.withColumnRenamed("query_id", "__qid")),
             F.col("query_id") == F.col("__qid"),

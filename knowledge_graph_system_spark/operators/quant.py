@@ -160,8 +160,10 @@ def sq8_topk(
         .filter(F.col("arn") <= k * cand_mult)
         .select("query_id", "vec_id", "acos")
     )
+    # broadcast the candidate slice (|q|·C rows by construction): the
+    # raw-vector lookup never exchanges the corpus (r17, guide §3.1)
     exact = (
-        cand.join(vectors, "vec_id")
+        vectors.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(queries.withColumnRenamed("query_id", "__qid")),
               F.col("query_id") == F.col("__qid"))
         .withColumn("cos", F.expr(_COS))
