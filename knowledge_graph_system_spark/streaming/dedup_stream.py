@@ -5,10 +5,12 @@ ingest feed at 100 TB cannot afford that. This operator maintains an
 accumulated SIGNATURE INDEX — (doc_id, band) plus (doc_id, shingle)
 stores, parquet-backed — and, per arriving micro-batch, checks the new
 documents against (a) each other and (b) the index, then appends them
-to the index. Work per batch is proportional to the BATCH (shingle,
-band, candidate volume), never to corpus history; the only history
-touched is the equi-join against the band index, which Spark prunes to
-matching band keys.
+to the index. The shingle store holds the per-doc ARRAY form (one row
+per document — r17, matching the batch operator's row-local shapes).
+Work per batch is proportional to the BATCH (shingle, band, candidate
+volume), never to corpus history; the only history touched is the
+equi-join against the band index, which Spark prunes to matching band
+keys.
 
 The reference has no streaming analog (its ingest path is a job queue,
 `api/app/services/job_queue.py`, with content-hash idempotency only —
@@ -44,15 +46,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.fs import parquet_state_exists
+from ..functions.scale import fan_out
 from .landing import stamp_landing_mtimes
 from ..operators.dedup import (
     JACCARD_THRESHOLD,
     MAX_BUCKET,
     N_BANDS,
-    doc_shingles,
+    doc_shingle_arrays,
     lsh_candidates,
-    minhash_signatures,
-    verify_jaccard,
+    minhash_signatures_from_arrays,
+    verify_jaccard_arrays,
 )
 
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -100,9 +103,23 @@ def process_batch(
     """One micro-batch: detect near-dups (batch-internal + batch-vs-
     index), append results, then admit the batch into the index."""
     spark = batch_docs.sparkSession
-    sh_new = doc_shingles(batch_docs).localCheckpoint(eager=True)
-    sigs_new = minhash_signatures(sh_new)
-    bands_new = _bands_of(sigs_new).localCheckpoint(eager=True)
+    # r17 (guide §2.4): the stream twin inherits the batch operator's
+    # row-local array forms — shingle dedup and the 8 minhash folds are
+    # per-document projections, so the per-trigger explode→DISTINCT and
+    # groupBy(doc) exchanges of the r16 shape are gone. The shingle
+    # STORE holds the array form too (same bytes, one row per doc), and
+    # verification reads it through the same semi-filtered array path
+    # the batch row grades through. fan_out BEFORE shingling (the batch
+    # operator's lesson): a micro-batch lands as ONE file = one scan
+    # split, which serialized the whole md5 stage on a single task; at
+    # production trigger sizes splits ≥ cores and fan_out is a no-op.
+    arr_new = doc_shingle_arrays(fan_out(batch_docs)).localCheckpoint(eager=True)
+    # one md5 pass per trigger: bands, the internal candidates, and the
+    # band-store append all read the materialized signature rows;
+    # _bands_of stays UN-checkpointed — it is a row-local explode over
+    # these materialized rows, cheaper re-run than its own job
+    sigs_new = minhash_signatures_from_arrays(arr_new).localCheckpoint(eager=True)
+    bands_new = _bands_of(sigs_new)
 
     # Hadoop-FS probe, not os.path — the band index lives wherever the
     # checkpoint does (HDFS/object store in production); a driver-local
@@ -143,24 +160,18 @@ def process_batch(
             .distinct()
         )
         candidates = internal.unionByName(cross).distinct()
-        sh_all = sh_new.unionByName(spark.read.parquet(shingle_dir))
+        arr_all = arr_new.unionByName(spark.read.parquet(shingle_dir))
     else:
         candidates = internal
-        sh_all = sh_new
+        arr_all = arr_new
 
-    # exact-jaccard verification on candidates only. The shingle store
-    # is explicitly semi-joined down to candidate docs FIRST — without
-    # this, verify_jaccard's per-doc size aggregate would scan the full
-    # history every batch
+    # exact-jaccard verification on candidates only: the array verifier
+    # semi-joins the (batch ∪ store) arrays down to candidate docs under
+    # its counted broadcast guard, so per-trigger verification cost is
+    # proportional to candidates, never to history
     cand = candidates.localCheckpoint(eager=True)
-    cdocs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_ver = sh_all.join(cdocs, "doc_id", "left_semi")
     pairs = (
-        verify_jaccard(cand, sh_ver)
+        verify_jaccard_arrays(cand, arr_all, n_pairs=cand.count())
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .withColumn("batch_id", F.lit(batch_id))
     )
@@ -169,7 +180,7 @@ def process_batch(
     # admit the batch into the index AFTER detection (a doc never pairs
     # with itself via the index)
     bands_new.write.mode("append").parquet(band_dir)
-    sh_new.write.mode("append").parquet(shingle_dir)
+    arr_new.write.mode("append").parquet(shingle_dir)
 
 
 def streaming_near_dup(
