@@ -34,6 +34,11 @@ from .dedup import (
 )
 
 
+# node-sized per-round frames broadcast under this bound (the shared
+# 2M-row guard family: traversal._BROADCAST_FRONTIER_MAX et al.)
+_CC_BROADCAST_MAX = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "src",
@@ -65,10 +70,23 @@ def connected_components(
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     ).localCheckpoint(eager=True)
+    # the node count is round-invariant, and every per-round frame
+    # (labels, nbr_min, the jump lookup) is node-sized — ONE count
+    # sizes the broadcast guard for every join of every round (r17,
+    # guide §3.1): under the bound each round is one groupBy exchange
+    # plus broadcast builds instead of three SortMergeJoins of tiny
+    # frames; past it (a >2M-node pair graph) the planner shuffles,
+    # the 100 TB-safe fallback.
+    from ..functions.scale import maybe_broadcast
+
+    n_nodes = labels.count()
+
+    def _side(df: DataFrame) -> DataFrame:
+        return maybe_broadcast(df, _CC_BROADCAST_MAX, n_rows=n_nodes)
 
     for _ in range(max_iter):
         nbr_min = (
-            und.join(labels.withColumnRenamed("node", "b"), "b")
+            und.join(_side(labels.withColumnRenamed("node", "b")), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
@@ -76,19 +94,27 @@ def connected_components(
         # convergence check is a row-local comparison instead of a
         # jumped ⋈ labels join per round (r17, guide §2.4)
         stepped = (
-            labels.join(nbr_min, "node", "left")
+            labels.join(_side(nbr_min), "node", "left")
             .select(
                 "node",
                 F.col("comp").alias("old"),
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
+            # lazy: the jump-lookup broadcast build materializes this
+            # once; without it stepped (and nbr_min's exchange under
+            # it) evaluated twice per round — streamed into the jump
+            # join AND rebuilt inside the lookup's build (r17, §2.4)
+            .localCheckpoint(eager=False)
         )
         # pointer jump: comp := label(comp) under the stepped mapping
+        # (ONE jump per round — a measured triple-jump variant re-built
+        # the un-materialized broadcast chain per extra jump and ran
+        # 30x slower; rounds, not per-round work, are log-bounded)
         lookup = stepped.select(
             F.col("node").alias("comp"), F.col("comp").alias("parent")
         )
         jumped = (
-            stepped.join(lookup, "comp", "left")
+            stepped.join(_side(lookup), "comp", "left")
             .select(
                 "node",
                 "old",
