@@ -100,11 +100,14 @@ _Y_EXPR = (
 )
 _Y_SQL = f"round({W_DISTINCT} * x[3] + {W_LEN} * x[2], {QUALITY_DP}) >= {QUALITY_CUT}"
 
-# sigmoid(w . x), row-local off the broadcast one-row weight frame
-_P_EXPR = (
-    "1.0D / (1.0D + exp(-aggregate(zip_with(x, w, (a, b) -> a * b),"
+# sigmoid(w . x), row-local; {w} is either the broadcast one-row
+# weight frame's column (scoring) or a literal 4-double array (the
+# training sweeps — see logreg_train)
+_P_EXPR_TMPL = (
+    "1.0D / (1.0D + exp(-aggregate(zip_with(x, {w}, (a, b) -> a * b),"
     " 0D, (acc, v) -> acc + v)))"
 )
+_P_EXPR = _P_EXPR_TMPL.format(w="w")
 
 
 def _w_frame(spark: SparkSession, w: list[float]) -> DataFrame:
@@ -120,7 +123,6 @@ def logreg_train(
     12-dp-rounded weight vector after `sweeps` updates from w = 0.
     BOUNDED COLLECTS: one n_feat-row mean-gradient aggregate per
     sweep."""
-    spark = data.sparkSession
     w = [0.0] * n_feat
     for _ in range(sweeps):
         # one global aggregate with n_feat columns — map-side
@@ -129,9 +131,15 @@ def logreg_train(
         # and the 12-dp rounding absorbs the summation-order ULPs the
         # determinism ledger already accounts for — r15 re-probed)
         err = F.col("p") - F.col("y").cast("double")
+        # w rides as a LITERAL 4-double array (r17): the broadcast
+        # 1-row weight frame cost a separate broadcast-build job per
+        # sweep, and at n_feat = 4 the literal tree is tiny — the
+        # per-sweep codegen recompile the pq.py codebook note warns
+        # about only bites at ~1000-node trees. Same arithmetic: the
+        # 12-dp-rounded weights round-trip exactly through repr.
+        warr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in w) + ")"
         row = (
-            data.join(F.broadcast(_w_frame(spark, w)))
-            .withColumn("p", F.expr(_P_EXPR))
+            data.withColumn("p", F.expr(_P_EXPR_TMPL.format(w=warr)))
             .agg(
                 *[
                     F.avg(err * F.element_at("x", j + 1)).alias(f"g{j}")
