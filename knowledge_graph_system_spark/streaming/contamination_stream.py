@@ -53,10 +53,12 @@ def process_contamination_batch(
     EVAL_GRAM_BROADCAST_MAX bound (pass `n_ev` from the harness so the
     count is paid once per RUN, not per batch). Appended to the
     output log."""
-    from ..functions.scale import maybe_broadcast
+    from ..functions.scale import fan_out, maybe_broadcast
     from ..operators.curation import EVAL_GRAM_BROADCAST_MAX
 
-    tr = batch_docs.select(
+    # fan_out (r17, the dedup-stream lesson): the single-file micro-batch
+    # otherwise explodes its n-grams on one scan split
+    tr = fan_out(batch_docs).select(
         "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram")
     )
     flagged = (

@@ -92,6 +92,11 @@ def process_span_batch(
     """One micro-batch: judge the batch's gram occurrences against
     (history ∪ batch) firsts, rewrite, append, admit new grams."""
     spark = batch_docs.sparkSession
+    # (a fan_out of the micro-batch was measured here and REVERTED —
+    # r17: unlike the minhash twin's md5-heavy signature stage, span
+    # work is groupBy-dominated and already parallel past the explode;
+    # the extra per-trigger text exchange cost more than the single
+    # scan split saved: 6.7 → 8.7 s at sf0.1)
     docs = batch_docs.select("doc_id", "text").localCheckpoint(eager=True)
     grams_new = _positioned_grams(docs, n).localCheckpoint(eager=True)
     batch_first = grams_new.groupBy("gram").agg(
