@@ -82,8 +82,14 @@ def streaming_ingest(spark: SparkSession, sf_dir: str, doc_limit: int = _DOC_LIM
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         # -- epoch 0: even docs against the empty graph
+        # eager checkpoint: epoch 2's retry below re-emits these SAME
+        # deterministic rows — one Python-boundary ingest pass instead
+        # of two (r17, guide §1/§4; the retry semantics live in the
+        # epoch log, not in recomputation)
         log_epoch(0, "record")
-        w0 = ingest_documents(batch_df.filter(F.col("doc_id") % 2 == 0))
+        w0 = ingest_documents(
+            batch_df.filter(F.col("doc_id") % 2 == 0)
+        ).localCheckpoint(eager=True)
         w0.withColumn("epoch", F.lit(0)).select(out_cols) \
             .write.mode("append").parquet(concept_dir)
         log_epoch(0, "complete")
@@ -108,9 +114,11 @@ def streaming_ingest(spark: SparkSession, sf_dir: str, doc_limit: int = _DOC_LIM
 
         # -- epoch 2: a retry of the even docs that never completes —
         # rows land in the sink, the watermark never covers them
+        # (the retry re-emits epoch 0's materialized rows: identical by
+        # determinism, and the un-committed-epoch semantics are carried
+        # by the epoch log alone)
         log_epoch(2, "record")
-        w2 = ingest_documents(batch_df.filter(F.col("doc_id") % 2 == 0))
-        w2.withColumn("epoch", F.lit(2)).select(out_cols) \
+        w0.withColumn("epoch", F.lit(2)).select(out_cols) \
             .write.mode("append").parquet(concept_dir)
 
     try:
