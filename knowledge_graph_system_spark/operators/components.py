@@ -209,11 +209,19 @@ def dedup_apply(
     (the overwhelming majority at 100 TB) stream through without ever
     joining. The anti-join's build side is the duplicate set, which is
     corpus-small by definition — AQE broadcasts it."""
+    from ..functions.scale import maybe_broadcast
+
     losers = groups.filter(~F.col("keeper")).select(
         F.col("doc_id").alias("__loser_id")
     )
+    # counted broadcast (r17, §3.1): the un-hinted anti-join planned as
+    # SortMergeJoin, exchanging AND sorting the whole corpus before AQE
+    # could rewrite it; the loser set is duplicate-sized, so the count
+    # is cheap and past the bound the planner shuffles as before
     return docs.join(
-        losers, docs[id_col] == losers["__loser_id"], "left_anti"
+        maybe_broadcast(losers, _CC_BROADCAST_MAX),
+        docs[id_col] == losers["__loser_id"],
+        "left_anti",
     )
 
 

@@ -658,8 +658,14 @@ def leakage_safe_split(
     a near-dup group lands in the SAME split by construction. `groups`
     is d_dup_groups-shaped (doc_id, group_id, keeper) — only grouped
     docs appear in it."""
+    from ..functions.scale import maybe_broadcast
+
     g = groups.select(F.col("doc_id").alias(id_col), "group_id")
-    keyed = docs.join(g, id_col, "left").withColumn(
+    # counted broadcast (r17, §3.1): the group map is duplicate-sized
+    # (only grouped docs appear), so the left join streams the corpus
+    # instead of exchanging+sorting it under the default SortMergeJoin;
+    # past 2M grouped docs the planner shuffles as before
+    keyed = docs.join(maybe_broadcast(g, 2_000_000), id_col, "left").withColumn(
         "__skey", F.coalesce(F.col("group_id"), F.col(id_col))
     )
     return (
