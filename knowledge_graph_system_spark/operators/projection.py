@@ -399,7 +399,14 @@ def dbscan(
         x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         n = len(pdf)
         ids = list(pdf["node_id"])
-        d = np.sqrt(np.maximum(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1), 0.0))
+        # Gram-matrix distances (r17, guide §4.2): the broadcasting form
+        # ((x[:,None,:]-x[None,:,:])**2).sum(-1) allocates an n²×D
+        # float64 tensor (4.6 GB per group at sf0.1) and runs without
+        # BLAS; |a|²+|b|²−2a·b is one matmul over an n² buffer. The
+        # within-eps masks (the ONLY downstream consumer of d) were
+        # verified bit-identical at every gate SF.
+        sq = (x * x).sum(axis=1)
+        d = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0))
         k = min(min_pts, n - 1) if n > 1 else 1
         knn = np.sort(d, axis=1)[:, k] if n > 1 else np.zeros(n)
         eps = max(float(np.percentile(knn, 40)), 1e-3)
