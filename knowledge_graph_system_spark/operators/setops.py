@@ -101,18 +101,28 @@ def make_dispatch(ctx: Ctx):
             from .traversal import bfs
 
             hops = source.get("max_hops", 6)
+
             # eager checkpoints: each reach frame's final BFS level is
             # lazy, and it feeds the dd probe, the corridor, the links
             # joins AND two counts — materialize once, read five times
-            # (r17, guide §1/§2.4)
-            fw = bfs(ctx.edges, [source["from_id"]], hops, direction="out")
-            bw = bfs(ctx.edges, [source["to_id"]], hops, direction="in")
-            fwd = fw.select(
-                "node_id", F.col("dist").alias("_dfw")
-            ).localCheckpoint(eager=True)
-            bwd = bw.select(
-                "node_id", F.col("dist").alias("_dbw")
-            ).localCheckpoint(eager=True)
+            # (r17, guide §1/§2.4). The two waves are independent
+            # (different seeds, different edge orientations), and each
+            # is a chain of per-level driver-latency-bound jobs — run
+            # them in two threads so one wave's jobs back-fill the
+            # other's idle gaps (r17, guide §2.6)
+            def _reach(seed: str, direction: str, alias: str) -> DataFrame:
+                return (
+                    bfs(ctx.edges, [seed], hops, direction=direction)
+                    .select("node_id", F.col("dist").alias(alias))
+                    .localCheckpoint(eager=True)
+                )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as _pool:
+                _fw_fut = _pool.submit(_reach, source["from_id"], "out", "_dfw")
+                _bw_fut = _pool.submit(_reach, source["to_id"], "in", "_dbw")
+                fwd, bwd = _fw_fut.result(), _bw_fut.result()
             dd = (
                 fwd.join(bwd, "node_id")
                 .filter(F.col("node_id") == source["to_id"])

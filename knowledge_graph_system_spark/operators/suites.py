@@ -67,6 +67,33 @@ def _proj(probe: str, mapping: dict[str, str]) -> list[str]:
     return out
 
 
+def _build_parts(captured, spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Build every member's projected frame, overlapping the members'
+    EAGER driver work — BFS level loops, stream triggers, checkpoints,
+    guard counts — in a small thread pool (r17, guide §2.6: actions are
+    only sequential because driver code calls them sequentially; a later
+    member's jobs back-fill executors the current member's straggler
+    tail leaves idle). Members are independent registered queries by
+    construction (each ran standalone before consolidation), share no
+    mutable state (Ctx creation and its cached views are lock-guarded),
+    and the returned list keeps the captured order, so the unionByName
+    shape — and therefore the suite's rows — is byte-identical to the
+    sequential build. Workers are capped at 4: enough to hide driver
+    latency, not enough to thrash the scheduler (guide §2.6 "2-3 jobs
+    in flight is plenty")."""
+    if len(captured) == 1:
+        probe, fn, _oracle, m = captured[0]
+        return [fn(spark, sf_dir).selectExpr(*_proj(probe, m))]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(item) -> DataFrame:
+        probe, fn, _oracle, m = item
+        return fn(spark, sf_dir).selectExpr(*_proj(probe, m))
+
+    with ThreadPoolExecutor(max_workers=min(4, len(captured))) as pool:
+        return list(pool.map(build, captured))
+
+
 def _make_suite(name: str, members: list[tuple[str, dict[str, str]]]):
     """Build + register one suite from (member_query_name, slot_map)
     rows. Captures each member's fn and oracle BEFORE the members are
@@ -74,10 +101,7 @@ def _make_suite(name: str, members: list[tuple[str, dict[str, str]]]):
     captured = [(probe, QUERIES[probe].fn, QUERIES[probe].oracle, m) for probe, m in members]
 
     def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        parts = [
-            fn(spark, sf_dir).selectExpr(*_proj(probe, m))
-            for probe, fn, _oracle, m in captured
-        ]
+        parts = _build_parts(captured, spark, sf_dir)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -298,10 +322,7 @@ for _n in CONSOLIDATED_R15:
 
 
 def an_suite_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [
-        fn(spark, sf_dir).selectExpr(*_proj(probe, m))
-        for probe, fn, _oracle, m in _an_captured()
-    ]
+    parts = _build_parts(_an_captured(), spark, sf_dir)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -378,10 +399,7 @@ def _registered_captured(members):
 
 def _candidate_fn(captured):
     def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        parts = [
-            fn(spark, sf_dir).selectExpr(*_proj(probe, m))
-            for probe, fn, _oracle, m in captured
-        ]
+        parts = _build_parts(captured, spark, sf_dir)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -237,24 +237,69 @@ def execute_program(
     return res
 
 
+def _checkpointed_dispatch(dispatch, source) -> Result:
+    """Dispatch one statement's source and eagerly materialize R.nodes.
+
+    ONE evaluation of the statement's result set (r17, guide §1/§2.4):
+    R.nodes was evaluated up to three times per statement — the `?`/`!`
+    isEmpty probe, the conditional/log count, and the fold into W's
+    checkpoint each re-ran the dispatch plan (for a BFS or corpus-scan
+    source, each evaluation is the expensive part). The eager checkpoint
+    materializes R.nodes once; every later probe/count/fold reads the
+    materialized partitions. R.links stays lazy — programs that never
+    materialize links (nodes-only results) never pay for them."""
+    r = dispatch(source)
+    return Result(nodes=r.nodes.localCheckpoint(eager=True), links=r.links)
+
+
 def _run_block(
     statements, dispatch, res: ProgramResult, deadline: float, collect_counts: bool
 ) -> None:
-    for st in statements:
+    # Pre-dispatch pipeline (r17, guide §2.6): R is a pure function of
+    # the engine context and the statement's `source` — by construction
+    # of SO9 dispatch it never reads the working graph W — so every
+    # statement in this block can dispatch and materialize its R
+    # CONCURRENTLY while the fold below stays strictly sequential.
+    # Sequentially, a program over K expensive sources (BFS waves,
+    # vector scans) serializes K long chains of driver-latency-bound
+    # jobs; overlapped, later statements' jobs back-fill the executor
+    # gaps of earlier ones. Result rows are unchanged: the fold still
+    # consumes R's in statement order, conditionals still gate their
+    # branch blocks (a branch pre-dispatches only when taken, via the
+    # recursion), and `!`/timeout aborts surface exactly as before —
+    # any not-yet-consumed R's are simply discarded work on the abort
+    # path, never a semantic change.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = futs = None
+    if len(statements) > 1:
+        pool = ThreadPoolExecutor(max_workers=min(4, len(statements)))
+        futs = [
+            pool.submit(_checkpointed_dispatch, dispatch, st["source"])
+            for st in statements
+        ]
+    try:
+        _fold_block(statements, futs, dispatch, res, deadline, collect_counts)
+    finally:
+        if pool is not None:
+            for f in futs:
+                f.cancel()
+            pool.shutdown(wait=False)
+
+
+def _fold_block(
+    statements, futs, dispatch, res: ProgramResult, deadline: float,
+    collect_counts: bool,
+) -> None:
+    for i, st in enumerate(statements):
         if time.monotonic() > deadline:
             raise ProgramAborted("program timeout exceeded")
         t0 = time.perf_counter()
-        r = dispatch(st["source"])
-        # ONE evaluation of the statement's result set (r17, guide §1/
-        # §2.4): R.nodes was evaluated up to three times per statement —
-        # the `?`/`!` isEmpty probe, the conditional/log count, and the
-        # fold into W's checkpoint each re-ran the dispatch plan (for a
-        # BFS or corpus-scan source, each evaluation is the expensive
-        # part). The eager checkpoint materializes R.nodes once; every
-        # later probe/count/fold reads the materialized partitions.
-        # R.links stays lazy — programs that never materialize links
-        # (nodes-only results) never pay for them.
-        r = Result(nodes=r.nodes.localCheckpoint(eager=True), links=r.links)
+        r = (
+            futs[i].result()
+            if futs is not None
+            else _checkpointed_dispatch(dispatch, st["source"])
+        )
         if "if" in st:
             cond = st["if"]
             n = r.nodes.count()

@@ -20,6 +20,7 @@ Determinism rules every registered query follows:
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -50,17 +51,24 @@ class Ctx:
     """Per-(session, sf_dir) context: lazily built base tables + graph views."""
 
     _cache: dict[tuple[int, str], "Ctx"] = {}
+    # suite members / program statements may now build concurrently
+    # (guide §2.6 overlap) — double-checked locks keep the per-session
+    # context and its cached graph views single-instance under races
+    _lock = threading.Lock()
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = load_tables(spark, sf_dir)
+        self._view_lock = threading.Lock()
 
     @classmethod
     def get(cls, spark: SparkSession, sf_dir: str) -> "Ctx":
         key = (id(spark), sf_dir)
         if key not in cls._cache:
-            cls._cache[key] = cls(spark, sf_dir)
+            with cls._lock:
+                if key not in cls._cache:
+                    cls._cache[key] = cls(spark, sf_dir)
         return cls._cache[key]
 
     # The cached edge/node DataFrames are this engine's analog of the
@@ -75,33 +83,50 @@ class Ctx:
     @property
     def nodes(self) -> DataFrame:
         if not hasattr(self, "_nodes"):
-            # repartition by key before caching: the single-file parquet
-            # scan yields few splits, which would serialize every
-            # downstream op on the cached data; hash-partitioning by
-            # node_id is also the layout the iterative BFS joins want
-            self._nodes = nodes_df(self.tables).repartition(self._nparts(), "node_id").cache()
+            with self._view_lock:
+                if not hasattr(self, "_nodes"):
+                    # repartition by key before caching: the single-file
+                    # parquet scan yields few splits, which would serialize
+                    # every downstream op on the cached data; hash-
+                    # partitioning by node_id is also the layout the
+                    # iterative BFS joins want
+                    self._nodes = (
+                        nodes_df(self.tables)
+                        .repartition(self._nparts(), "node_id")
+                        .cache()
+                    )
         return self._nodes
 
     @property
     def edges(self) -> DataFrame:
         if not hasattr(self, "_edges"):
-            self._edges = edges_df(self.tables).repartition(self._nparts(), "src").cache()
+            with self._view_lock:
+                if not hasattr(self, "_edges"):
+                    self._edges = (
+                        edges_df(self.tables)
+                        .repartition(self._nparts(), "src")
+                        .cache()
+                    )
         return self._edges
 
     @property
     def nodes_emb(self) -> DataFrame:
         if not hasattr(self, "_nodes_emb"):
-            self._nodes_emb = (
-                nodes_with_embeddings(self.tables)
-                .repartition(self._nparts(), "node_id")
-                .cache()
-            )
+            with self._view_lock:
+                if not hasattr(self, "_nodes_emb"):
+                    self._nodes_emb = (
+                        nodes_with_embeddings(self.tables)
+                        .repartition(self._nparts(), "node_id")
+                        .cache()
+                    )
         return self._nodes_emb
 
     @property
     def vocab(self) -> DataFrame:
         if not hasattr(self, "_vocab"):
-            self._vocab = vocabulary_df(self.spark)
+            with self._view_lock:
+                if not hasattr(self, "_vocab"):
+                    self._vocab = vocabulary_df(self.spark)
         return self._vocab
 
 
