@@ -89,13 +89,24 @@ def annealing_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node + degree frame, shared by the RENAME dominance signal, the
     # per-ontology mass totals and the promotion scan — checkpoint once
     # (the r16 plan re-ran the degree aggregation + join for each of
-    # the three consumers; r17, guide §1/§2.4)
-    deg = degrees(ctx.edges)
-    named = (
-        ctx.nodes.select("node_id", "name", "ontology")
-        .join(deg, "node_id")
-        .localCheckpoint(eager=True)
-    )
+    # the three consumers; r17, guide §1/§2.4). Its materialization is
+    # independent of the A9 scoring pipeline, so the two eager chains
+    # overlap in two threads (r17, guide §2.6).
+    def _named() -> DataFrame:
+        deg = degrees(ctx.edges)
+        return (
+            ctx.nodes.select("node_id", "name", "ontology")
+            .join(deg, "node_id")
+            .localCheckpoint(eager=True)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_named = _pool.submit(_named)
+        _f_paff = _pool.submit(protection_with_affinity, spark, sf_dir)
+        named = _f_named.result()
+        scores, aff_raw = _f_paff.result()
 
     # hub dominance: each ontology's top-degree concept and its share of
     # the ontology's total degree mass (the RENAME signal — reference
@@ -120,8 +131,8 @@ def annealing_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # affinity frame is the one A9 itself was computed from (shared via
     # protection_with_affinity — no second membership self-join), with
     # the decision-rule comparisons on ROUNDED values so both engines
-    # threshold identically
-    scores, aff_raw = protection_with_affinity(spark, sf_dir)
+    # threshold identically (scores/aff_raw were built in the
+    # overlapped thread above)
     aff = aff_raw.select(
         "seg_a", "seg_b", F.round("affinity", 6).alias("affinity")
     )

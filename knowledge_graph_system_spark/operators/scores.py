@@ -297,9 +297,8 @@ def protection_with_affinity(
     self-join (the expensive half of the cycle). Returns (scores, aff);
     aff columns: seg_a, seg_b, affinity."""
     ctx = Ctx.get(spark, sf_dir)
-    mass = ontology_mass(ctx.tables).localCheckpoint(eager=True)  # used 3×
-    coher = ontology_coherence(ctx.nodes_emb)
     c, o, l = ctx.tables["customer"], ctx.tables["orders"], ctx.tables["lineitem"]
+
     # r17 (guide §2.3/§2.4 — the j5_cross_ontology_affinity shape): the
     # r16 form materialized the DISTINCT (seg, pk) membership and
     # SELF-JOINED it on pk — a distinct exchange plus two
@@ -309,14 +308,33 @@ def protection_with_affinity(
     # seg pairs expand row-locally from the set (i≠j, both directions —
     # matching the self-join's seg<>seg emission exactly, since
     # membership rows were distinct per (seg, pk)).
-    grouped = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(F.col("l_partkey").alias("pk"))
-        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segs"))
-        .select("segs")
-        .localCheckpoint(eager=True)  # reused by totals + pair expansion
-    )
+    def _grouped() -> DataFrame:
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segs"))
+            .select("segs")
+            .localCheckpoint(eager=True)  # reused by totals + pair expansion
+        )
+
+    # the three eager materializations below are mutually independent
+    # (mass: the C⋈O⋈L segment rollup; coherence: the sampled-embedding
+    # window + pair mean, checkpointed inside ontology_coherence;
+    # grouped: the C⋈O⋈L per-part segment sets) — overlap them so the
+    # pipeline's eager wall is the slowest of the three, not their sum
+    # (r17, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_mass = _pool.submit(
+            lambda: ontology_mass(ctx.tables).localCheckpoint(eager=True)
+        )
+        _f_coher = _pool.submit(ontology_coherence, ctx.nodes_emb)
+        _f_grouped = _pool.submit(_grouped)
+        mass = _f_mass.result()  # used 3×
+        coher = _f_coher.result()
+        grouped = _f_grouped.result()
     totals = (
         grouped.select(F.explode("segs").alias("seg"))
         .groupBy("seg")
