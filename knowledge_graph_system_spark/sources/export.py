@@ -39,18 +39,30 @@ FORMAT_VERSION = 2
 def export_graph(
     nodes: DataFrame, edges: DataFrame, vocab: DataFrame, out_dir: str, epoch: int = 0
 ) -> dict:
-    """kg_backup-v2-shaped export: one JSON dataset per entity + manifest."""
-    nodes.write.mode("overwrite").json(os.path.join(out_dir, "nodes"))
-    edges.write.mode("overwrite").json(os.path.join(out_dir, "edges"))
-    vocab.drop("embedding").write.mode("overwrite").json(os.path.join(out_dir, "vocabulary"))
+    """kg_backup-v2-shaped export: one JSON dataset per entity + manifest.
+
+    The three entity writes (and their manifest counts) are independent
+    jobs — run them in a small thread pool so the export wall is the
+    largest entity's write, not the sum (r17, guide §2.6)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(df: DataFrame, name: str) -> int:
+        df.write.mode("overwrite").json(os.path.join(out_dir, name))
+        return df.count()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_nodes = pool.submit(_write, nodes, "nodes")
+        f_edges = pool.submit(_write, edges, "edges")
+        f_vocab = pool.submit(_write, vocab.drop("embedding"), "vocabulary")
+        counts = {
+            "nodes": f_nodes.result(),
+            "edges": f_edges.result(),
+            "vocabulary": f_vocab.result(),
+        }
     manifest = {
         "format_version": FORMAT_VERSION,
         "epoch": epoch,
-        "counts": {
-            "nodes": nodes.count(),
-            "edges": edges.count(),
-            "vocabulary": vocab.count(),
-        },
+        "counts": counts,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
@@ -186,10 +198,18 @@ def s4s5_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nodes", ctx.nodes, re_nodes, ["node_id", "label", "name", "ontology", "weight"]),
         ("vocabulary", ctx.vocab, re_vocab, ["rel_type", "category", "epistemic_status"]),
     ]
-    rows = [
-        (name, manifest["counts"][name], *_roundtrip_stats(orig, re_df, cols))
-        for name, orig, re_df, cols in entities
-    ]
+    # the three per-entity diff jobs are independent — overlap them
+    # (r17, guide §2.6); row order is preserved by the comprehension
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            (name, pool.submit(_roundtrip_stats, orig, re_df, cols))
+            for name, orig, re_df, cols in entities
+        ]
+        rows = [
+            (name, manifest["counts"][name], *fut.result()) for name, fut in futs
+        ]
     from ..functions.scale import local_df
 
     return local_df(
