@@ -80,7 +80,19 @@ def _build_parts(captured, spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     shape — and therefore the suite's rows — is byte-identical to the
     sequential build. Workers are capped at 4: enough to hide driver
     latency, not enough to thrash the scheduler (guide §2.6 "2-3 jobs
-    in flight is plenty")."""
+    in flight is plenty").
+
+    Each member's projected frame is eagerly checkpointed INSIDE its
+    build thread: without this, only the members' build-time work (BFS
+    loops, stream triggers) overlapped, while their lazy tails (the
+    var-length join chains, score pipelines, window sorts) all
+    evaluated inside the caller's single final action — serializing
+    again what the pool had just parallelized. Suite outputs are
+    driver-graded rows (small by contract — every member's standalone
+    row was driver-collected before consolidation), so materializing
+    them is bytes-cheap, and the checkpoint lives inside the query
+    invocation: every run still computes from the parquet inputs,
+    nothing persists across invocations."""
     if len(captured) == 1:
         probe, fn, _oracle, m = captured[0]
         return [fn(spark, sf_dir).selectExpr(*_proj(probe, m))]
@@ -88,7 +100,11 @@ def _build_parts(captured, spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 
     def build(item) -> DataFrame:
         probe, fn, _oracle, m = item
-        return fn(spark, sf_dir).selectExpr(*_proj(probe, m))
+        return (
+            fn(spark, sf_dir)
+            .selectExpr(*_proj(probe, m))
+            .localCheckpoint(eager=True)
+        )
 
     with ThreadPoolExecutor(max_workers=min(4, len(captured))) as pool:
         return list(pool.map(build, captured))
