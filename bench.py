@@ -95,9 +95,14 @@ def main() -> None:
         return time.perf_counter() - t0
 
     # warm pass: JIT, parquet footers, and the Ctx graph-view caches —
-    # steady-state throughput is what a resident engine delivers
-    for name in names:
-        run(name)
+    # steady-state throughput is what a resident engine delivers. Its
+    # per-query seconds are RECORDED as cold_s (r18, additions-only):
+    # the timed best-of-3 below measures resident-engine steady state
+    # (base tables cached since round 1), so cold_s is the one figure
+    # that includes the cold parquet scan + cache build, making the
+    # warm/cold split auditable from the artifact alone. Methodology
+    # and round-over-round comparability of `queries` are unchanged.
+    cold = {name: run(name) for name in names}
 
     # best-of-3: the host shows multi-second background-load jitter;
     # min-of-N measures the engine, not the neighbors.  Per-query
@@ -112,6 +117,7 @@ def main() -> None:
             "best": round(min(reps), 3),
             "median": round(statistics.median(reps), 3),
             "spread": round(max(reps) / max(min(reps), 1e-9), 2),
+            "cold_s": round(cold[name], 3),
         }
     timings = {name: s["best"] for name, s in stats.items()}
 

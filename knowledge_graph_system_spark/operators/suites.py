@@ -92,7 +92,14 @@ def _build_parts(captured, spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     row was driver-collected before consolidation), so materializing
     them is bytes-cheap, and the checkpoint lives inside the query
     invocation: every run still computes from the parquet inputs,
-    nothing persists across invocations."""
+    nothing persists across invocations.
+
+    The single-member fast path intentionally returns the LAZY frame
+    (pre-r17 behavior, no checkpoint): with one member there is nothing
+    to overlap, so the caller's single action evaluates the one tail
+    exactly once — materializing it first would only add a copy (ADVICE
+    r17: asymmetric but deliberate; no registered suite is currently a
+    singleton)."""
     if len(captured) == 1:
         probe, fn, _oracle, m = captured[0]
         return [fn(spark, sf_dir).selectExpr(*_proj(probe, m))]
@@ -110,14 +117,83 @@ def _build_parts(captured, spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         return list(pool.map(build, captured))
 
 
-def _make_suite(name: str, members: list[tuple[str, dict[str, str]]]):
+def _build_a_scores_parts(captured, spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """a_scores_suite build with WITHIN-INVOCATION dataflow reuse (r18,
+    VERDICT r17 #4 / guide §1.2 "don't compute things you throw away"):
+    a9 recomputes a7's mass and a8's coherence subtrees wholesale — the
+    r17 overlap pool hid the duplicate wall time, but the work (two
+    C⋈O⋈L rollups, two sampled-embedding pair means) still ran, and at
+    100 TB the wasted resources are real even when the wall is flat.
+    The suite now materializes each subtree ONCE and hands the frames to
+    a9's builder through `protection_with_affinity`'s provider params.
+    This is dataflow inside one suite invocation — nothing is memoized
+    across runs (every run still computes from the parquet inputs), and
+    the standalone a9/annealing paths are untouched.
+
+    Member rows are value-identical: a7 projects the same
+    `ontology_mass` frame, a8 the same `ontology_coherence` frame, and
+    a9 consumes frames value-identical to the ones it built itself
+    (both are checkpointed here, which a9's own build also did for
+    mass; coherence arrives materialized instead of lazy — same rows).
+    Thread budget matches `_build_parts`: 4 workers; the a9 task's
+    providers just block on the a7/a8 futures, so its membership build
+    overlaps them (scores.py inner pool)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..registry import Ctx
+    from .scores import ontology_coherence, ontology_mass, protection_with_affinity
+
+    ctx = Ctx.get(spark, sf_dir)
+    projm = {probe: m for probe, _fn, _oracle, m in captured}
+    fns = {probe: fn for probe, fn, _oracle, _m in captured}
+
+    def ck(probe: str, df: DataFrame) -> DataFrame:
+        return df.selectExpr(*_proj(probe, projm[probe])).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_mass = pool.submit(
+            lambda: ontology_mass(ctx.tables).localCheckpoint(eager=True)
+        )
+        f_coher = pool.submit(
+            lambda: ontology_coherence(ctx.nodes_emb).localCheckpoint(eager=True)
+        )
+        f_a9 = pool.submit(
+            lambda: ck(
+                "a9_ontology_protection",
+                protection_with_affinity(
+                    spark, sf_dir, mass_f=f_mass.result, coher_f=f_coher.result
+                )[0],
+            )
+        )
+        f_a10 = pool.submit(
+            lambda: ck("a10_vocab_value", fns["a10_vocab_value"](spark, sf_dir))
+        )
+        f_a11 = pool.submit(
+            lambda: ck(
+                "a11_semantic_diversity", fns["a11_semantic_diversity"](spark, sf_dir)
+            )
+        )
+        built = {
+            "a7_ontology_mass": ck("a7_ontology_mass", f_mass.result()),
+            "a8_ontology_coherence": ck("a8_ontology_coherence", f_coher.result()),
+            "a9_ontology_protection": f_a9.result(),
+            "a10_vocab_value": f_a10.result(),
+            "a11_semantic_diversity": f_a11.result(),
+        }
+    # captured order preserved — the unionByName shape is byte-identical
+    return [built[probe] for probe, _fn, _oracle, _m in captured]
+
+
+def _make_suite(name: str, members: list[tuple[str, dict[str, str]]], build_parts=None):
     """Build + register one suite from (member_query_name, slot_map)
     rows. Captures each member's fn and oracle BEFORE the members are
-    de-registered below."""
+    de-registered below. `build_parts` overrides the generic member
+    builder (a_scores_suite shares subtrees across members — r18)."""
     captured = [(probe, QUERIES[probe].fn, QUERIES[probe].oracle, m) for probe, m in members]
+    builder = build_parts or _build_parts
 
     def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        parts = _build_parts(captured, spark, sf_dir)
+        parts = builder(captured, spark, sf_dir)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -135,7 +211,8 @@ def _make_suite(name: str, members: list[tuple[str, dict[str, str]]]):
 
 a_scores_suite = _make_suite(
     "a_scores_suite",
-    [
+    build_parts=_build_a_scores_parts,
+    members=[
         ("a7_ontology_mass",
          dict(k1="ontology", n1="n_concepts", n2="n_sources", n3="n_rels", x1="mass")),
         ("a8_ontology_coherence", dict(k1="ontology", x1="coherence")),

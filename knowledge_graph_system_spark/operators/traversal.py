@@ -36,7 +36,12 @@ _BROADCAST_FRONTIER_MAX = 2_000_000
 
 
 def _frontier_side(frontier: DataFrame, n: int | None) -> DataFrame:
-    return F.broadcast(frontier) if n is None or n <= _BROADCAST_FRONTIER_MAX else frontier
+    # An UNCOUNTED frame (n is None) takes the SHUFFLE path: broadcasting
+    # a frame of unknown size is the defect class the counted guard
+    # exists to prevent, so the default must fail safe, not fail open
+    # (r18; no call site passes None today — this hardens the contract
+    # for future ones).
+    return F.broadcast(frontier) if n is not None and n <= _BROADCAST_FRONTIER_MAX else frontier
 
 
 def directed_edges(

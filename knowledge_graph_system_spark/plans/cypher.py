@@ -540,6 +540,7 @@ def _shortest_pairs(
     lo: int,
     hi: int,
     state_max: int | None = None,
+    level_plans: list[str] | None = None,
 ) -> DataFrame:
     """(__src, __node, __plen): minimal hop count from each source to
     every node reachable within `hi` hops — multi-source BFS with
@@ -609,7 +610,7 @@ def _shortest_pairs(
             # the full 10.9M-row union only to discard it)
             seen = seen.unionByName(frontier).localCheckpoint(eager=True)
         side = _frontier_side(f_exp, n_exp)
-        nxt = (
+        step = (
             edf.join(side, side["__node"] == edf["__from"])
             .select("__src", F.col("__to").alias("__node"))
             .distinct()
@@ -619,8 +620,20 @@ def _shortest_pairs(
             # output every level (r17, guide §3.1 — the traversal.py
             # batch-2 shape); past the bound the planner shuffles.
             .join(_frontier_side(seen, n_state), ["__src", "__node"], "left_anti")
-            .localCheckpoint(eager=True)
         )
+        if level_plans is not None:
+            # measurement hook (guide §1): the executed per-level
+            # expansion plan, captured pre-checkpoint (the checkpointed
+            # frame explains as a bare RDD scan)
+            level_plans.append(
+                step._sc._jvm.PythonSQLUtils.explainString(
+                    step._jdf.queryExecution(), "formatted"
+                )
+            )
+        # lazy checkpoint + count: ONE job materializes the level and
+        # returns the frontier size (the eager form paid a separate
+        # count job per level — r18, the traversal.py r17 shape)
+        nxt = step.localCheckpoint(eager=False)
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
@@ -653,7 +666,13 @@ _BIDIR_SWITCH = 150_000_000
 
 
 def _shortest_pairs_adaptive(
-    ctx: Ctx, edf: DataFrame, a_ids: DataFrame, b_ids: DataFrame, lo: int, hi: int
+    ctx: Ctx,
+    edf: DataFrame,
+    a_ids: DataFrame,
+    b_ids: DataFrame,
+    lo: int,
+    hi: int,
+    level_plans: list[str] | None = None,
 ) -> DataFrame:
     """Forward wave by default — byte-identical plan and cost for the
     common selective query (the unconditional bidir dispatch measured
@@ -664,7 +683,10 @@ def _shortest_pairs_adaptive(
     supersets of what `_compile_shortest`'s b-side join keeps, so the
     dispatch is invisible downstream."""
     try:
-        return _shortest_pairs(ctx, edf, a_ids, lo, hi, state_max=_BIDIR_SWITCH)
+        return _shortest_pairs(
+            ctx, edf, a_ids, lo, hi, state_max=_BIDIR_SWITCH,
+            level_plans=level_plans,
+        )
     except _StateOverflow:
         return _shortest_pairs_bidir(ctx, edf, a_ids, b_ids, lo, hi)
 
@@ -848,6 +870,14 @@ def _shortest_pairs_bidir(
     )
 
 
+# Measurement hook (guide §1): when set to a list, every executed
+# shortestPath() wave level appends its pre-checkpoint expansion plan
+# here (tools/capture_plans.py-style evidence for the per-level
+# exchanges, which never appear in the final frame's plan). None in
+# production — zero cost.
+_LEVEL_PLAN_SINK: list[str] | None = None
+
+
 def _compile_shortest(
     ctx: Ctx, scope: _Scope, m: "re.Match", anon_start: int
 ) -> tuple[DataFrame, dict[str, str], list[str], list[str], int]:
@@ -882,23 +912,64 @@ def _compile_shortest(
             entries[f"{np_.var}.{c}"] = f"{np_.var}__{c}"
     if a.var == b.var:
         raise GuardError("shortestPath() endpoints must be distinct variables")
-    edf = _oriented_edges(ctx, ep).select("__from", "__to").distinct()
-    a_frame = _node_frame(ctx, a)
-    a_ids = a_frame.select(F.col(f"{a.var}__node_id").alias("__src")).distinct()
-    b_ids = (
-        _node_frame(ctx, b)
-        .select(F.col(f"{b.var}__node_id").alias("__tgt"))
-        .distinct()
+    from ..operators.traversal import _frontier_side
+
+    # r18 (guide §2.3 — shuffle narrower types / keys instead of
+    # payloads): the wave shuffles O(|sources| x reach) (__src, __node)
+    # pairs per level (10.2M rows at level 3, sf0.1) and every byte of
+    # them was a STRING node id. A per-invocation integer dictionary
+    # over the node frame narrows every wave-side operation (expansion
+    # join, distinct, anti-join, checkpointed state) to two longs; the
+    # ids join back onto the endpoint node frames AFTER the wave. The
+    # mapping is a bijection — node_id is the node frame's key,
+    # monotonically_increasing_id is unique per row and frozen by the
+    # checkpoint — and no wave step depends on id VALUES (only equality
+    # and set identity), so the result set is unchanged. Edge endpoints
+    # all resolve through the dictionary by the graph-view contract
+    # (src/dst are node keys by construction). Generic: the dictionary
+    # is built from the live node frame inside the engine, per
+    # invocation — nothing is fixture-specific and nothing persists.
+    nid = (
+        ctx.nodes.select("node_id")
+        .withColumn("__nid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
     )
-    pairs = _shortest_pairs_adaptive(ctx, edf, a_ids, b_ids, ep.lo, ep.hi)
-    df = (
-        a_frame.join(pairs, a_frame[f"{a.var}__node_id"] == pairs["__src"])
-        .drop("__src")
-        .join(
-            _node_frame(ctx, b),
-            F.col("__node") == F.col(f"{b.var}__node_id"),
+    n_nodes = nid.count()  # materializes the lazy checkpoint (one job)
+
+    def _dict(key_alias: str, id_alias: str) -> DataFrame:
+        return _frontier_side(
+            nid.select(
+                F.col("node_id").alias(key_alias), F.col("__nid").alias(id_alias)
+            ),
+            n_nodes,
         )
-        .drop("__node")
+
+    edf = (
+        _oriented_edges(ctx, ep)
+        .select("__from", "__to")
+        .distinct()
+        .join(_dict("__from", "__fi"), "__from")
+        .join(_dict("__to", "__ti"), "__to")
+        .select(F.col("__fi").alias("__from"), F.col("__ti").alias("__to"))
+        # checkpoint ONCE per invocation: the wave re-planned the full
+        # oriented-edge scan + distinct EVERY level before (one corpus
+        # exchange per level); every level (and the dead-end prune and
+        # the bidir degree frames) now reads the materialized
+        # (long, long) pairs (r18, guide §2.4)
+        .localCheckpoint(eager=True)
+    )
+    a_frame = _node_frame(ctx, a).join(_dict(f"{a.var}__node_id", "__ai"), f"{a.var}__node_id")
+    a_ids = a_frame.select(F.col("__ai").alias("__src")).distinct()
+    b_frame = _node_frame(ctx, b).join(_dict(f"{b.var}__node_id", "__bi"), f"{b.var}__node_id")
+    b_ids = b_frame.select(F.col("__bi").alias("__tgt")).distinct()
+    pairs = _shortest_pairs_adaptive(
+        ctx, edf, a_ids, b_ids, ep.lo, ep.hi, level_plans=_LEVEL_PLAN_SINK
+    )
+    df = (
+        a_frame.join(pairs, a_frame["__ai"] == pairs["__src"])
+        .drop("__src", "__ai")
+        .join(b_frame, F.col("__node") == F.col("__bi"))
+        .drop("__node", "__bi")
     )
     path_vars: list[str] = []
     if pvar:

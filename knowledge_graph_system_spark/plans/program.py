@@ -215,6 +215,7 @@ def execute_program(
     initial: WorkingGraph,
     timeout_s: float = DEFAULT_TIMEOUT_S,
     collect_counts: bool = True,
+    pre_dispatch: bool = True,
 ) -> ProgramResult:
     """Run validated statements sequentially. `dispatch(source) -> Result`
     supplies each statement's R from an engine operator (SO9).
@@ -225,19 +226,31 @@ def execute_program(
     keeps a 50-statement program inside the reference's 60 s envelope
     (`program_executor.py:43`). Conditionals still count — the condition
     needs the number.
+
+    DISPATCH CONTRACT under `pre_dispatch=True` (the default, r17 §2.6
+    overlap / documented per ADVICE r17): each block's statements are
+    dispatched CONCURRENTLY from up to 4 threads, and speculatively for
+    statements an aborting `!`/timeout would never reach, so `dispatch`
+    must be (a) thread-safe, (b) pure with respect to the working graph
+    (R is a function of the engine context and `source` only — the
+    in-repo SO9 dispatch is, by construction), and (c) side-effect-free
+    (a speculative invocation may run and be discarded). A dispatch that
+    is side-effecting, reads W, or is not thread-safe must pass
+    `pre_dispatch=False`, which restores strictly sequential
+    dispatch-at-fold semantics (same results, no overlap).
     """
     validate_program(statements)
     res = ProgramResult(working=initial)
     deadline = time.monotonic() + timeout_s
     try:
-        _run_block(statements, dispatch, res, deadline, collect_counts)
+        _run_block(statements, dispatch, res, deadline, collect_counts, pre_dispatch)
     except ProgramAborted as exc:
         res.aborted = True
         res.abort_reason = str(exc)
     return res
 
 
-def _checkpointed_dispatch(dispatch, source) -> Result:
+def _checkpointed_dispatch(dispatch, source) -> "tuple[Result, float]":
     """Dispatch one statement's source and eagerly materialize R.nodes.
 
     ONE evaluation of the statement's result set (r17, guide §1/§2.4):
@@ -247,13 +260,32 @@ def _checkpointed_dispatch(dispatch, source) -> Result:
     source, each evaluation is the expensive part). The eager checkpoint
     materializes R.nodes once; every later probe/count/fold reads the
     materialized partitions. R.links stays lazy — programs that never
-    materialize links (nodes-only results) never pay for them."""
+    materialize links (nodes-only results) never pay for them.
+
+    Returns (Result, dispatch_ms): the dispatch+materialization cost is
+    timed HERE, where the work actually runs, so StepLog.ms reports true
+    per-statement cost even when the pre-dispatch pool ran it
+    concurrently and the fold's wait on the future was near zero
+    (ADVICE r17)."""
+    t0 = time.perf_counter()
     r = dispatch(source)
-    return Result(nodes=r.nodes.localCheckpoint(eager=True), links=r.links)
+    out = Result(nodes=r.nodes.localCheckpoint(eager=True), links=r.links)
+    return out, _ms(t0)
+
+
+def _group_dispatch(sc, gid: str, dispatch, source) -> "tuple[Result, float]":
+    """Pre-dispatch worker: tag this thread's Spark jobs with the
+    block's job group (thread-local, so it must be set INSIDE the
+    worker) so an aborting fold can cancel still-running speculative
+    dispatches instead of leaking them past execute_program's return
+    (ADVICE r17: leaked jobs contaminated subsequent measured legs)."""
+    sc.setJobGroup(gid, "so-program pre-dispatch")
+    return _checkpointed_dispatch(dispatch, source)
 
 
 def _run_block(
-    statements, dispatch, res: ProgramResult, deadline: float, collect_counts: bool
+    statements, dispatch, res: ProgramResult, deadline: float, collect_counts: bool,
+    pre_dispatch: bool = True,
 ) -> None:
     # Pre-dispatch pipeline (r17, guide §2.6): R is a pure function of
     # the engine context and the statement's `source` — by construction
@@ -271,31 +303,42 @@ def _run_block(
     # path, never a semantic change.
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = futs = None
-    if len(statements) > 1:
+    pool = futs = sc = gid = None
+    if pre_dispatch and len(statements) > 1:
+        sc = res.working.nodes.sparkSession.sparkContext
+        gid = f"so-program-{id(res)}-{len(res.log)}-{id(statements)}"
         pool = ThreadPoolExecutor(max_workers=min(4, len(statements)))
         futs = [
-            pool.submit(_checkpointed_dispatch, dispatch, st["source"])
+            pool.submit(_group_dispatch, sc, gid, dispatch, st["source"])
             for st in statements
         ]
     try:
-        _fold_block(statements, futs, dispatch, res, deadline, collect_counts)
-    finally:
+        _fold_block(
+            statements, futs, dispatch, res, deadline, collect_counts, pre_dispatch
+        )
+    except BaseException:
+        # ProgramAborted (empty `!` / timeout): cancel queued futures AND
+        # the block's still-running speculative Spark jobs — without the
+        # group cancel, pre-dispatched jobs kept executing in non-daemon
+        # threads after execute_program returned (ADVICE r17)
         if pool is not None:
             for f in futs:
                 f.cancel()
+            sc.cancelJobGroup(gid)
+        raise
+    finally:
+        if pool is not None:
             pool.shutdown(wait=False)
 
 
 def _fold_block(
     statements, futs, dispatch, res: ProgramResult, deadline: float,
-    collect_counts: bool,
+    collect_counts: bool, pre_dispatch: bool = True,
 ) -> None:
     for i, st in enumerate(statements):
         if time.monotonic() > deadline:
             raise ProgramAborted("program timeout exceeded")
-        t0 = time.perf_counter()
-        r = (
+        r, dispatch_ms = (
             futs[i].result()
             if futs is not None
             else _checkpointed_dispatch(dispatch, st["source"])
@@ -311,9 +354,11 @@ def _fold_block(
             }[cond["cond"]]
             branch = st.get("then", []) if ok else st.get("else", [])
             wn = res.working.nodes.count() if collect_counts else -1
-            res.log.append(StepLog(f"if:{cond['cond']}", n, wn, _ms(t0)))
+            res.log.append(StepLog(f"if:{cond['cond']}", n, wn, dispatch_ms))
             if branch:
-                _run_block(branch, dispatch, res, deadline, collect_counts)
+                _run_block(
+                    branch, dispatch, res, deadline, collect_counts, pre_dispatch
+                )
         else:
             res.working = _APPLY[st["op"]](res.working, r)
             # localCheckpoint: cut lineage so long programs don't build
@@ -335,7 +380,11 @@ def _fold_block(
             )
             rn = r.nodes.count() if collect_counts else -1
             wn = res.working.nodes.count() if collect_counts else -1
-            res.log.append(StepLog(st["op"], rn, wn, _ms(t0)))
+            # ms = the statement's true dispatch+materialization cost
+            # (timed inside _checkpointed_dispatch), NOT the fold's wait
+            # on an already-running future (ADVICE r17 — the SO7
+            # per-step log semantics)
+            res.log.append(StepLog(st["op"], rn, wn, dispatch_ms))
 
 
 def _ms(t0: float) -> float:

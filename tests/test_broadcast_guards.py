@@ -106,6 +106,12 @@ def test_shortest_path_frontier_guard(spark, monkeypatch):
     assert "broadcast" in _analyzed(
         probe.join(traversal._frontier_side(probe, 3), "node_id")
     )
+    # r18: an UNCOUNTED frame (n=None) must take the shuffle path — the
+    # fail-safe default; broadcasting a frame of unknown size is the
+    # exact defect class the counted guard exists for
+    assert "broadcast" not in _analyzed(
+        probe.join(traversal._frontier_side(probe, None), "node_id")
+    )
     monkeypatch.setattr(traversal, "_BROADCAST_FRONTIER_MAX", 0)
     assert "broadcast" not in _analyzed(
         probe.join(traversal._frontier_side(probe, 3), "node_id")

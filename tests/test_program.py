@@ -138,6 +138,65 @@ def test_executor_abort_surfaces(spark, w):
     assert res.aborted and "empty" in res.abort_reason
 
 
+def test_executor_pre_dispatch_opt_out(spark, w):
+    """r18 (ADVICE r17): pre_dispatch=False restores strictly
+    sequential dispatch-at-fold semantics — same working graph and log
+    ops as the default, dispatch calls in statement order from the fold
+    thread, and NO speculative dispatch past an aborting statement."""
+    import threading
+
+    calls = []
+
+    def dispatch(source):
+        calls.append((source["name"], threading.current_thread().name))
+        return _r(spark, [] if source["name"] == "empty" else [("d", 4.0)])
+
+    program = [
+        {"op": "+", "source": {"name": "d1"}},
+        {"op": "!", "source": {"name": "empty"}},
+        {"op": "+", "source": {"name": "after-abort"}},
+    ]
+    main = threading.current_thread().name
+    res = execute_program(program, dispatch, w, pre_dispatch=False)
+    assert res.aborted and "empty" in res.abort_reason
+    # sequential: statement order, fold thread, nothing past the abort
+    assert [c[0] for c in calls] == ["d1", "empty"]
+    assert all(c[1] == main for c in calls)
+    assert [s.op for s in res.log] == ["+"]
+    # identical rows to the default path on a non-aborting program
+    seq = execute_program(
+        [{"op": "+", "source": {"name": "d1"}}, {"op": "+", "source": {"name": "d2"}}],
+        lambda s: _r(spark, [("d", 4.0)]), w, pre_dispatch=False,
+    )
+    par = execute_program(
+        [{"op": "+", "source": {"name": "d1"}}, {"op": "+", "source": {"name": "d2"}}],
+        lambda s: _r(spark, [("d", 4.0)]), w,
+    )
+    assert sorted(r["node_id"] for r in seq.working.nodes.collect()) == sorted(
+        r["node_id"] for r in par.working.nodes.collect()
+    )
+    # StepLog.ms is the dispatch+materialization cost (timed inside the
+    # dispatch wrapper): non-negative on both paths
+    assert all(s.ms >= 0 for s in seq.log + par.log)
+
+
+def test_executor_abort_cancels_pre_dispatch_group(spark, w):
+    """r18 (ADVICE r17): an aborting multi-statement block cancels its
+    pre-dispatch job group; the session stays healthy for later jobs."""
+    res = execute_program(
+        [
+            {"op": "!", "source": {"name": "empty"}},
+            {"op": "+", "source": {"name": "spec1"}},
+            {"op": "+", "source": {"name": "spec2"}},
+        ],
+        lambda s: _r(spark, [] if s["name"] == "empty" else [("d", 4.0)]),
+        w,
+    )
+    assert res.aborted
+    # the cancelJobGroup on the abort path must not poison the context
+    assert spark.range(5).count() == 5
+
+
 def test_dispatch_reference_kinds(spark):
     """The six reference API dispatch kinds resolve and obey their
     per-kind semantics (`program_dispatch.py:193-394` parameter names)."""

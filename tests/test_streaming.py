@@ -103,6 +103,46 @@ def test_streaming_ingest_epoch_gate(spark):
     assert not bad, bad
 
 
+def test_streaming_ingest_retry_reuse_is_deterministic(spark):
+    """r18 (VERDICT r17 'what's wrong' #5 / next #7): the stream's epoch-2
+    retry re-stamps epoch 0's checkpointed frame instead of re-running
+    chunk→extract→embed. That reuse is sound ONLY while the ingest path
+    is deterministic — pin the assumption: (a) two independent runs of
+    the ingest path over the same even-doc slice emit identical rows
+    (embeddings included), and (b) the stream's epoch-0 sink rows equal
+    a genuine fresh run, so the re-stamped epoch 2 equals what a real
+    retry would have produced. If extraction ever becomes
+    non-deterministic, (a) fails and the reuse must be reverted."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_system_spark.registry import Ctx
+    from knowledge_graph_system_spark.sources.ingest import ingest_documents
+    from knowledge_graph_system_spark.streaming.ingest_stream import streaming_ingest
+    from tests.conftest import SF_DIR
+
+    evens = (
+        Ctx.get(spark, SF_DIR)
+        .tables["documents"]
+        .filter((F.col("doc_id") < 12) & (F.col("doc_id") % 2 == 0))
+        .select("doc_id", "text")
+    )
+    cols = ["doc_id", "chunk_index", "concept_id", "term", "resolved_id", "action"]
+
+    def run_fresh(with_emb: bool):
+        out = ingest_documents(evens)
+        sel = cols + (["embedding"] if with_emb else [])
+        return sorted(tuple(r) for r in out.select(*sel).collect())
+
+    assert run_fresh(True) == run_fresh(True)  # (a) determinism, embeddings too
+
+    snap = streaming_ingest(spark, SF_DIR, doc_limit=12)
+    e0 = sorted(
+        tuple(r)
+        for r in snap.filter(F.col("epoch") == 0).select(*cols).collect()
+    )
+    assert e0 == run_fresh(False)  # (b) sink rows == genuine re-run
+
+
 def test_r9_candidate_enrich_stream(spark):
     """Driver-style compare for the prepared st_enrich_stream row:
     per-micro-batch stream-static enrichment of a partitioned replay
