@@ -98,42 +98,53 @@ def make_dispatch(ctx: Ctx):
             # — deterministic as a SET (one arbitrary path is not), the
             # right shape for set-algebra programs. Links = the edges on
             # those paths. Empty when unreachable within max_hops.
-            from .traversal import bfs
+            from .traversal import bfs, subgraph
 
             hops = source.get("max_hops", 6)
 
-            # eager checkpoints: each reach frame's final BFS level is
-            # lazy, and it feeds the dd probe, the corridor, the links
-            # joins AND two counts — materialize once, read five times
-            # (r17, guide §1/§2.4). The two waves are independent
-            # (different seeds, different edge orientations), and each
-            # is a chain of per-level driver-latency-bound jobs — run
-            # them in two threads so one wave's jobs back-fill the
-            # other's idle gaps (r17, guide §2.6)
-            def _reach(seed: str, direction: str, alias: str) -> DataFrame:
-                return (
-                    bfs(ctx.edges, [seed], hops, direction=direction)
-                    .select("node_id", F.col("dist").alias(alias))
-                    .localCheckpoint(eager=True)
-                )
-
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as _pool:
-                _fw_fut = _pool.submit(_reach, source["from_id"], "out", "_dfw")
-                _bw_fut = _pool.submit(_reach, source["to_id"], "in", "_dbw")
-                fwd, bwd = _fw_fut.result(), _bw_fut.result()
-            dd = (
-                fwd.join(bwd, "node_id")
-                .filter(F.col("node_id") == source["to_id"])
-                .agg(F.min("_dfw").alias("d"))
-                .collect()[0]["d"]
+            # r18 (guide §2.3/§2.4, replacing the r17 two-full-wave
+            # overlap): the backward wave explored the target's ENTIRE
+            # reverse cone to max_hops (at sf0.1, S1's cone is parts →
+            # 100k-ish orders → customers — most of the graph) while the
+            # corridor only ever needs nodes inside the FORWARD reach:
+            # every node v on a shortest from→to path has
+            # dfw(v) + dbw(v) = dd, so its backward path to `to` runs
+            # entirely through nodes u with dfw(u) ≤ dd — all inside the
+            # forward reach. Restricting the backward wave to the
+            # induced subgraph of the forward reach is therefore EXACT:
+            # corridor nodes keep their true dbw, and non-corridor nodes
+            # can only have dbw inflated (restriction removes paths), so
+            # the ==dd membership filter can never gain a false row.
+            # The forward wave itself stops at the level where `to`
+            # first appears (bfs stop_at — corridor members all have
+            # dfw ≤ dd), instead of running to max_hops.
+            fwd = (
+                bfs(ctx.edges, [source["from_id"]], hops, direction="out",
+                    stop_at=source["to_id"])
+                .select("node_id", F.col("dist").alias("_dfw"))
+                .localCheckpoint(eager=True)
             )
+            dd_row = (
+                fwd.filter(F.col("node_id") == source["to_id"])
+                .agg(F.min("_dfw").alias("d"))
+                .collect()
+            )
+            dd = dd_row[0]["d"]
             if dd is None:
                 return Result(
                     nodes=ctx.nodes.filter(F.lit(False)),
                     links=ctx.edges.filter(F.lit(False)),
                 )
+            # induced subgraph of the forward reach: corridor-candidate
+            # edges only (both endpoints have dfw ≤ dd) — checkpointed
+            # once so every backward level reads the tiny materialized
+            # frame instead of re-scanning the corpus edge table
+            sub = subgraph(ctx.edges, fwd).localCheckpoint(eager=True)
+            bwd = (
+                bfs(sub, [source["to_id"]], dd, direction="in")
+                .select("node_id", F.col("dist").alias("_dbw"))
+                .localCheckpoint(eager=True)
+            )
             corridor = (
                 fwd.join(bwd, "node_id")
                 .filter(F.col("_dfw") + F.col("_dbw") == dd)
@@ -148,7 +159,10 @@ def make_dispatch(ctx: Ctx):
                 "node_id",
             )
             links = (
-                ctx.edges.join(
+                # `sub` already restricts both endpoints to the forward
+                # reach; every ==dd edge qualifies, so the corpus edge
+                # table is not rejoined here (r18)
+                sub.join(
                     maybe_broadcast(
                         fwd.withColumnRenamed("node_id", "src"),
                         _REACH_BROADCAST_MAX,

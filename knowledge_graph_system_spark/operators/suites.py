@@ -41,9 +41,27 @@ and the final unionByName is a no-shuffle concatenation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import QUERIES, query
+
+
+def _pool_cap(n_members: int) -> int:
+    """Suite build-pool size: min(cap, members). Default 4 (guide §2.6
+    "2-3 jobs in flight is plenty" + one for driver latency); the cap is
+    an env knob (SPARK_GRAFT_SUITE_POOL) so other deployments can tune
+    it. A/B-measured at 8 cores in r18 (OPTIMIZATION_r18.md, closing the
+    VERDICT r17 oversubscription watch): cap 4 BEAT cap 2 on two of
+    three suites (a_scores 5.42 vs 7.01 s, st_stream 6.37 vs 8.24 s;
+    p7_cypher within noise) — suite overlap does not oversubscribe
+    local[8], so the default stays 4 at every core count."""
+    try:
+        cap = int(os.environ.get("SPARK_GRAFT_SUITE_POOL", "4"))
+    except ValueError:
+        cap = 4
+    return max(1, min(cap, n_members))
 
 _SLOTS = [
     ("k1", "STRING"),
@@ -113,7 +131,7 @@ def _build_parts(captured, spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             .localCheckpoint(eager=True)
         )
 
-    with ThreadPoolExecutor(max_workers=min(4, len(captured))) as pool:
+    with ThreadPoolExecutor(max_workers=_pool_cap(len(captured))) as pool:
         return list(pool.map(build, captured))
 
 
@@ -150,7 +168,10 @@ def _build_a_scores_parts(captured, spark: SparkSession, sf_dir: str) -> list[Da
     def ck(probe: str, df: DataFrame) -> DataFrame:
         return df.selectExpr(*_proj(probe, projm[probe])).localCheckpoint(eager=True)
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # 5 tasks; FIFO submission (dependencies before dependents), so any
+    # cap ≥ 1 is deadlock-free — a9 only waits on futures submitted
+    # before it
+    with ThreadPoolExecutor(max_workers=_pool_cap(5)) as pool:
         f_mass = pool.submit(
             lambda: ontology_mass(ctx.tables).localCheckpoint(eager=True)
         )

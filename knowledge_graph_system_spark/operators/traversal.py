@@ -77,6 +77,7 @@ def bfs(
     direction: str = "out",
     min_confidence: float | None = None,
     rel_types: list[str] | None = None,
+    stop_at: str | None = None,
 ) -> DataFrame:
     """BFS neighborhood ≤ max_depth → (node_id, dist) with min distance.
 
@@ -88,6 +89,14 @@ def bfs(
     chained without checkpoints, the reference's fixed-chain idea — was
     measured SLOWER at depth 3: without materialization each level
     branch re-derives its predecessors, O(d²) edge scans vs O(d) here.)
+
+    `stop_at` (r18, guide §2.4 — don't compute levels you throw away):
+    when set, the wave stops expanding after the level where that node
+    first appears (its min distance), so the returned map covers depths
+    0..dist(stop_at) instead of 0..max_depth. The target probe is fused
+    into the level count's aggregate — no extra job. Used by the
+    shortest-path corridor (`setops.path_to`), whose corridor members
+    all satisfy dist_fwd ≤ dist(from, to) by definition.
     """
     spark = edges.sparkSession
     adj = directed_edges(edges, direction, min_confidence, rel_types)
@@ -123,6 +132,24 @@ def bfs(
         # identical plan — cross-run result caching, which the bench
         # methodology forbids.
         nxt = nxt.localCheckpoint(eager=False)
+        if stop_at is not None:
+            # target probe fused into the materializing count (the
+            # shortest_path_length shape) — same single job per level
+            stats = nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.when(F.col("node_id") == stop_at, 1).otherwise(0)).alias("hit"),
+            ).first()
+            n_frontier = stats["n"]
+            if n_frontier == 0:
+                break
+            visited = visited.unionByName(nxt)
+            if stats["hit"] == 1:
+                break
+            n_visited += n_frontier
+            if depth % _CHECKPOINT_EVERY == 0:
+                visited = visited.localCheckpoint(eager=True)
+            frontier = nxt.select("node_id")
+            continue
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
