@@ -1145,3 +1145,21 @@ def test_shortest_adaptive_escalation_is_invisible(cctx, monkeypatch):
     monkeypatch.setattr(cy, "_BIDIR_SWITCH", 10**12)  # never escalates
     forward = run()
     assert escalated == forward and len(forward) > 0
+
+
+def test_shortest_int_dictionary_escalation_end_to_end(spark, monkeypatch):
+    """r18: the compiled shortestPath wave runs on per-invocation INTEGER
+    node ids (dictionary built inside _compile_shortest). Pin that BOTH
+    adaptive branches are int-compatible end-to-end through the full
+    compiler — dictionary build, int waves, join-back: a forced bidir
+    escalation must return exactly the default forward path's rows."""
+    from knowledge_graph_system_spark.plans import cypher as cy
+
+    q = (
+        "MATCH p = shortestPath((c:Customer)-[*1..4]->(s:Supplier)) "
+        "RETURN length(p) AS d, count(*) AS n_pairs"
+    )
+    base = sorted(tuple(r) for r in cy.run_cypher(spark, SF_DIR, q).collect())
+    monkeypatch.setattr(cy, "_BIDIR_SWITCH", 1)  # escalate immediately
+    escalated = sorted(tuple(r) for r in cy.run_cypher(spark, SF_DIR, q).collect())
+    assert escalated == base and len(base) > 0
